@@ -1,0 +1,70 @@
+"""Deterministic, cross-engine-stable rounding helpers.
+
+Why these exist: the correctness oracle hash-compares Spark output against
+DuckDB byte-for-byte. Double aggregation order differs between engines (and
+between runs under AQE), so raw SUM/AVG doubles differ in the last ulps; and
+the engines' native ROUND functions disagree at midpoints (Spark ``round`` is
+HALF_UP via Java BigDecimal, ``bround`` HALF_EVEN; DuckDB rounds through
+``nearbyint`` on scaled doubles). The reference itself rounds with numpy /
+Python (HALF_EVEN — reference main.py:236,255,290), a third behavior.
+
+The portable fix: ``FLOOR(x * 10^s + 0.5) / 10^s``. Both engines evaluate
+that expression in IEEE-754 double with correctly-rounded ops, so results are
+bit-identical whenever the inputs agree to well under half an ulp of the
+rounding grain — which post-aggregation doubles do. Every query that emits a
+double uses these helpers on BOTH sides (Spark column + oracle SQL string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_half_up(c: Column, scale: int = 2) -> Column:
+    """Round half-up (toward +inf) at ``scale`` decimals, IEEE-stable."""
+    p = float(10**scale)
+    return F.floor(c * p + F.lit(0.5)) / F.lit(p)
+
+
+def r2(c: Column) -> Column:
+    return round_half_up(c, 2)
+
+
+def r4(c: Column) -> Column:
+    return round_half_up(c, 4)
+
+
+def r6(c: Column) -> Column:
+    return round_half_up(c, 6)
+
+
+def sql_round_half_up(expr: str, scale: int = 2) -> str:
+    """The oracle-side (ANSI SQL / DuckDB) twin of :func:`round_half_up`."""
+    p = float(10**scale)
+    return f"FLOOR(({expr}) * {p:.1f} + 0.5) / {p:.1f}"
+
+
+def sql_r2(expr: str) -> str:
+    return sql_round_half_up(expr, 2)
+
+
+def sql_r4(expr: str) -> str:
+    return sql_round_half_up(expr, 4)
+
+
+def sql_r6(expr: str) -> str:
+    return sql_round_half_up(expr, 6)
+
+
+def round_count(c: Column) -> Column:
+    """The reference's count rounding (reference main.py:236 ``.round().astype(int)``)
+    re-expressed portably: half-up to integer, cast long. We standardize on
+    half-up (see module docstring) and document the divergence from numpy's
+    HALF_EVEN — at the midpoints it differs by 1 on odd integers only.
+    """
+    return F.floor(c + F.lit(0.5)).cast("long")
+
+
+def sql_round_count(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) + 0.5) AS BIGINT)"

@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime tuning.
+
+Two entry points:
+
+- :func:`get_spark` — build a local session for tests/bench (local[N], AQE on,
+  shuffle partitions sized to cores, UTC timezone, Arrow on).
+- :func:`tune` — apply the *runtime-settable* subset of those configs to an
+  externally provided session (the correctness driver passes us its own
+  ``SparkSession``; master/memory are fixed by then but AQE, timezone and
+  shuffle-partition count are not).
+
+Scale posture (100 TB / 1000 executors): everything here is cluster-neutral.
+AQE handles post-shuffle partition coalescing and skew-join splitting at any
+scale; `spark.sql.shuffle.partitions` is only the *initial* number — on a real
+cluster it should be ~2-3× total cores and AQE coalesces down. Session
+timezone is pinned UTC so date/timestamp semantics are machine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable configs applied to any session we touch.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long (epoch nanos) and normalize in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — accept session default
+    return spark
+
+
+def get_spark(
+    app_name: str = "move_forecast_ind_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized for this machine."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,51 @@
+"""Differential tests: every registered query vs its DuckDB oracle.
+
+This is the same comparison the driver makes (row count + schema +
+order-insensitive values), run at sf0.001 for speed. tools/check_oracle.py
+runs the identical check at sf0.01 — use that before committing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from move_forecast_ind_spark.queries import REGISTRY
+from tools.check_oracle import normalize, run_oracle, run_spark_query
+
+from conftest import SF_ORACLE
+
+ALL_NAMES = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_matches_oracle(name, spark, duck):
+    spec = REGISTRY[name]
+    cols, types, rows = run_spark_query(spark, spec, SF_ORACLE)
+    if spec.oracle is None:
+        # rows-only contract: runs, stable schema, deterministic re-run.
+        assert isinstance(rows, list)
+        cols2, types2, rows2 = run_spark_query(spark, spec, SF_ORACLE)
+        assert cols == cols2 and types == types2
+        assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
+        return
+    ocols, otypes, orows = run_oracle(duck, spec.oracle)
+    s_schema, s_rows = normalize(cols, types, rows)
+    o_schema, o_rows = normalize(ocols, otypes, orows)
+    assert [c for c, _ in s_schema] == [c for c, _ in o_schema], (
+        f"{name}: column sets differ: {s_schema} vs {o_schema}"
+    )
+    assert s_schema == o_schema, f"{name}: coarse types differ: {s_schema} vs {o_schema}"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts {len(s_rows)} vs {len(o_rows)}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert len(df.columns) >= 2
+    assert df.count() >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
