@@ -40,9 +40,12 @@ def r6(c: Column) -> Column:
 
 
 def sql_round_half_up(expr: str, scale: int = 2) -> str:
-    """The oracle-side (ANSI SQL / DuckDB) twin of :func:`round_half_up`."""
-    p = float(10**scale)
-    return f"FLOOR(({expr}) * {p:.1f} + 0.5) / {p:.1f}"
+    """The SQL twin of :func:`round_half_up`, valid in BOTH DuckDB and Spark
+    SQL. Uses exponent literals (``1e2``) because ``100.0`` parses as
+    DECIMAL in Spark SQL (and DuckDB), which would silently switch the whole
+    expression to decimal arithmetic and change the output type."""
+    p = f"1e{scale}"
+    return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
 
 
 def sql_r2(expr: str) -> str:

@@ -1,0 +1,98 @@
+"""Composite join operators Spark lacks as single primitives (SURVEY.md §2.3).
+
+The reference's joins are N+1 point-lookup loops (reference main.py:91-110
+via main.py:264,300) — here they're real joins; this module adds the
+*harness-coverage* joins: as-of (nearest earlier key) and banded range join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the right row with the
+    largest ``right_ts <= left_ts`` within the same ``on`` keys.
+
+    Implementation is the scalable union+window pattern, NOT a per-group
+    ``pd.merge_asof``: tag both sides, union, sort within key by (ts, side)
+    and carry the last seen right value forward with
+    ``last(..., ignorenulls=True)``. One shuffle on the key columns, no
+    Python, no broadcast requirement — right side may be arbitrarily large.
+    Skewed keys are handled by AQE skew-split since the window partitions by
+    the same key the shuffle hashed on.
+
+    Ties (right_ts == left_ts) match, the same contract as DuckDB ASOF JOIN
+    and pandas merge_asof(direction='backward').
+    """
+    on = list(on)
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v + suffix) for v in right_values],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+    )
+    tagged_r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(v + suffix) for v in right_values],
+        F.col(right_ts).alias(right_ts + suffix),
+    ).select(*tagged_l.columns)  # align column order for unionByName safety
+
+    unioned = tagged_l.unionByName(tagged_r)
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so ties match.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(v + suffix, ignorenulls=True).over(w).alias(v + suffix + "__f")
+            for v in [*right_values, right_ts]
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.col(v + suffix + "__f").alias(v + suffix)
+            for v in [*right_values, right_ts]
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Sequence[str],
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi + inequality conjunct join. With at least one equi key Spark
+    plans a hash/sort-merge join on the key and post-filters the band —
+    shuffle ∝ key cardinality, scale-safe. A pure band join (no equi key)
+    would fall to broadcast-nested-loop: bucketize first in that case."""
+    if equi:
+        cond = None
+        for k in equi:
+            c = left[k] == right[k]
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond & condition, how)
+    return left.join(right, condition, how)

@@ -305,7 +305,8 @@ def f_numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT o_orderkey,
              o_orderpriority,
-             {sql_r4('(o_totalprice - 150000.0) / 1500.0')} AS diff_pct
+             {sql_r4('(o_totalprice - 150000.0) / 1500.0')} AS diff_pct,
+             FLOOR((o_totalprice - 150000.0) / 1500.0 * 1e1 + 0.5) / 1e1 AS diff_1dp
       FROM orders
       WHERE o_orderkey % 50 = 0
     )
@@ -319,17 +320,26 @@ def f_numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CASE WHEN ABS(diff_pct) <= 5.0 THEN 'consistent'
                        WHEN diff_pct > 5.0       THEN 'stronger'
                        ELSE                            'weaker' END,
-                  diff_pct) AS comment
+                  diff_1dp) AS comment
     FROM scored
     """,
 )
 def f12_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """±5-point banding + message templating as pure column expressions."""
+    """±5-point banding + message templating as pure column expressions.
+
+    The %.1f operand is pre-rounded to 1 decimal (IEEE-stable helper) because
+    printf midpoint behavior differs between Java and C formatters — a
+    pre-rounded value is never a formatting midpoint."""
     tune(spark)
+    from ..functions.rounding import round_half_up
+
     orders = load_table(spark, sf_dir, "orders")
-    diff = r4((F.col("o_totalprice") - 150000.0) / 1500.0)
+    raw = (F.col("o_totalprice") - 150000.0) / 1500.0
     scored = orders.filter(F.col("o_orderkey") % 50 == 0).select(
-        "o_orderkey", "o_orderpriority", diff.alias("diff_pct")
+        "o_orderkey",
+        "o_orderpriority",
+        r4(raw).alias("diff_pct"),
+        round_half_up(raw, 1).alias("diff_1dp"),
     )
     band = (
         F.when(F.abs(F.col("diff_pct")) <= 5.0, "consistent")
@@ -342,7 +352,7 @@ def f12_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diff_pct",
         band.alias("band"),
         F.format_string(
-            "demand is %s vs baseline (%.1f%%)", band, F.col("diff_pct")
+            "demand is %s vs baseline (%.1f%%)", band, F.col("diff_1dp")
         ).alias("comment"),
     )
 

@@ -21,9 +21,9 @@ sys.path.insert(0, ROOT)
 
 def _norm_value(v):
     if v is None:
-        return None
+        return ("0none", "")
     if isinstance(v, bool):
-        return bool(v)
+        return ("bool", v)
     if isinstance(v, dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
     if isinstance(v, dt.date):
