@@ -1,0 +1,97 @@
+"""The percentage-precompute ETL as ONE join (SURVEY.md §2.3 J4, §3.3).
+
+The reference computes, for every (branch, move_type, month, day), the share
+of the branch's daily total that each move type represents — with a 4-level
+Python loop over branch × move_type × 12 × 31, two full pandas mask-scans per
+combination, a JSON resume checkpoint, and 1000-row upsert batches
+(reference precompute_percentages.py:178-233). Complexity O(combos × groups).
+
+Spark-first, the whole job is: two grouped sums and one equi-join —
+
+    moves   = facts.groupBy(branch, type, month, day).sum(count)
+    totals  = facts.groupBy(branch,       month, day).sum(count)
+    pct     = moves ⋈ totals ON (branch, month, day)
+              WHERE total > 0
+              SELECT ..., move/total*100 AS avg_percentage
+
+One shuffle per aggregate (map-side partials first) + one join shuffle on
+(branch, month, day). No loop, no checkpoint (task retry + idempotent
+overwrite replace it — SURVEY.md §2.12 R1), no batching (the writer does
+that). At 100 TB: group keys are (branch≈110 × 12 × 31 × types) ≈ small, so
+the join's build side is broadcastable and AQE will demote the shuffle join
+to broadcast automatically; output is a pure function of input, so a
+full overwrite of the derived table is the correct "upsert" (S5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import r2, r4
+
+
+def compute_percentages(
+    facts: DataFrame,
+    branch_col: str,
+    type_col: str,
+    date_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Derive the (branch, move_type, month, day) percentage table.
+
+    Output columns: branch, move_type, month, day, move_count, total_count,
+    avg_percentage — with sums pre-rounded (r2) and the percentage r4'd so
+    the result hash-matches an ANSI-SQL oracle computing the same plan.
+    """
+    month = F.month(date_col).alias("month")
+    day = F.dayofmonth(date_col).alias("day")
+    moves = (
+        facts.groupBy(
+            F.col(branch_col).alias("branch"),
+            F.col(type_col).alias("move_type"),
+            month,
+            day,
+        ).agg(r2(F.sum(count_col)).alias("move_count"))
+    )
+    totals = (
+        facts.groupBy(F.col(branch_col).alias("branch"), month, day)
+        .agg(r2(F.sum(count_col)).alias("total_count"))
+    )
+    return (
+        moves.join(totals, on=["branch", "month", "day"])
+        .filter(F.col("total_count") > 0)  # div-zero guard, reference :209-215
+        .select(
+            "branch",
+            "move_type",
+            "month",
+            "day",
+            "move_count",
+            "total_count",
+            r4(F.col("move_count") / F.col("total_count") * 100.0).alias(
+                "avg_percentage"
+            ),
+        )
+    )
+
+
+def month_grain_percentages(pct: DataFrame) -> DataFrame:
+    """Month-grain fallback table (reference main.py:102-110): the AVG of
+    day-grain percentages per (branch, move_type, month).
+
+    Averages the UNROUNDED ratio, not the r4'd avg_percentage: means of
+    grid-aligned values land exactly on rounding midpoints, where cross-
+    engine summation-order noise (~1e-13) flips the last rounded digit.
+    """
+    return pct.groupBy("branch", "move_type", "month").agg(
+        r4(F.avg(F.col("move_count") / F.col("total_count") * 100.0)).alias(
+            "month_avg_percentage"
+        )
+    )
+
+
+def write_percentages(pct: DataFrame, path: str) -> None:
+    """S5 sink: the derived table is a pure function of its input, so
+    overwrite ≡ upsert (no MERGE needed without Delta). Partition by branch
+    so the serving-side broadcast read prunes per branch."""
+    pct.write.mode("overwrite").partitionBy("branch").parquet(path)

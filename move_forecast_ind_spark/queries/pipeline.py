@@ -1,0 +1,361 @@
+"""Reference pipeline parity queries (SURVEY.md §3, milestone M2).
+
+The reference's domain tables (forecasting_data / historical_data) are not in
+the driver's fixture set, so each pipeline runs on its TPC-H analog with the
+same shape: branch := l_suppkey, move_type := l_returnflag,
+date := l_shipdate, count := l_quantity. The *plans* are generic over column
+names (move_forecast_ind_spark.plans) — pointing them at the reference's real
+tables is a column-mapping change only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.forecast_tail import PHRASES, forecast_summary, forecast_tail
+from ..plans.percentages import compute_percentages, month_grain_percentages
+from ..plans.trends import historical_trends, trends_nested
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (kept adjacent to the Spark plans they mirror).
+# ---------------------------------------------------------------------------
+_PCT_CTES = """
+    pct_moves AS (
+      SELECT l_suppkey                      AS branch,
+             l_returnflag                   AS move_type,
+             CAST(month(l_shipdate) AS INT) AS month,
+             CAST(day(l_shipdate) AS INT)   AS day,
+             FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS move_count
+      FROM lineitem
+      GROUP BY 1, 2, 3, 4
+    ),
+    pct_totals AS (
+      SELECT l_suppkey                      AS branch,
+             CAST(month(l_shipdate) AS INT) AS month,
+             CAST(day(l_shipdate) AS INT)   AS day,
+             FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_count
+      FROM lineitem
+      GROUP BY 1, 2, 3
+    ),
+    pct AS (
+      SELECT m.branch, m.move_type, m.month, m.day, m.move_count, t.total_count,
+             FLOOR((m.move_count / t.total_count * 1e2) * 1e4 + 0.5) / 1e4 AS avg_percentage
+      FROM pct_moves m
+      JOIN pct_totals t
+        ON m.branch = t.branch AND m.month = t.month AND m.day = t.day
+      WHERE t.total_count > 0
+    )"""
+
+_MONTH_CTE = """
+    month_pct AS (
+      SELECT branch, move_type, month,
+             FLOOR(AVG(move_count / total_count * 1e2) * 1e4 + 0.5) / 1e4
+               AS month_avg_percentage
+      FROM pct
+      GROUP BY 1, 2, 3
+    )"""
+
+
+def _phrase_sql(band_expr: str, idx_expr: str) -> str:
+    whens = []
+    for b, bank in PHRASES.items():
+        inner = (
+            f"CASE ({idx_expr}) WHEN 0 THEN '{bank[0]}' "
+            f"WHEN 1 THEN '{bank[1]}' ELSE '{bank[2]}' END"
+        )
+        whens.append(f"WHEN ({band_expr}) = '{b}' THEN {inner}")
+    return "CASE " + " ".join(whens) + " END"
+
+
+_BAND_SQL = (
+    "CASE WHEN ABS(diff_pp) <= 5.0 THEN 'consistent' "
+    "WHEN diff_pp > 5.0 THEN 'stronger' ELSE 'weaker' END"
+)
+
+_TAIL_SQL = f"""
+    WITH {_PCT_CTES},
+    {_MONTH_CTE},
+    frame AS (
+      SELECT b.branch,
+             'R'                            AS move_type,
+             CAST(d.d AS DATE)              AS ds,
+             CAST(50 + ((b.branch * 7 + day(d.d)) % 50) AS DOUBLE) AS branch_forecast,
+             CAST(month(d.d) AS INT)        AS month,
+             CAST(day(d.d) AS INT)          AS day
+      FROM (SELECT unnest(range(1, 11)) AS branch) b,
+           (SELECT unnest(generate_series(DATE '1996-06-01', DATE '1996-06-07',
+                                          INTERVAL 1 DAY)) AS d) d
+    ),
+    joined AS (
+      SELECT f.branch, f.move_type, f.ds, f.branch_forecast, f.month, f.day,
+             p.avg_percentage,
+             m.month_avg_percentage,
+             COALESCE(p.avg_percentage, m.month_avg_percentage, 1e0) AS pct_used,
+             FLOOR((CASE WHEN p.avg_percentage IS NOT NULL
+                          AND m.month_avg_percentage IS NOT NULL
+                         THEN p.avg_percentage - m.month_avg_percentage
+                         ELSE 0e0 END) * 1e4 + 0.5) / 1e4 AS diff_pp
+      FROM frame f
+      LEFT JOIN pct p
+        ON f.branch = p.branch AND f.move_type = p.move_type
+       AND f.month = p.month AND f.day = p.day
+      LEFT JOIN month_pct m
+        ON f.branch = m.branch AND f.move_type = m.move_type AND f.month = m.month
+    ),
+    tail AS (
+      SELECT branch,
+             move_type,
+             ds,
+             ROUND(branch_forecast, 2)                  AS branch_forecast,
+             FLOOR(pct_used * 1e4 + 0.5) / 1e4          AS pct_used,
+             CAST(FLOOR(GREATEST(pct_used / 1e2 * branch_forecast, 0e0) + 0.5) AS BIGINT)
+                                                        AS predicted_moves,
+             diff_pp,
+             {_BAND_SQL}                                AS band,
+             {_phrase_sql(_BAND_SQL, "(branch * 31 + month * 7 + day) % 3")}
+               || ' (' || printf('%.1f', FLOOR(pct_used * 1e1 + 0.5) / 1e1)
+               || '% of branch volume)'                 AS comment
+      FROM joined
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# J4: the percentage ETL — one join instead of the 4-level loop.
+# ---------------------------------------------------------------------------
+@register(
+    "pct_etl",
+    bench=True,
+    tags=("pipeline", "join", "aggregate"),
+    oracle=f"""
+    WITH {_PCT_CTES}
+    SELECT branch, move_type, month, day, move_count, total_count, avg_percentage
+    FROM pct
+    """,
+)
+def pct_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole precompute_percentages.py (O(combos×groups)
+    loop + checkpoint + batched upsert, :178-263) as two grouped sums and one
+    equi-join — see plans.percentages."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return compute_percentages(
+        li, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity",
+    )
+
+
+@register(
+    "pct_month_grain",
+    tags=("pipeline", "aggregate"),
+    oracle=f"""
+    WITH {_PCT_CTES},
+    {_MONTH_CTE}
+    SELECT branch, move_type, month, month_avg_percentage
+    FROM month_pct
+    """,
+)
+def pct_month_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain fallback table (reference main.py:102-110) derived from
+    the day-grain table — an aggregate of an aggregate, not a re-scan."""
+    tune(spark)
+    return month_grain_percentages(pct_etl(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 + F8-F14 + A7-A9: the forecast tail and its summary.
+# ---------------------------------------------------------------------------
+def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = compute_percentages(
+        li, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity",
+    )
+    mon = month_grain_percentages(pct)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-06-01").cast("date"),
+                F.lit("1996-06-07").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("ds")
+    )
+    frame = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("branch"))
+        .crossJoin(days)
+        .select(
+            "branch",
+            F.lit("R").alias("move_type"),
+            "ds",
+            (50 + (F.col("branch") * 7 + F.dayofmonth("ds")) % 50)
+            .cast("double")
+            .alias("branch_forecast"),
+        )
+    )
+    return forecast_tail(frame, pct, mon)
+
+
+@register(
+    "forecast_tail_daily",
+    bench=True,
+    tags=("pipeline", "join", "coalesce"),
+    oracle=f"""
+    {_TAIL_SQL}
+    SELECT branch, move_type, ds, branch_forecast, pct_used, predicted_moves,
+           diff_pp, band, comment
+    FROM tail
+    """,
+)
+def forecast_tail_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day forecast rows: the reference's per-row lookup loop
+    (main.py:239-288) as two broadcast left joins + COALESCE + CASE."""
+    tune(spark)
+    return _build_tail(spark, sf_dir)
+
+
+@register(
+    "forecast_summary",
+    tags=("pipeline", "aggregate"),
+    oracle=f"""
+    {_TAIL_SQL}
+    SELECT branch,
+           move_type,
+           CAST(SUM(predicted_moves) AS BIGINT)          AS total_predicted_moves,
+           CAST(FLOOR(AVG(predicted_moves) + 0.5) AS BIGINT) AS average_daily_moves,
+           FLOOR(AVG(pct_used) * 1e4 + 0.5) / 1e4        AS avg_pct_used,
+           COUNT(*)                                      AS n_days
+    FROM tail
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def forecast_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window roll-up (reference main.py:290-332) — one aggregate over the
+    tail instead of a second wave of per-day lookups."""
+    tune(spark)
+    return forecast_summary(_build_tail(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §3.2: trends — six sequential per-year queries collapsed to one.
+# ---------------------------------------------------------------------------
+_TRENDS_SQL = """
+    SELECT CAST(year(l_shipdate) AS INT)  AS year,
+           CAST(l_shipdate AS DATE)       AS ds,
+           strftime(l_shipdate, '%m-%d')  AS month_day,
+           FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_moves
+    FROM lineitem
+    WHERE l_suppkey = 7
+      AND year(l_shipdate) BETWEEN 1995 AND 2000
+      AND month(l_shipdate) * 100 + day(l_shipdate) BETWEEN 601 AND 607
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "trends_onepass",
+    bench=True,
+    tags=("pipeline", "aggregate"),
+    oracle=_TRENDS_SQL,
+)
+def trends_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference main.py:363-393 (6 round-trips) as one scan + one shuffle;
+    the per-year windows become a (month*100+day) BETWEEN predicate."""
+    import datetime as dt
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return historical_trends(
+        li, branch_col="l_suppkey", date_col="l_shipdate", count_col="l_quantity",
+        branch=7, window_start=dt.date(1996, 6, 1), window_end=dt.date(1996, 6, 7),
+        years=(1995, 2000),
+    )
+
+
+@register(
+    "trends_by_move_type",
+    tags=("pipeline", "aggregate"),
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT)  AS year,
+           CAST(l_shipdate AS DATE)       AS ds,
+           strftime(l_shipdate, '%m-%d')  AS month_day,
+           FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_moves
+    FROM lineitem
+    WHERE l_suppkey = 7
+      AND l_returnflag = 'R'
+      AND year(l_shipdate) BETWEEN 1995 AND 2000
+      AND month(l_shipdate) * 100 + day(l_shipdate) BETWEEN 601 AND 607
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def trends_by_move_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trends with the optional move_type conjunct (reference main.py:376-384)."""
+    import datetime as dt
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return historical_trends(
+        li, branch_col="l_suppkey", date_col="l_shipdate", count_col="l_quantity",
+        branch=7, window_start=dt.date(1996, 6, 1), window_end=dt.date(1996, 6, 7),
+        years=(1995, 2000), type_col="l_returnflag", move_type="R",
+    )
+
+
+@register(
+    "trends_nested_by_year",
+    tags=("pipeline", "nested"),
+    oracle=f"""
+    WITH t AS ({_TRENDS_SQL})
+    SELECT year,
+           array_to_string(
+             list(month_day || ':' || CAST(total_moves AS VARCHAR) ORDER BY ds),
+             ',') AS days
+    FROM t
+    GROUP BY year
+    ORDER BY year
+    """,
+)
+def trends_nested_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested {year: [day rows]} response (reference main.py:395-403),
+    serialized order-stably."""
+    tune(spark)
+    return trends_nested(trends_onepass(spark, sf_dir))
+
+
+@register(
+    "trends_cross_year_window",
+    tags=("pipeline", "aggregate"),
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT)  AS year,
+           CAST(l_shipdate AS DATE)       AS ds,
+           strftime(l_shipdate, '%m-%d')  AS month_day,
+           FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_moves
+    FROM lineitem
+    WHERE l_suppkey = 7
+      AND year(l_shipdate) BETWEEN 1995 AND 2000
+      AND (month(l_shipdate) * 100 + day(l_shipdate) >= 1229
+           OR month(l_shipdate) * 100 + day(l_shipdate) <= 104)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def trends_cross_year_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window wrapping the year boundary (Dec 29 → Jan 4) — the OR-of-spans
+    predicate. (The reference's replace(year=) BETWEEN would return empty
+    here; divergence documented in SURVEY.md §7 risk 5.)"""
+    import datetime as dt
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return historical_trends(
+        li, branch_col="l_suppkey", date_col="l_shipdate", count_col="l_quantity",
+        branch=7, window_start=dt.date(1996, 12, 29), window_end=dt.date(1997, 1, 4),
+        years=(1995, 2000),
+    )
