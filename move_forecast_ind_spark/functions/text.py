@@ -1,0 +1,103 @@
+"""Text-analysis column expressions (north star, BASELINE.json): tokenize,
+shingle, language-ID heuristic, quality scoring, fingerprinting.
+
+Everything is built-in column expressions (codegen'd, no UDF) so the same
+logic is expressible in the DuckDB oracle and runs at scan speed — at 100 TB
+these are pure map stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and deterministic — the point is the operator
+# shape (set-membership scoring over tokens), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "und", "die", "ist", "das"),
+    "fr": ("le", "et", "la", "est", "les"),
+    "es": ("el", "y", "la", "es", "los"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish placeholder
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant is
+    ``F.split(text, r"\\s+|(?=[.,!?;:])")`` — kept simple here because the
+    fixture corpus is space-joined words)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string>; empty for short docs
+    (guarded — Spark's ``sequence`` would count *down* for negative spans)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def marker_hits(text: Column, lang: str) -> Column:
+    """How many of ``lang``'s marker words appear in the token set."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    toks = tokens(text)
+    return F.size(F.array_intersect(F.array_distinct(toks), markers))
+
+
+def langid(text: Column) -> Column:
+    """Argmax of marker hits; ties broken by fixed precedence (dict order,
+    first max wins); 'und' (undetermined) when nothing matches."""
+    hits = {lang: marker_hits(text, lang) for lang in LANG_MARKERS}
+    max_hits = F.greatest(*hits.values())
+    best = None
+    for lang, h in hits.items():
+        cond = (max_hits > 0) & (h == max_hits)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^.,!?;:]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/stopword/punctuation quality heuristic in [0, 1]: rewards
+    mid-length docs with some stopword mass (fluent text) and low
+    punctuation density. Deterministic arithmetic only."""
+    n_toks = token_count(text).cast("double")
+    stop_hits = marker_hits(text, "en").cast("double")
+    len_score = F.least(n_toks / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(3.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 10.0, F.lit(1.0))
+    return len_score * 0.5 + stop_score * 0.3 + (1.0 - punct_pen) * 0.2
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical-form document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed). md5 is identical across engines."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM-scale corpora (north star, BASELINE.json).
+
+Four tiers, cheapest first — the standard cascade for a 100 TB training-data
+pipeline:
+
+1. **Exact** — group by canonical fingerprint (md5 of normalized text);
+   one shuffle on the hash, keeper = min(doc_id). Scale: shuffle carries
+   (hash, doc_id) pairs only.
+2. **MinHash + LSH** — shingle → 64 deterministic min-hashes → 16 bands of
+   4 → candidate pairs join on (band, band-signature) → exact-Jaccard
+   verify on candidates only. Scale: candidates ∝ true near-dups, not n².
+3. **SimHash** — 48-bit signed-sum sketch over token hashes; near-dups are
+   signatures within small Hamming distance; banding over 4×12-bit chunks
+   gives the candidate join.
+4. **Exact n-gram Jaccard** — the verifier (and, on modest corpora, a
+   standalone all-pairs pass via an inverted shingle index join).
+
+All hashing is ``xxhash64`` with fixed seed + fixed affine permutation
+constants — fully deterministic across runs and cluster layouts (no
+``rand()``), which is what makes the outputs replayable and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens, word_shingles
+
+MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
+N_PERM = 64
+BAND_SIZE = 4
+N_BANDS = N_PERM // BAND_SIZE  # 16
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via canonical fingerprint: one row per distinct content,
+    keeper = min id, plus the duplicate count."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,  # optional (doc_a, doc_b) restriction
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard similarity for pairs sharing ≥1 shingle
+    (inverted-index join), optionally restricted to candidate pairs.
+
+    Output: doc_a, doc_b (a<b), n_common, n_a, n_b, jaccard — only pairs at
+    or above ``threshold``.
+    """
+    sh = _shingled(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """64 deterministic min-hashes per doc.
+
+    Base hash: pmod(xxhash64(shingle, seed=42), 2^31-1). Permutation i:
+    h_i = (a_i·h + b_i) mod (2^31-1) with fixed odd multipliers — products
+    stay under 2^62, no overflow. One explode + one groupBy(doc) with 64
+    min() aggregates (map-side partials make this one shuffle of 64-long
+    rows per doc).
+    """
+    sh = _shingled(docs, id_col, text_col, k)
+    h = F.pmod(F.xxhash64(F.col("sh"), F.lit(42)), F.lit(MERSENNE31))
+    perms = [
+        F.pmod(h * F.lit(2 * i + 1) + F.lit(i * 7919 + 1), F.lit(MERSENNE31)).alias(
+            f"h{i}"
+        )
+        for i in range(N_PERM)
+    ]
+    hashed = sh.select("doc_id", *perms)
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_PERM)]
+    )
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_PERM)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the signature (16 bands × 4 rows) and self-join on
+    (band_id, band signature) → candidate pairs (doc_a < doc_b, distinct)."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * BAND_SIZE + j + 1)
+                                for j in range(BAND_SIZE)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full MinHash cascade: LSH candidates → exact-Jaccard verify.
+    Only candidate pairs pay the verification join."""
+    sig = minhash_signatures(docs, id_col, text_col, k)
+    cand = minhash_lsh_candidates(sig)
+    return jaccard_pairs(
+        docs, id_col, text_col, k=k, threshold=threshold, candidates=cand
+    )
+
+
+SIMHASH_BITS = 48  # keep the signature positive in a signed 64-bit long
+
+
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """48-bit SimHash over token hashes: per bit, sum ±1 weighted by token
+    multiplicity; bit set where the sum is positive. One explode + one
+    groupBy with 48 conditional sums."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"), F.lit(7))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: 4 chunks of 12 bits — any pair within Hamming 3 of
+    each other per-chunk-error bound shares ≥1 exact chunk (pigeonhole when
+    max_hamming < 4); for larger budgets it is a recall/cost tradeoff.
+    Verification: ``bit_count(xor)`` on the candidate pairs only.
+    """
+    chunks = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 12)
+                        .bitwiseAND(F.lit(0xFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

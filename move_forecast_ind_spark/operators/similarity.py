@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north star, BASELINE.json).
+
+Two tiers:
+
+- **Brute-force top-k cosine** — exact baseline: broadcast the (small) query
+  set, one map-side cross join against the candidate corpus, partitioned
+  window top-k. At 100 TB the corpus side never shuffles; cost is
+  O(|corpus|·|queries|·dim) inside codegen.
+- **LSH-bucketed ANN** — random-hyperplane (SRP) signatures: 16 fixed
+  hyperplanes → 16-bit bucket; candidates share a bucket (multi-probe via
+  band splits of the signature); exact cosine re-rank on candidates only.
+  Hyperplanes come from a fixed-seed numpy RandomState materialized as
+  literal arrays — deterministic across runs, no fitted state to persist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+
+N_PLANES = 16
+PLANE_SEED = 42
+
+
+def brute_force_topk(
+    queries: DataFrame,  # (vec_id, embedding)
+    corpus: DataFrame,  # (vec_id, embedding)
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def srp_signature(df: DataFrame, dim: int) -> DataFrame:
+    """Sign-random-projection signature: bit i = sign(plane_i · v)."""
+    planes = _planes(dim)
+    v = as_double(F.col("embedding"))
+    bits = []
+    for i in range(N_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = F.aggregate(
+            F.zip_with(plane, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.select("vec_id", "embedding", sig.cast("int").alias("srp"))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one ``band_bits``-wide
+    band of the SRP signature (multi-probe: 16/band_bits bands), exact
+    cosine re-rank on candidates. Recall rises with smaller bands at higher
+    candidate cost; 4-bit bands are the default because on weakly-correlated
+    corpora (top cosine ~0.4) wider bands collide too rarely to recall true
+    neighbors."""
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        s = srp_signature(df, dim)
+        return s.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(id_alias + "_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("srp", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bv"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_alias,
+            id_alias + "_v",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bv").alias("bv"),
+        )
+
+    q = banded(queries, "query_id")
+    c = banded(corpus, "neighbor_id")
+    cand = (
+        q.join(c, on=["band", "bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(as_double(F.col("query_id_v")), as_double(F.col("neighbor_id_v"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

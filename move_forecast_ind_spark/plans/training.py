@@ -1,0 +1,136 @@
+"""Per-branch time-series model training and scoring (SURVEY.md §2.9 M1-M3).
+
+The reference trains one Prophet model per branch in a serial Python loop and
+pickles each to disk (reference pretrain_models.py:18-33, hyperparameters:
+daily+yearly seasonality, multiplicative, changepoint_prior_scale=0.01,
+seasonality_prior_scale=15.0), then at serve time loads all pickles into a
+dict and predicts per request, keeping the stochastic ``yhat_upper`` 80 %
+upper bound (main.py:166-185, 230-236).
+
+Spark-first redesign:
+
+- **Training** is ``groupBy(branch).applyInPandas`` — every branch fits in
+  parallel (110 independent tasks; at 100 TB the per-branch series is still
+  tiny because it's one row per day). The model is a *deterministic
+  surrogate* of Prophet's published additive form: linear trend + Fourier
+  seasonality (yearly K terms + weekly K terms), fit by ordinary least
+  squares (numpy lstsq — deterministic given sorted input). Prophet's own
+  ``yhat_upper`` is sampling-based and not a sane parity target
+  (SURVEY.md §2.9 ⚠); the surrogate's upper bound is the closed-form
+  ``yhat + z80 * sigma`` with sigma the training residual stddev.
+- **The model registry is a DataFrame** (branch, coeffs array<double>,
+  sigma, n_obs) — not 110 pickle files. It broadcasts to the scorer; at
+  scale it persists as one parquet file (S4/S6 analog).
+- **Scoring is pure column arithmetic**: rebuild the feature vector with
+  built-in functions and dot it with the coefficient array via
+  ``zip_with``+``aggregate`` — no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPOCH = "1995-01-01"  # t origin for the trend feature
+YEARLY_K = 3
+WEEKLY_K = 2
+Z80 = 1.2815515655446004  # 80% two-sided upper quantile of N(0,1)
+
+_YEAR_DAYS = 365.25
+_WEEK_DAYS = 7.0
+
+MODEL_SCHEMA = "branch long, coeffs array<double>, sigma double, n_obs long"
+
+
+def n_features() -> int:
+    return 2 + 2 * YEARLY_K + 2 * WEEKLY_K  # intercept, trend, fourier pairs
+
+
+def _feature_matrix(t: np.ndarray) -> np.ndarray:
+    cols = [np.ones_like(t, dtype=np.float64), t.astype(np.float64)]
+    for k in range(1, YEARLY_K + 1):
+        w = 2.0 * math.pi * k / _YEAR_DAYS
+        cols.append(np.sin(w * t))
+        cols.append(np.cos(w * t))
+    for k in range(1, WEEKLY_K + 1):
+        w = 2.0 * math.pi * k / _WEEK_DAYS
+        cols.append(np.sin(w * t))
+        cols.append(np.cos(w * t))
+    return np.column_stack(cols)
+
+
+def train_models(
+    daily: DataFrame,  # branch, ds (date), y (double)
+    cutoff: str,  # train on ds <= cutoff (reference pretrain_models.py:20)
+) -> DataFrame:
+    """Fit one model per branch in parallel. Branches with < 2 usable rows
+    are skipped (reference pretrain_models.py guard)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ds")  # deterministic design-matrix order
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["branch", "coeffs", "sigma", "n_obs"]
+            ).astype({"branch": "int64", "sigma": "float64", "n_obs": "int64"})
+        t = (pd.to_datetime(pdf["ds"]) - pd.Timestamp(EPOCH)).dt.days.to_numpy()
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        X = _feature_matrix(t)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        dof = max(len(y) - X.shape[1], 1)
+        sigma = float(np.sqrt(np.sum(resid * resid) / dof))
+        return pd.DataFrame(
+            {
+                "branch": [int(pdf["branch"].iloc[0])],
+                "coeffs": [beta.tolist()],
+                "sigma": [sigma],
+                "n_obs": [len(y)],
+            }
+        )
+
+    filtered = daily.filter(F.col("ds") <= F.lit(cutoff).cast("date"))
+    return filtered.groupBy("branch").applyInPandas(fit, schema=MODEL_SCHEMA)
+
+
+def feature_expr(ds: Column) -> Column:
+    """The scoring-side feature vector as a pure column expression — must
+    mirror :func:`_feature_matrix` exactly."""
+    t = F.datediff(ds, F.lit(EPOCH).cast("date")).cast("double")
+    feats = [F.lit(1.0), t]
+    for k in range(1, YEARLY_K + 1):
+        w = 2.0 * math.pi * k / _YEAR_DAYS
+        feats.append(F.sin(t * w))
+        feats.append(F.cos(t * w))
+    for k in range(1, WEEKLY_K + 1):
+        w = 2.0 * math.pi * k / _WEEK_DAYS
+        feats.append(F.sin(t * w))
+        feats.append(F.cos(t * w))
+    return F.array(*feats)
+
+
+def score(models: DataFrame, frame: DataFrame) -> DataFrame:
+    """Score a (branch, ds) frame: yhat, yhat_upper, and the reference's
+    final Count post-processing (keep upper bound, clip ≥ 0, half-up round,
+    cast long — main.py:234-236 P1+F8+F9)."""
+    from ..functions.rounding import r4, round_count
+
+    dot = F.aggregate(
+        F.zip_with(F.col("coeffs"), feature_expr(F.col("ds")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    upper = dot + F.lit(Z80) * F.col("sigma")
+    return (
+        frame.join(F.broadcast(models), on="branch")
+        .select(
+            "branch",
+            "ds",
+            r4(dot).alias("yhat"),
+            r4(upper).alias("yhat_upper"),
+            round_count(F.greatest(upper, F.lit(0.0))).alias("count"),
+        )
+    )

@@ -1,0 +1,158 @@
+"""Forecasting-path queries (SURVEY.md §2.9, milestone M3).
+
+Two tiers:
+
+- ``ml_linreg_forecast`` — per-branch linear-trend forecast using the
+  built-in ``regr_slope``/``regr_intercept`` aggregates. Fully
+  SQL-expressible, so the DuckDB oracle hash-checks it (the closest an ML
+  path gets to the driver's strong gate).
+- ``ml_train_fourier`` / ``ml_forecast_fourier`` — the real surrogate
+  model (trend + yearly/weekly Fourier, OLS per branch via applyInPandas;
+  plans.training). Deterministic but not ANSI-SQL-expressible → rows-only
+  contract; pytest asserts determinism and shape instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import r4, sql_r4
+from ..plans.training import score, train_models
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+CUTOFF = "1998-12-31"  # train ≤ cutoff (analog of reference pretrain_models.py:20)
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: daily per-branch totals (reference pretrain_models.py:13)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_suppkey").alias("branch"),
+            F.col("l_shipdate").cast("date").alias("ds"),
+        )
+        .agg(F.sum("l_quantity").alias("y"))
+    )
+
+
+def _future_frame(spark: SparkSession, start: str, end: str, n_branches: int = 10):
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("ds")
+    )
+    return (
+        spark.range(1, n_branches + 1)
+        .select(F.col("id").alias("branch"))
+        .crossJoin(days)
+    )
+
+
+@register(
+    "ml_linreg_forecast",
+    bench=True,
+    tags=("ml", "aggregate"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_suppkey AS branch,
+             CAST(l_shipdate AS DATE) AS ds,
+             SUM(l_quantity) AS y
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    fits AS (
+      SELECT branch,
+             regr_slope(y, datediff('day', DATE '1995-01-01', ds))     AS slope,
+             regr_intercept(y, datediff('day', DATE '1995-01-01', ds)) AS icept,
+             CAST(COUNT(*) AS BIGINT)                                  AS n_obs
+      FROM daily
+      WHERE ds <= DATE '{CUTOFF}'
+      GROUP BY 1
+      HAVING COUNT(*) >= 2
+    ),
+    future AS (
+      SELECT unnest(generate_series(DATE '1999-06-01', DATE '1999-06-07',
+                                    INTERVAL 1 DAY)) AS ds
+    )
+    SELECT f.branch,
+           CAST(fu.ds AS DATE) AS ds,
+           {sql_r4("f.icept + f.slope * datediff('day', DATE '1995-01-01', CAST(fu.ds AS DATE))")} AS yhat,
+           CAST(FLOOR(GREATEST(
+                 f.icept + f.slope * datediff('day', DATE '1995-01-01', CAST(fu.ds AS DATE)),
+                 0e0) + 0.5) AS BIGINT) AS count,
+           f.n_obs
+    FROM fits f
+    CROSS JOIN future fu
+    WHERE f.branch BETWEEN 1 AND 10
+    """,
+)
+def ml_linreg_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-branch OLS trend via built-in regression aggregates: the training
+    'loop' is one grouped aggregate (110 groups in parallel), scoring is a
+    cross join with the 7-day future frame — end-to-end relational, so the
+    oracle hash-checks the entire forecast."""
+    tune(spark)
+    from ..functions.rounding import round_count
+
+    daily = _daily_series(spark, sf_dir)
+    t = F.datediff(F.col("ds"), F.lit("1995-01-01").cast("date"))
+    fits = (
+        daily.filter(F.col("ds") <= F.lit(CUTOFF).cast("date"))
+        .groupBy("branch")
+        .agg(
+            F.regr_slope(F.col("y"), t.cast("double")).alias("slope"),
+            F.regr_intercept(F.col("y"), t.cast("double")).alias("icept"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .filter((F.col("n_obs") >= 2) & (F.col("branch") <= 10))
+    )
+    future = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
+    tf = F.datediff(F.col("ds"), F.lit("1995-01-01").cast("date")).cast("double")
+    yhat = F.col("icept") + F.col("slope") * tf
+    return (
+        future.join(F.broadcast(fits), on="branch")
+        .select(
+            "branch",
+            "ds",
+            r4(yhat).alias("yhat"),
+            round_count(F.greatest(yhat, F.lit(0.0))).alias("count"),
+            "n_obs",
+        )
+    )
+
+
+@register("ml_train_fourier", tags=("ml", "applyinpandas"), oracle=None)
+def ml_train_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: parallel per-branch OLS fit of the trend+Fourier surrogate
+    (plans.training.train_models). Registry output: one row per branch with
+    the coefficient vector — the DataFrame analog of 110 pickle files.
+    Deterministic (sorted design matrix, closed-form solver) but not
+    SQL-expressible → rows-only contract."""
+    tune(spark)
+    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    return models.select(
+        "branch",
+        F.round(F.element_at("coeffs", 1), 4).alias("c_intercept"),
+        F.round(F.element_at("coeffs", 2), 6).alias("c_trend"),
+        F.size("coeffs").alias("n_coeffs"),
+        F.round("sigma", 4).alias("sigma"),
+        "n_obs",
+    )
+
+
+@register("ml_forecast_fourier", tags=("ml", "applyinpandas"), oracle=None)
+def ml_forecast_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3: score the surrogate registry over a 7-day future frame with
+    pure column arithmetic (zip_with dot product; plans.training.score) —
+    yhat, the 80% upper bound, and the reference's Count post-processing."""
+    tune(spark)
+    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
+    return score(models, frame)

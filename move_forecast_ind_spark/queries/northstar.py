@@ -1,0 +1,373 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup, similarity
+search, text analysis, multimodal columns — over the documents/embeddings
+fixtures. Everything deterministic; oracle-checked where ANSI-SQL can
+express the same computation, rows-only where it can't (LSH banding,
+mapInPandas plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import r4, r6
+from ..functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    fingerprint,
+    langid,
+    punct_ratio,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..multimodal import decode_media_stub, sample_frames, to_media_table
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import ann_lsh_topk, brute_force_topk
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    bench=True,
+    tags=("northstar", "dedup"),
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical md5 fingerprint — one hash shuffle,
+    keeper = min(doc_id) (operators.dedup.exact_dedup)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    tags=("northstar", "text"),
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical fingerprint column (functions.text.fingerprint)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    tags=("northstar", "dedup", "join"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           na.n AS n_a, nb.n AS n_b,
+           ROUND(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs via inverted shingle
+    index join (operators.dedup.jaccard_pairs). The all-pairs exact pass —
+    the MinHash cascade's verifier run standalone."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("northstar", "dedup", "lsh"), oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidates → exact-Jaccard verify — the scale
+    path (candidates ∝ near-dups, not n²). Deterministic fixed-seed hashing,
+    but banding isn't ANSI-SQL-expressible → rows-only contract; recall vs
+    the exact pass is asserted in tests/test_northstar.py."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("dedup_simhash", tags=("northstar", "dedup", "simhash"), oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signatures + chunk-banded Hamming-≤6 near-pairs."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs, "doc_id", "text")
+    return simhash_near_pairs(sig, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    bench=True,
+    tags=("northstar", "text"),
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           lang,
+           CAST(len(words) AS BIGINT)            AS n_tokens,
+           CAST(length(text) AS BIGINT)          AS n_chars,
+           FLOOR((CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                  / GREATEST(len(words), 1)) * 1e4 + 0.5) / 1e4 AS avg_token_len,
+           FLOOR((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                  / GREATEST(CAST(length(text) AS DOUBLE), 1e0)) * 1e4 + 0.5) / 1e4
+                                                 AS punct_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation statistics — pure map stage."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        r4(avg_token_len(F.col("text"))).alias("avg_token_len"),
+        r4(punct_ratio(F.col("text"))).alias("punct_ratio"),
+    )
+
+
+def _sql_marker_hits(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')), "
+        f"[{lst}]))"
+    )
+
+
+@register(
+    "text_langid",
+    tags=("northstar", "text"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"{_sql_marker_hits(lang)} AS h_{lang}" for lang in LANG_MARKERS)}
+      FROM documents
+    )
+    SELECT doc_id,
+           labeled_lang,
+           CASE
+             WHEN GREATEST({", ".join(f"h_{lang}" for lang in LANG_MARKERS)}) = 0 THEN 'und'
+             {" ".join(
+               f"WHEN h_{lang} = GREATEST({', '.join(f'h_{o}' for o in LANG_MARKERS)}) THEN '{lang}'"
+               for lang in LANG_MARKERS)}
+           END AS guessed_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic (functions.text.langid) next to
+    the generator's label."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        langid(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@register("text_quality", tags=("northstar", "text"), oracle=None)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/punct heuristic) — the
+    filter stage of a training-data pipeline. rows-only: the score is a
+    documented engine-side heuristic, asserted in unit tests."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        r4(quality_score(F.col("text"))).alias("quality"),
+    )
+
+
+@register(
+    "text_token_topk",
+    tags=("northstar", "text", "aggregate"),
+    oracle=r"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY 1
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram top-20 (explode → count → ordered limit)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "sim_cosine_topk",
+    bench=True,
+    tags=("northstar", "similarity"),
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+               AS cos
+      FROM q, c
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-5 cosine neighbors for queries vec_id<5.
+    Hash-checkable because the Spark zip_with/aggregate fold is bit-identical
+    to DuckDB's list_inner_product (verified; both left-fold IEEE doubles)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register("sim_ann_lsh", tags=("northstar", "similarity", "lsh"), oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH buckets + exact
+    re-rank of candidates (operators.similarity.ann_lsh_topk). rows-only;
+    recall vs brute force asserted in tests/test_northstar.py."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb.filter(F.col("vec_id") < 5), emb, dim=EMB_DIM, k=5)
+
+
+@register(
+    "emb_norm_stats",
+    tags=("northstar", "similarity", "aggregate"),
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           FLOOR(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                 * 1e6 + 0.5) / 1e6 AS avg_norm,
+           FLOOR(MIN(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                 * 1e6 + 0.5) / 1e6 AS min_norm,
+           FLOOR(MAX(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                 * 1e6 + 0.5) / 1e6 AS max_norm
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm statistics per label (vector hygiene check)."""
+    tune(spark)
+    from ..functions.vectors import as_double, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(as_double(F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.avg(nrm)).alias("avg_norm"),
+        r6(F.min(nrm)).alias("min_norm"),
+        r6(F.max(nrm)).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+@register(
+    "mm_binary_metadata",
+    tags=("northstar", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (multimodal.to_media_table):
+    byte length + content digest without ever decoding."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text")
+    return media.select("doc_id", "n_bytes", "digest")
+
+
+@register("mm_decode_stub", tags=("northstar", "multimodal"), oracle=None)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' over the binary payload column
+    (deterministic stub — see multimodal.decode_media_stub; real decoder is
+    NotImplementedError'd). rows-only: exercises schema/batching/plumbing."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_stub(to_media_table(docs, "doc_id", "text"))
+
+
+@register("mm_frame_sample", tags=("northstar", "multimodal"), oracle=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode over byte offsets (video pipeline shape)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return sample_frames(to_media_table(docs, "doc_id", "text"))

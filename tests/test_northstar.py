@@ -1,0 +1,105 @@
+"""North-star operator tests: LSH recall against exact baselines, multimodal
+plumbing, quality-score bounds (SURVEY.md M4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates + verify must recover (almost) all exact Jaccard≥0.5
+    pairs. With 16 bands of 4, P(catch | j=0.5) ≈ 1-(1-0.5^4)^16 ≈ 0.65 per
+    band-structure, but near-dup fixture pairs sit well above 0.5 where
+    recall ≈ 1; require ≥80% and no false positives (verify step)."""
+    from move_forecast_ind_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = _pairs(jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5))
+    lsh = _pairs(minhash_dedup_pairs(docs, "doc_id", "text", k=3, threshold=0.5))
+    assert lsh <= exact, "verify step must kill false positives"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_pairs_are_near(spark):
+    from move_forecast_ind_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sig = simhash_signatures(docs, "doc_id", "text")
+    rows = simhash_near_pairs(sig, max_hamming=6).collect()
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    from move_forecast_ind_spark.operators.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(q, emb, dim=64, k=5).collect()}
+    # ANN trades recall for candidate count; require a sane floor.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall {recall:.2f}"
+
+
+def test_multimodal_stub_plumbing(spark):
+    from move_forecast_ind_spark.multimodal import (
+        decode_media_stub,
+        to_media_table,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    media = to_media_table(docs, "doc_id", "text")
+    decoded = decode_media_stub(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    assert all(r.width >= 16 and r.height >= 16 for r in rows)
+    assert all(r["format"] in ("png", "jpeg") for r in rows)
+    # deterministic across runs
+    again = {(r.doc_id, r.width, r.height) for r in decode_media_stub(media).collect()}
+    assert again == {(r.doc_id, r.width, r.height) for r in rows}
+
+
+def test_metadata_scan_prunes_binary_column(spark):
+    """Metadata-only queries must not read the payload column: the parquet
+    ReadSchema after writing the media table should exclude `payload`."""
+    import tempfile
+
+    from move_forecast_ind_spark.multimodal import to_media_table
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        to_media_table(docs, "doc_id", "text").write.mode("overwrite").parquet(d)
+        meta = spark.read.parquet(d).select("doc_id", "n_bytes", "digest")
+        plan = meta._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan, "binary column must be pruned from the scan"
+
+
+def test_quality_score_bounds(spark):
+    from move_forecast_ind_spark.functions.text import quality_score
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
