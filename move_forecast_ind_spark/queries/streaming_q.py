@@ -1,0 +1,174 @@
+"""Batch twins of the streaming pipelines (SURVEY.md §2.10, M5).
+
+Each query computes, with batch operators, exactly what the corresponding
+streaming pipeline in streaming/events.py emits once the stream drains —
+the driver's oracle hash-checks the batch side; tests/test_streaming.py
+asserts stream ≡ batch on the same data.
+
+Bucketing is epoch arithmetic (floor(us / width)) rather than Spark's
+``window()`` struct in the oracle-facing output so both engines agree on
+representation: bucket starts are epoch seconds (BIGINT), tz-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import r2, sql_r2
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+TEN_MIN_US = 600_000_000
+FIVE_MIN_US = 300_000_000
+
+
+@register(
+    "st_tumbling_counts",
+    bench=True,
+    tags=("streaming", "window", "aggregate"),
+    oracle=f"""
+    SELECT (epoch_us(ts) // 600000000) * 600 AS bucket_s,
+           event_type,
+           COUNT(*) AS n,
+           {sql_r2('SUM(value)')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling counts per type — batch twin of
+    streaming.events.tumbling_counts (same windows via window(); bucket
+    emitted as epoch seconds)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias("bucket_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st_sliding_counts",
+    tags=("streaming", "window", "aggregate"),
+    oracle="""
+    WITH shifted AS (
+      SELECT event_type,
+             unnest([ (epoch_us(ts) // 300000000) * 300000000 - 300000000,
+                      (epoch_us(ts) // 300000000) * 300000000 ]) AS w_start_us,
+             epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT w_start_us // 1000000 AS bucket_s,
+           event_type,
+           COUNT(*) AS n
+    FROM shifted
+    WHERE us >= w_start_us AND us < w_start_us + 600000000
+    GROUP BY 1, 2
+    """,
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min/5-min sliding counts — every event in exactly two windows
+    (Spark's window(ts, 10m, 5m); the oracle reconstructs the same windows
+    by epoch arithmetic)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias("bucket_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "st_session_stats",
+    bench=True,
+    tags=("streaming", "session", "window"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) // 1000000                 AS session_start_s,
+           COUNT(*)                           AS n_events,
+           (MAX(us) - MIN(us)) // 1000000     AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def st_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min) per user — batch session_window; the
+    oracle derives identical sessions with lag + cumulative new-session
+    flags (new session when the gap is ≥ the threshold, matching
+    session_window's half-open [first, last+gap) semantics)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("first_ts") / 1_000_000).cast("long").alias("session_start_s"),
+            "n_events",
+            ((F.unix_micros("last_ts") - F.unix_micros("first_ts")) / 1_000_000)
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )
+
+
+@register(
+    "st_dedup_counts",
+    tags=("streaming", "dedup", "aggregate"),
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT (user_id, event_type, epoch_us(ts) // 60000000)) AS BIGINT)
+             AS n_unique,
+           COUNT(*) AS n_raw
+    FROM events
+    GROUP BY 1
+    """,
+)
+def st_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on (user, type, minute) — batch twin of
+    dropDuplicatesWithinWatermark: unique key count vs raw count per type."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.withColumn(
+        "minute_bucket", (F.unix_micros("ts") / 60_000_000).cast("long")
+    )
+    return keyed.groupBy("event_type").agg(
+        F.countDistinct("user_id", "event_type", "minute_bucket").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )

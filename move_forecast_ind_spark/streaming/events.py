@@ -1,0 +1,154 @@
+"""Structured Streaming pipelines over the events table (SURVEY.md §2.10,
+milestone M5 — additive scope; the reference is wholly batch/request-response).
+
+Each pipeline has a *batch twin* in queries/streaming_q.py computing the same
+result with the same operators on the same data — the batch-equivalence
+contract tests/test_streaming.py asserts (stream results ⊆-equal batch
+results once the stream is fully drained).
+
+Scale posture: all state is keyed (event_type / user_id), watermarks bound
+state retention, and every aggregate is mergeable — the same topology runs
+against Kafka at cluster scale by swapping the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # physically TIMESTAMP(NANOS) → read as long with nanosAsLong
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the fixture is a
+    single parquet file. Stage a stable symlink directory under /tmp (the
+    fixture tree is read-only)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/mfis_event_stream_{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch locally; a directory of arriving files — or Kafka — at
+    scale). Normalizes the nanos-long ts exactly like sources.tables."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_staged_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling windows per event_type with a 10-minute watermark:
+    late data beyond the watermark is dropped; state per (type, window) is
+    evicted once the watermark passes the window end."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization per user via session_window: sessions merge
+    while successive events are < gap apart; state is evicted at watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("first_ts") / 1_000_000).cast("long").alias("session_start_s"),
+            "n_events",
+            ((F.unix_micros("last_ts") - F.unix_micros("first_ts")) / 1_000_000)
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, minute-bucket): duplicates
+    arriving within the watermark horizon are dropped with bounded state
+    (dropDuplicatesWithinWatermark)."""
+    keyed = events.withColumn(
+        "minute_bucket",
+        (F.unix_micros("ts") / 60_000_000).cast("long"),
+    )
+    return (
+        keyed.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .select("event_id", "user_id", "event_type", "minute_bucket")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a bounded file stream synchronously into a memory sink and
+    return the result table (local test harness; SURVEY.md §2.10)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        if stream_df.isStreaming and _has_aggregation(stream_df)
+        else stream_df.writeStream.outputMode("append")
+    )
+    query = q.format("memory").queryName(name).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,127 @@
+"""Batch-equivalence tests for the Structured Streaming pipelines: a bounded
+file stream, fully drained, must produce exactly the batch twin's result
+(SURVEY.md §2.10/M5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import SF_SMALL
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def event_stream_factory(spark):
+    from move_forecast_ind_spark.streaming.events import read_event_stream
+
+    return lambda: read_event_stream(spark, SF_SMALL)
+
+
+def _drain(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_equivalence(spark, event_stream_factory):
+    from move_forecast_ind_spark.queries.streaming_q import st_tumbling_counts
+    from move_forecast_ind_spark.streaming.events import tumbling_counts
+
+    out = _drain(tumbling_counts(event_stream_factory()), "t_tumbling", "complete")
+    batch = st_tumbling_counts(spark, SF_SMALL)
+    cols = ["bucket_s", "event_type", "n"]
+    assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_sliding_equivalence(spark, event_stream_factory):
+    from move_forecast_ind_spark.queries.streaming_q import st_sliding_counts
+    from move_forecast_ind_spark.streaming.events import sliding_counts
+
+    out = _drain(sliding_counts(event_stream_factory()), "t_sliding", "complete")
+    batch = st_sliding_counts(spark, SF_SMALL)
+    cols = ["bucket_s", "event_type", "n"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_equivalence(spark, event_stream_factory):
+    from move_forecast_ind_spark.queries.streaming_q import st_session_stats
+    from move_forecast_ind_spark.streaming.events import session_stats
+
+    out = _drain(session_stats(event_stream_factory()), "t_session", "complete")
+    batch = st_session_stats(spark, SF_SMALL)
+    cols = ["user_id", "session_start_s", "n_events", "duration_s"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_dedup_within_watermark(spark, event_stream_factory):
+    from move_forecast_ind_spark.streaming.events import dedup_within_watermark
+
+    out = _drain(
+        dedup_within_watermark(event_stream_factory()), "t_dedup", "append"
+    )
+    # one surviving event per (user, type, minute) key
+    keys = [tuple(r) for r in out.select("user_id", "event_type", "minute_bucket").collect()]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
+
+
+def test_stateful_running_counts(spark, event_stream_factory):
+    """Custom stateful operator via applyInPandasWithState: per-user event
+    counter emitting totals on timeout — state survives across micro-batches
+    and matches the batch groupBy count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from move_forecast_ind_spark.sources import load_table
+
+    stream = event_stream_factory().select("user_id", "event_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain(counted, "t_stateful", "update")
+    # last update per user == batch count
+    final = {
+        r.user_id: r.n_events
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
