@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+The headline set is every registry entry flagged ``bench=True`` — the
+flagship aggregate, the reference-pipeline plans (pct ETL, forecast tail,
+trends), the join families, ML forecast, dedup cascade, similarity search,
+and the streaming batch twins. Each timing includes plan + execution + a
+count() action (results are not collected to the driver — the driver-side
+cost would dominate at row-heavy outputs and measure Python, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from move_forecast_ind_spark.queries import bench_queries
+    from move_forecast_ind_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = bench_queries()
+
+    # Warm the JVM/codegen path once on the cheapest query so the first
+    # measured entry doesn't pay session startup.
+    first = next(iter(specs.values()))
+    first.fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall-clock (sum of per-query sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

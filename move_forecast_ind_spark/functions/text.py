@@ -34,10 +34,15 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array<string>; empty for short docs
-    (guarded — Spark's ``sequence`` would count *down* for negative spans)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column;
+    empty for short docs (guarded — Spark's ``sequence`` would count *down*
+    for negative spans).
+
+    Pass a projected column, not ``tokens(text)`` inline: expressions inside
+    higher-order-function lambdas are not common-subexpression-eliminated,
+    so an inline split would re-tokenize once per shingle (observed ~40×
+    slowdown on shingling)."""
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -46,6 +51,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(shingled)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles straight from text — convenience form; for
+    hot paths project ``tokens(text)`` first and use
+    :func:`shingles_from_tokens` (see its CSE note)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def marker_hits(text: Column, lang: str) -> Column:

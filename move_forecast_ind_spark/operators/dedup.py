@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import fingerprint, shingles_from_tokens, tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
 N_PERM = 64
@@ -49,10 +49,17 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    """(doc_id, shingle) exploded, distinct per doc.
+
+    Repartition by doc before the explode: shingling multiplies rows ~100×,
+    and corpora often arrive in few fat files — without the spread, one task
+    owns the whole expansion. Tokens are materialized in their own
+    projection first (see shingles_from_tokens' CSE note)."""
+    toked = docs.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("sh")
     )
 
 
@@ -113,14 +120,19 @@ def minhash_signatures(
     rows per doc).
     """
     sh = _shingled(docs, id_col, text_col, k)
-    h = F.pmod(F.xxhash64(F.col("sh"), F.lit(42)), F.lit(MERSENNE31))
+    # Materialize the base hash once; the 64 permutations are affine
+    # transforms of it (don't rely on CSE to avoid 64 xxhash64 evals).
+    base = sh.select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("sh"), F.lit(42)), F.lit(MERSENNE31)).alias("h"),
+    )
     perms = [
-        F.pmod(h * F.lit(2 * i + 1) + F.lit(i * 7919 + 1), F.lit(MERSENNE31)).alias(
-            f"h{i}"
-        )
+        F.pmod(
+            F.col("h") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1), F.lit(MERSENNE31)
+        ).alias(f"h{i}")
         for i in range(N_PERM)
     ]
-    hashed = sh.select("doc_id", *perms)
+    hashed = base.select("doc_id", *perms)
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_PERM)]
     )
@@ -175,11 +187,43 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full MinHash cascade: LSH candidates → exact-Jaccard verify.
-    Only candidate pairs pay the verification join."""
-    sig = minhash_signatures(docs, id_col, text_col, k)
+
+    Verification joins the candidate PAIRS against per-doc shingle *sets*
+    and intersects arrays — cost ∝ |candidates|·|shingles|, never the
+    all-pairs inverted-index join (that pass exists standalone as
+    :func:`jaccard_pairs`)."""
+    # Signatures and shingle-sets are tiny (one row per doc) but their
+    # lineage re-shingles the corpus, and both feed self-joins. Cache AND
+    # eagerly materialize: a cold cache inside a self-join still computes
+    # the subtree once per side within the same action.
+    sig = minhash_signatures(docs, id_col, text_col, k).cache()
+    sig.count()
     cand = minhash_lsh_candidates(sig)
-    return jaccard_pairs(
-        docs, id_col, text_col, k=k, threshold=threshold, candidates=cand
+    sets = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .cache()
+    )
+    sets.count()
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    joined = cand.join(a, on="doc_a").join(b, on="doc_b")
+    n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    n_a = F.size("shs_a").cast("long")
+    n_b = F.size("shs_b").cast("long")
+    jac = n_common / (n_a + n_b - n_common)
+    return joined.filter(jac >= threshold).select(
+        "doc_a",
+        "doc_b",
+        n_common.alias("n_common"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 
@@ -190,7 +234,7 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     """48-bit SimHash over token hashes: per bit, sum ±1 weighted by token
     multiplicity; bit set where the sum is positive. One explode + one
     groupBy with 48 conditional sums."""
-    tok = docs.select(
+    tok = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )

@@ -174,6 +174,11 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity",
     )
+    # The frame below only touches branches 1-10 in June; push that filter
+    # into the percentage build by hand — Catalyst can't infer it through
+    # the aggregates, and it shrinks the broadcast ~100× (the month-grain
+    # average over month=6 is unchanged by dropping other months first).
+    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6))
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
