@@ -16,6 +16,7 @@ for _mod in (
     "northstar",
     "streaming_q",
     "ml",
+    "extras",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

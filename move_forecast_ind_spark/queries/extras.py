@@ -1,0 +1,439 @@
+"""Extended operator coverage: subqueries, argmin/argmax aggregates, maps,
+lateral views, additional window ranks, null-safe joins, date truncation,
+bitwise ops, and more TPC-H-shaped classics — rounding out SURVEY.md §2's
+"not present in reference, exposed for the harness" lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import r2, r4, sql_r2, sql_r4, sql_r6
+from ..session import tune
+from ..sources import load_table, register_views
+from .registry import register
+
+
+# --- TPC-H classics -------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    bench=True,
+    tags=("join", "aggregate", "topk", "classic"),
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_r2('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → aggregate →
+    top-k. customer broadcasts; orders⋈lineitem co-shuffles on orderkey."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue_change",
+    tags=("scan", "aggregate", "classic"),
+    oracle=f"""
+    SELECT {sql_r2('SUM(l_extendedprice * l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet reader (PushedFilters)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- subqueries -----------------------------------------------------------
+@register(
+    "sub_scalar_subquery",
+    tags=("subquery", "filter"),
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {sql_r4('AVG(o_totalprice)')} * 1.5e0 FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def sub_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (threshold = 1.5× global mean) via the SQL
+    API — Catalyst evaluates the subquery once and folds it into the scan
+    filter."""
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT {sql_r4('AVG(o_totalprice)')} * 1.5e0 FROM orders)
+        ORDER BY o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_correlated_exists",
+    tags=("subquery", "semi"),
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def sub_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites to a left-semi join (same plan
+    as j5_semi_join; exposed through the SQL surface)."""
+    tune(spark)
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "sub_in_subquery",
+    tags=("subquery", "semi"),
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+                        AND l_quantity >= 49)
+    ORDER BY p_partkey
+    """,
+)
+def sub_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — also a semi join after rewrite."""
+    tune(spark)
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+                            AND l_quantity >= 49)
+        ORDER BY p_partkey
+        """
+    )
+
+
+# --- argmin/argmax, first/last -------------------------------------------
+@register(
+    "a_min_by_max_by",
+    tags=("aggregate", "argmax"),
+    oracle="""
+    SELECT o_custkey,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(COUNT(*) AS BIGINT)          AS n
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    GROUP BY 1
+    """,
+)
+def a_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) — single-pass, no window needed.
+    o_totalprice values are distinct in practice; ties would make argmax
+    nondeterministic in both engines alike."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- maps / arrays / lateral ----------------------------------------------
+@register(
+    "f_map_functions",
+    tags=("scalar", "map"),
+    oracle="""
+    SELECT p_partkey,
+           CAST(m['size'][1] AS INT)  AS size_val,
+           CAST(m['price'][1] AS INT) AS price_int,
+           len(map_keys(m))           AS n_keys
+    FROM (
+      SELECT p_partkey,
+             MAP {'size': p_size, 'price': CAST(p_retailprice AS INT)} AS m
+      FROM part
+      WHERE p_partkey % 20 = 0
+    )
+    """,
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key access + map_keys (SURVEY §2.8 harness list)."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size"),
+        F.lit("price"), F.col("p_retailprice").cast("int"),
+    )
+    return part.select(
+        "p_partkey",
+        m.getItem("size").alias("size_val"),
+        m.getItem("price").alias("price_int"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "f_posexplode_lateral",
+    tags=("scalar", "lateral", "array"),
+    oracle="""
+    SELECT doc_id, t.i - 1 AS pos, t.tok
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+          FROM documents WHERE doc_id < 10),
+         LATERAL (SELECT unnest(generate_series(1, len(words))) AS i,
+                         unnest(words) AS tok) t
+    WHERE t.tok = words[t.i]
+    """,
+)
+def f_posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral view with ordinality)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    from ..functions.text import tokens
+
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@register(
+    "f_array_functions",
+    tags=("scalar", "array"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           len(words)                          AS n,
+           words[1]                            AS first_tok,
+           words[-1]                           AS last_tok,
+           array_to_string(list_sort(list_distinct(words[1:5])), '|') AS sorted_head,
+           CASE WHEN list_contains(words, 'data') THEN 1 ELSE 0 END   AS has_data
+    FROM t
+    """,
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array toolkit: size, element_at (±), slice+sort+distinct, contains."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    from ..functions.text import tokens
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    return toked.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n"),
+        F.element_at("words", 1).alias("first_tok"),
+        F.element_at("words", -1).alias("last_tok"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice("words", 1, 5))), "|"
+        ).alias("sorted_head"),
+        F.when(F.array_contains("words", "data"), 1).otherwise(0).alias("has_data"),
+    )
+
+
+# --- more window ranks -----------------------------------------------------
+@register(
+    "w_percent_rank_cume",
+    tags=("window", "rank"),
+    oracle=f"""
+    SELECT s_suppkey,
+           s_nationkey,
+           {sql_r6('PERCENT_RANK() OVER w')} AS pr,
+           {sql_r6('CUME_DIST() OVER w')}    AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist within nation."""
+    tune(spark)
+    from ..functions.rounding import r6
+
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        r6(F.percent_rank().over(w)).alias("pr"),
+        r6(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+# --- null-safe equality ----------------------------------------------------
+@register(
+    "j_null_safe_join",
+    tags=("join", "null"),
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    b AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT a.o_orderkey, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.o_orderkey
+    """,
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<=> (null-safe equality) join: NULL keys match NULL keys — standard
+    equality would silently drop them."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    k = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = orders.select("o_orderkey", k.alias("k")).alias("a")
+    b = orders.select(k.alias("k")).distinct().alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(F.col("a.o_orderkey").alias("o_orderkey"), F.col("a.k").alias("k"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --- date_trunc / bitwise --------------------------------------------------
+@register(
+    "f_date_trunc",
+    tags=("scalar", "date"),
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           {sql_r2('SUM(o_totalprice)')}                    AS sum_price,
+           COUNT(*)                                         AS n
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def f_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month/quarter rollup — calendar bucketing without a join
+    to a date dimension."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        )
+        .agg(
+            r2(F.sum("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
+    "f_bitwise_ops",
+    tags=("scalar", "bitwise"),
+    oracle="""
+    SELECT e.event_id,
+           e.event_id & 255                   AS low_byte,
+           e.event_id | 4096                  AS with_flag,
+           xor(e.event_id, e.user_id)         AS xored,
+           bit_count(e.event_id)              AS popcount
+    FROM events e
+    WHERE e.event_id % 100 = 0
+    """,
+)
+def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/popcount (the SimHash toolkit, exposed directly)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.bit_count("event_id").cast("int").alias("popcount"),
+    )
+
+
+# --- sampling (rows-only: engine RNGs differ by design) --------------------
+@register("s_deterministic_sample", tags=("scan", "sample"), oracle=None)
+def s_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — deterministic per (seed, partitioning), but
+    the sampling sequence is Spark-specific → rows-only contract (re-run
+    determinism asserted by the harness)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
