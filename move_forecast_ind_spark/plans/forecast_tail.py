@@ -81,8 +81,13 @@ def forecast_tail(
         f.join(day_pct, on=["branch", "move_type", "month", "day"], how="left")
         .join(mon_pct, on=["branch", "move_type", "month"], how="left")
     )
-    pct_used = F.coalesce(
-        F.col("avg_percentage"), F.col("month_avg_percentage"), F.lit(1.0)
+    # NULL move_type = the reference's silent demotion of an unknown type
+    # (reference main.py:204-209): no percentage split, the full branch
+    # forecast applies (100%). Otherwise: day → month → 1.0 fallback chain.
+    pct_used = F.when(F.col("move_type").isNull(), F.lit(100.0)).otherwise(
+        F.coalesce(
+            F.col("avg_percentage"), F.col("month_avg_percentage"), F.lit(1.0)
+        )
     )
     diff_pp = r4(
         F.when(

@@ -364,3 +364,81 @@ def trends_cross_year_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch=7, window_start=dt.date(1996, 12, 29), window_end=dt.date(1997, 1, 4),
         years=(1995, 2000),
     )
+
+
+_TAIL_DEMOTED_SQL = f"""
+    WITH {_PCT_CTES},
+    {_MONTH_CTE},
+    frame AS (
+      SELECT b.branch,
+             CASE WHEN b.branch <= 5 THEN 'R' ELSE NULL END AS move_type,
+             CAST(d.d AS DATE)              AS ds,
+             CAST(50 + ((b.branch * 7 + day(d.d)) % 50) AS DOUBLE) AS branch_forecast,
+             CAST(month(d.d) AS INT)        AS month,
+             CAST(day(d.d) AS INT)          AS day
+      FROM (SELECT unnest(range(1, 11)) AS branch) b,
+           (SELECT unnest(generate_series(DATE '1996-06-01', DATE '1996-06-07',
+                                          INTERVAL 1 DAY)) AS d) d
+    ),
+    joined AS (
+      SELECT f.branch, f.move_type, f.ds, f.branch_forecast, f.month, f.day,
+             p.avg_percentage,
+             m.month_avg_percentage,
+             CASE WHEN f.move_type IS NULL THEN 1e2
+                  ELSE COALESCE(p.avg_percentage, m.month_avg_percentage, 1e0)
+             END AS pct_used
+      FROM frame f
+      LEFT JOIN pct p
+        ON f.branch = p.branch AND f.move_type = p.move_type
+       AND f.month = p.month AND f.day = p.day
+      LEFT JOIN month_pct m
+        ON f.branch = m.branch AND f.move_type = m.move_type AND f.month = m.month
+    )
+    SELECT branch, move_type, ds,
+           FLOOR(pct_used * 1e4 + 0.5) / 1e4 AS pct_used,
+           CAST(FLOOR(GREATEST(pct_used / 1e2 * branch_forecast, 0e0) + 0.5) AS BIGINT)
+             AS predicted_moves
+    FROM joined
+"""
+
+
+@register(
+    "forecast_tail_demoted_move_type",
+    tags=("pipeline", "join", "null"),
+    oracle=_TAIL_DEMOTED_SQL,
+)
+def forecast_tail_demoted_move_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's silent move_type demotion (an unknown type becomes
+    None => 100% of the branch forecast, reference main.py:204-209) -
+    branches 6-10 get NULL move_type and must come back with pct_used=100."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = compute_percentages(
+        li, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity",
+    ).filter(F.col("branch").between(1, 10) & (F.col("month") == 6))
+    mon = month_grain_percentages(pct)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-06-01").cast("date"),
+                F.lit("1996-06-07").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("ds")
+    )
+    frame = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("branch"))
+        .crossJoin(days)
+        .select(
+            "branch",
+            F.when(F.col("branch") <= 5, F.lit("R")).otherwise(F.lit(None)).alias("move_type"),
+            "ds",
+            (50 + (F.col("branch") * 7 + F.dayofmonth("ds")) % 50)
+            .cast("double")
+            .alias("branch_forecast"),
+        )
+    )
+    tail = forecast_tail(frame, pct, mon)
+    return tail.select("branch", "move_type", "ds", "pct_used", "predicted_moves")
