@@ -1,0 +1,162 @@
+"""The reference's two service endpoints, end-to-end (SURVEY.md §3.1/§3.2).
+
+`forecast_request` is the full POST /forecast/ path (reference
+main.py:187-338) and `trends_request` the full POST /historical_trends/
+(main.py:340-403) — each as ONE Spark job over the lake instead of ~30
+(resp. 6) Postgres round-trips, with the clock injected (no hidden
+``datetime.now()``, SURVEY §5.4) and every validation rule preserved:
+
+1. strict date parse (400 on bad format)            main.py:190-193
+2. horizon cap                                      main.py:196-197
+3. branch must exist in the model registry          main.py:200-201
+4. unknown move_type silently demoted to None       main.py:204-209
+5. 7-day window clamp into [today, max]             main.py:215-228
+6. per-day forecast → pct fallback chain → comment  main.py:230-288
+7. period summary + average daily moves             main.py:290-332
+
+Output is the nested response DataFrame; ``.toJSON()`` on it yields the
+API-boundary JSON (S7).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import forecast_window
+from .forecast_tail import forecast_summary, forecast_tail
+from .percentages import month_grain_percentages
+from .training import score
+
+
+class RequestError(ValueError):
+    """Invalid request (the reference's HTTP 400 path, main.py:425-427)."""
+
+
+def _parse_date(s: str) -> dt.date:
+    try:
+        return dt.datetime.strptime(s, "%Y-%m-%d").date()
+    except ValueError as e:
+        raise RequestError(f"date must be YYYY-MM-DD, got {s!r}") from e
+
+
+def forecast_request(
+    spark: SparkSession,
+    models: DataFrame,  # plans.training registry (branch, coeffs, sigma, n_obs)
+    pct: DataFrame,  # plans.percentages.compute_percentages output
+    date: str,
+    branch: int,
+    move_type: str | None,
+    today: dt.date,
+    max_date: dt.date,
+) -> tuple[DataFrame, DataFrame]:
+    """Full forecast request → (daily rows, summary rows).
+
+    Validation mirrors the reference exactly; the compute is: clamp window →
+    score the branch's model over the date spine → tail (two broadcast
+    joins + fallback chain + banding + phrases) → summary aggregate.
+    """
+    input_date = _parse_date(date)
+    if input_date > max_date:
+        raise RequestError(f"forecasts are capped at {max_date}")  # main.py:196-197
+
+    # branch ∈ registry (main.py:200-201) — driver-side probe on the tiny
+    # registry table, same semantics as the reference's model_cache check.
+    if models.filter(F.col("branch") == branch).isEmpty():
+        raise RequestError(f"unknown branch {branch!r}")
+
+    # unknown move_type → None (100 %), the silent demotion (main.py:204-209)
+    if move_type is not None:
+        known = (
+            pct.select("move_type")
+            .filter(F.col("move_type") == move_type)
+            .limit(1)
+            .isEmpty()
+        )
+        if known:
+            move_type = None
+
+    start, end = forecast_window(input_date, today, max_date)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(str(start)).cast("date"),
+                F.lit(str(end)).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("ds")
+    ).withColumn("branch", F.lit(branch).cast("long"))
+
+    scored = score(models.filter(F.col("branch") == branch), spine)
+    frame = scored.select(
+        "branch",
+        F.lit(move_type).cast("string").alias("move_type"),
+        "ds",
+        F.col("yhat_upper").alias("branch_forecast"),  # upper bound, main.py:235
+    )
+    mon = month_grain_percentages(pct)
+    daily = forecast_tail(frame, pct, mon)
+    return daily, forecast_summary(daily)
+
+
+def forecast_response(daily: DataFrame, summary: DataFrame) -> DataFrame:
+    """S7: one nested row — the API response shape (main.py:321-332)."""
+    days = daily.select(
+        "branch",
+        "move_type",
+        F.struct(
+            F.date_format("ds", "yyyy-MM-dd").alias("date"),
+            F.col("predicted_moves").alias("count"),
+            F.col("comment"),
+        ).alias("day"),
+    ).groupBy("branch", "move_type").agg(
+        F.array_sort(F.collect_list("day")).alias("daily_forecast")
+    )
+    return (
+        summary.join(days, on=["branch", "move_type"])
+        .select(
+            "branch",
+            "move_type",
+            "daily_forecast",
+            F.struct(
+                "total_predicted_moves", "average_daily_moves", "avg_pct_used", "n_days"
+            ).alias("summary"),
+        )
+    )
+
+
+def trends_request(
+    spark: SparkSession,
+    facts: DataFrame,
+    branch_col: str,
+    date_col: str,
+    count_col: str,
+    date: str,
+    branch,
+    move_type,
+    type_col: str | None,
+    today: dt.date,
+    max_date: dt.date,
+    years: tuple[int, int],
+) -> DataFrame:
+    """Full historical-trends request: same clamp, then the one-pass
+    per-year aggregate + nested shaping (vs. 6 sequential round-trips)."""
+    from .trends import historical_trends, trends_nested
+
+    input_date = _parse_date(date)
+    start, end = forecast_window(input_date, today, max_date)
+    trends = historical_trends(
+        facts,
+        branch_col=branch_col,
+        date_col=date_col,
+        count_col=count_col,
+        branch=branch,
+        window_start=start,
+        window_end=end,
+        years=years,
+        type_col=type_col if move_type is not None else None,
+        move_type=move_type,
+    )
+    return trends_nested(trends)

@@ -156,3 +156,21 @@ def ml_forecast_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
     frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
     return score(models, frame)
+
+
+@register("ml_mllib_global_forecast", tags=("ml", "mllib"), oracle=None)
+def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib tier (plans.mllib_forecast): branch one-hot x trend/DOW/
+    Fourier features through OneHotEncoder + VectorAssembler +
+    LinearRegression(solver='normal') - ONE distributed fit for all
+    branches, closed-form solve (deterministic). rows-only: MLlib vector
+    ops aren't ANSI-SQL-expressible; sanity + determinism in tests."""
+    tune(spark)
+    from ..plans.mllib_forecast import fit_global_model, score_global_model
+
+    daily = _daily_series(spark, sf_dir).filter(
+        F.col("ds") <= F.lit(CUTOFF).cast("date")
+    )
+    model = fit_global_model(daily)
+    frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
+    return score_global_model(model, frame)

@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the physical plans that make this engine
+scale must not silently regress (SCALE.md's evidence, executable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    # default 100-char metadata truncation cuts off PushedFilters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["p3_filter_compound"].fn(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan and "EqualTo(l_returnflag,R)" in plan
+    # projection pruning: untouched wide columns absent from ReadSchema
+    assert "l_comment" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["j1_broadcast_dim_join"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_total_sort(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["o_global_topk"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["j_asof_join"].fn(spark, SF_SMALL))
+    assert "Window" in plan
+    assert "Join" not in plan, "as-of must not plan an actual join"
+
+
+def test_q1_partial_final_aggregate(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_no_cartesian_in_range_join(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["j_range_join"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
