@@ -152,3 +152,57 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase joins
+    clicks from the same user within the preceding 15 minutes. Both sides
+    carry watermarks so the join state is bounded (clicks older than the
+    bound + watermark are evicted).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 15 minutes"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("gap_us"),
+        "click_value",
+    )
+
+
+def write_foreach_batch_idempotent(stream_df: DataFrame, out_dir: str):
+    """Exactly-once-style sink: foreachBatch writes each micro-batch to a
+    batch-id-named directory — re-delivered batches overwrite their own
+    output instead of duplicating (idempotent by construction). Returns the
+    started query; caller drains/stops it."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .start()
+    )

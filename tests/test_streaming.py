@@ -125,3 +125,41 @@ def test_stateful_running_counts(spark, event_stream_factory):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_join_equivalence(spark, event_stream_factory):
+    from move_forecast_ind_spark.queries.streaming_q import st_interval_join
+    from move_forecast_ind_spark.streaming.events import (
+        stream_stream_click_purchase_join,
+    )
+
+    out = _drain(
+        stream_stream_click_purchase_join(event_stream_factory()),
+        "t_ss_join",
+        "append",
+    )
+    batch = st_interval_join(spark, SF_SMALL)
+    cols = ["purchase_id", "user_id", "gap_us", "click_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    assert out.count() > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, event_stream_factory):
+    import tempfile
+
+    from move_forecast_ind_spark.streaming.events import (
+        write_foreach_batch_idempotent,
+    )
+
+    stream = event_stream_factory().select("event_id", "user_id", "event_type")
+    with tempfile.TemporaryDirectory() as d:
+        q = write_foreach_batch_idempotent(stream, d)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.parquet(d)
+        from move_forecast_ind_spark.sources import load_table
+
+        assert back.count() == load_table(spark, SF_SMALL, "events").count()
+        assert "batch" in back.columns  # partition column from batch-id dirs
