@@ -134,3 +134,59 @@ def score(models: DataFrame, frame: DataFrame) -> DataFrame:
             round_count(F.greatest(upper, F.lit(0.0))).alias("count"),
         )
     )
+
+
+# Reference hyperparameters (reference pretrain_models.py:22-29). Prophet is
+# not installed in this environment; the surrogate above is the default
+# engine path. If prophet IS available, train_prophet_models applies the
+# reference's exact configuration per branch through the same
+# groupBy().applyInPandas topology.
+PROPHET_PARAMS = dict(
+    daily_seasonality=True,
+    yearly_seasonality=True,
+    weekly_seasonality=False,
+    changepoint_prior_scale=0.01,
+    seasonality_prior_scale=15.0,
+    seasonality_mode="multiplicative",
+)
+
+
+def train_prophet_models(daily: DataFrame, cutoff: str) -> DataFrame:
+    """Per-branch Prophet fit with the reference's hyperparameters — gated
+    on the library being importable (it is not in this container). Output:
+    (branch, model_bytes binary) — the registry-as-table layout with the
+    pickled model as an opaque binary column (S6 analog).
+
+    NOTE: Prophet's predictive intervals are sampling-based and not
+    hash-stable (SURVEY.md §2.9 ⚠); use the OLS surrogate for any
+    oracle-checked path.
+    """
+    try:
+        from prophet import Prophet  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "prophet is not installed in this environment; use train_models "
+            "(deterministic OLS surrogate) instead"
+        ) from e
+
+    import pickle
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from prophet import Prophet
+
+        pdf = pdf.sort_values("ds")
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["branch", "model_bytes"])
+        m = Prophet(**PROPHET_PARAMS)
+        m.fit(pdf.rename(columns={"y": "y", "ds": "ds"})[["ds", "y"]])
+        return pd.DataFrame(
+            {
+                "branch": [int(pdf["branch"].iloc[0])],
+                "model_bytes": [pickle.dumps(m)],
+            }
+        )
+
+    filtered = daily.filter(F.col("ds") <= F.lit(cutoff).cast("date"))
+    return filtered.groupBy("branch").applyInPandas(
+        fit, schema="branch long, model_bytes binary"
+    )

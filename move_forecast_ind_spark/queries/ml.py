@@ -174,3 +174,46 @@ def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_global_model(daily)
     frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
     return score_global_model(model, frame)
+
+
+@register("svc_forecast_request", tags=("pipeline", "service"), oracle=None)
+def svc_forecast_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /forecast/ endpoint (plans.service.forecast_request): window
+    clamp -> registry check -> model scoring -> percentage fallback chain ->
+    banded daily rows. rows-only (the tail alone is oracle-checked as
+    forecast_tail_daily; this exercises the end-to-end request path)."""
+    import datetime as dt
+
+    tune(spark)
+    from ..plans.percentages import compute_percentages
+    from ..plans.service import forecast_request
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = compute_percentages(
+        li, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity",
+    )
+    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    daily, _ = forecast_request(
+        spark, models, pct, date="1999-06-03", branch=7, move_type="R",
+        today=dt.date(1999, 6, 1), max_date=dt.date(1999, 7, 31),
+    )
+    return daily
+
+
+@register("svc_trends_request", tags=("pipeline", "service"), oracle=None)
+def svc_trends_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /historical_trends/ endpoint (plans.service.trends_request):
+    clamp -> one-pass per-year aggregate -> nested per-year rows."""
+    import datetime as dt
+
+    tune(spark)
+    from ..plans.service import trends_request
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return trends_request(
+        spark, li, branch_col="l_suppkey", date_col="l_shipdate",
+        count_col="l_quantity", date="1999-06-03", branch=7, move_type=None,
+        type_col="l_returnflag", today=dt.date(1999, 6, 1),
+        max_date=dt.date(1999, 7, 31), years=(1995, 2000),
+    )

@@ -54,3 +54,21 @@ def test_fourier_upper_bound_above_point(spark):
 
     rows = REGISTRY["ml_forecast_fourier"].fn(spark, SF_SMALL).collect()
     assert all(r.yhat_upper >= r.yhat for r in rows)
+
+
+def test_prophet_tier_gated_cleanly(spark):
+    """The reference-exact Prophet tier must fail with a clear
+    NotImplementedError when the library is absent (import-try gate)."""
+    import pytest as _pytest
+
+    from move_forecast_ind_spark.plans.training import train_prophet_models
+    from move_forecast_ind_spark.queries.ml import _daily_series
+
+    try:
+        import prophet  # noqa: F401
+
+        _pytest.skip("prophet installed; gate not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        train_prophet_models(_daily_series(spark, SF_SMALL), cutoff="1998-12-31")
