@@ -437,3 +437,28 @@ def s_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "f_unpivot_stack",
+    tags=("scalar", "unpivot"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey % 500 = 0
+    )
+    UNPIVOT (value FOR metric IN (l_quantity AS 'qty', l_extendedprice AS 'price',
+                                  l_discount AS 'disc'))
+    """,
+)
+def f_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long melt) via stack()."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)"
+        " AS (metric, value)",
+    )

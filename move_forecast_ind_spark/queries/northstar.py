@@ -115,7 +115,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", bench=True, tags=("northstar", "dedup", "lsh"), oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16×4) candidates → exact-Jaccard verify — the scale
+    """MinHash(32)+LSH(8×4) candidates → exact-Jaccard verify — the scale
     path (candidates ∝ near-dups, not n²). Deterministic fixed-seed hashing,
     but banding isn't ANSI-SQL-expressible → rows-only contract; recall vs
     the exact pass is asserted in tests/test_northstar.py."""
@@ -371,3 +371,39 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return sample_frames(to_media_table(docs, "doc_id", "text"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("northstar", "dedup", "similarity"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           ROUND(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+          / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 4th dedup modality in
+    BASELINE.json): all pairs at cosine >= threshold. Brute-force all-pairs
+    here (exact, hash-checkable); the LSH-bucketed scale path is
+    sim_ann_lsh's topology with a threshold filter instead of top-k."""
+    tune(spark)
+    from ..functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )

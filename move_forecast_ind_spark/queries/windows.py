@@ -214,3 +214,35 @@ def o_multi_column_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.select("s_suppkey", "s_name", "s_acctbal").orderBy(
         F.col("s_acctbal").desc(), F.col("s_name").asc()
     )
+
+
+@register(
+    "w_first_last_nth",
+    tags=("window", "frame"),
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WHERE o_custkey % 25 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the per-customer order timeline (note the
+    full frame on LAST_VALUE - the default frame stops at CURRENT ROW)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

@@ -41,12 +41,23 @@ def default_parallelism() -> int:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    """Apply runtime-settable tuning to an existing session (idempotent).
+
+    Also rightsizes ``spark.sql.shuffle.partitions`` when the session still
+    carries Spark's default 200 (an externally built session): AQE coalesces
+    the excess anyway, but starting near core count avoids scheduling 200
+    micro-tasks per shuffle on small inputs.
+    """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — accept session default
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     return spark
 
 
