@@ -462,3 +462,154 @@ def f_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)"
         " AS (metric, value)",
     )
+
+
+# --- more classics: distribution, not-in, having, OR-of-ANDs --------------
+@register(
+    "q13_customer_distribution",
+    tags=("join", "aggregate", "classic"),
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-residual predicate, then a
+    distribution (count-of-counts) aggregate."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@register(
+    "q16_not_in_subquery",
+    tags=("subquery", "anti", "classic"),
+    oracle="""
+    SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1
+    ORDER BY supplier_cnt DESC, p_brand
+    """,
+)
+def q16_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join) + IN list +
+    distinct aggregate. The supplier subquery is non-empty-null-free so the
+    null-aware semantics reduce to a plain anti join."""
+    tune(spark)
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size IN (5, 10, 15, 20)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1
+        ORDER BY supplier_cnt DESC, p_brand
+        """
+    )
+
+
+@register(
+    "q18_having_in",
+    tags=("subquery", "aggregate", "classic"),
+    oracle=f"""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           {sql_r2('SUM(l.l_quantity)')} AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def q18_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a HAVING-filtered aggregate subquery (large
+    orders), then a 3-way join re-aggregation."""
+    tune(spark)
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               {sql_r2('SUM(l.l_quantity)')} AS total_qty
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+        )
+        GROUP BY 1, 2, 3
+        ORDER BY total_qty DESC, o.o_orderkey
+        """
+    )
+
+
+@register(
+    "q19_or_of_ands",
+    tags=("filter", "join", "classic"),
+    oracle=f"""
+    SELECT {sql_r2('SUM(l_extendedprice * (1 - l_discount))')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates across
+    the join - Catalyst pushes the common conjuncts and keeps the OR as a
+    join residual."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(clause).agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
