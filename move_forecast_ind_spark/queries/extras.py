@@ -613,3 +613,33 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- Python UDTF (SURVEY §2.11: table-function surface) -------------------
+@register("f_python_udtf_expand", tags=("udtf",), oracle=None)
+def f_python_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): expand each order into per-installment rows
+    (a table function computing a variable-length output per input row),
+    invoked via LATERAL in SQL. Arrow-evaluated; rows-only contract (UDTFs
+    aren't ANSI-SQL) with determinism asserted by the harness re-run."""
+    tune(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="orderkey bigint, installment int, amount double")
+    class SplitIntoInstallments:
+        def eval(self, o_orderkey: int, o_totalprice: float):
+            n = 2 if o_totalprice < 200000 else 4
+            per = round(o_totalprice / n, 2)
+            for i in range(n):
+                yield o_orderkey, i + 1, per
+
+    spark.udtf.register("split_installments", SplitIntoInstallments)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT s.orderkey, s.installment, s.amount
+        FROM orders o,
+             LATERAL split_installments(o.o_orderkey, o.o_totalprice) s
+        WHERE o.o_orderkey % 100 = 0
+        """
+    )
