@@ -178,7 +178,10 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the percentage build by hand — Catalyst can't infer it through
     # the aggregates, and it shrinks the broadcast ~100× (the month-grain
     # average over month=6 is unchanged by dropping other months first).
-    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6))
+    # Cache the ~1k-row slice: both the day-grain join and the month-grain
+    # aggregate consume it, and without the cache each one re-scans and
+    # re-aggregates the full fact table.
+    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6)).cache()
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
