@@ -143,3 +143,68 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids_mod: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus against a centroid set,
+    probe only the query's ``nprobe`` nearest cells, exact re-rank inside.
+
+    Centroids here are a deterministic corpus subset (vec_id % mod == 0) —
+    at scale they come from a k-means fit, but the *operator topology* is
+    identical: (1) broadcast centroids, assign every corpus vector to its
+    nearest cell via argmin over the broadcast (one map stage, no shuffle
+    of the corpus); (2) for each query pick nprobe cells the same way;
+    (3) equi-join on cell id — the join only touches ~nprobe/n_cells of
+    the corpus — and exact-rank the survivors.
+    """
+    cents = corpus.filter(F.col("vec_id") % n_centroids_mod == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+
+    def assign(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        v = df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(id_alias + "_v"),
+        )
+        scored = v.join(F.broadcast(cents), how="cross").select(
+            id_alias,
+            id_alias + "_v",
+            "cent_id",
+            cosine(as_double(F.col(id_alias + "_v")), F.col("cv")).alias("ccos"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("ccos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(id_alias, id_alias + "_v", "cent_id")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", 1)
+    query_cells = assign(queries, "query_id", nprobe)
+    cand = (
+        query_cells.join(corpus_cells, on="cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            as_double(F.col("query_id_v")), as_double(F.col("neighbor_id_v"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

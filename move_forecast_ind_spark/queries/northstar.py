@@ -29,7 +29,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
     simhash_signatures,
 )
-from ..operators.similarity import ann_lsh_topk, brute_force_topk
+from ..operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -406,4 +406,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+@register("sim_ann_ivf", tags=("northstar", "similarity", "ivf"), oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (operators.similarity.ivf_topk): coarse cells +
+    nprobe=2 probing + exact re-rank — the inverted-file scale path next to
+    the SRP-LSH one. rows-only; recall vs brute force in tests."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register(
+    "text_bpe_ish_token_count",
+    tags=("northstar", "text"),
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens vs a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) - the
+    pre-tokenizer shape of byte-pair encoders, as a pure regexp count."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish.alias("n_bpe_ish_tokens"),
     )

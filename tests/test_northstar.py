@@ -14,9 +14,9 @@ def _pairs(df, a="doc_a", b="doc_b"):
 
 def test_minhash_recall_vs_exact(spark):
     """LSH candidates + verify must recover (almost) all exact Jaccard≥0.5
-    pairs. With 16 bands of 4, P(catch | j=0.5) ≈ 1-(1-0.5^4)^16 ≈ 0.65 per
-    band-structure, but near-dup fixture pairs sit well above 0.5 where
-    recall ≈ 1; require ≥80% and no false positives (verify step)."""
+    pairs. With 8 bands of 4, P(catch | j=0.9) ≥ 0.9998 while j≈0.5 pairs
+    are chancier — fixture near-dups sit well above 0.9, so require ≥80%
+    recall and no false positives (the verify step kills those)."""
     from move_forecast_ind_spark.operators.dedup import (
         jaccard_pairs,
         minhash_dedup_pairs,
@@ -103,3 +103,23 @@ def test_quality_score_bounds(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from move_forecast_ind_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=5, n_centroids_mod=50, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/n_cells bounds the searched fraction; on near-random vectors a
+    # modest floor is the honest expectation
+    assert recall >= 0.2, f"IVF recall {recall:.2f}"
