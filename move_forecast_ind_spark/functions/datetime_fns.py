@@ -40,3 +40,28 @@ def forecast_window(
         end = max_date
         start = max(end - (SPAN_DAYS - 1) * one, today)
     return start, end
+
+
+def forecast_window_cols(input_date, today, max_date):
+    """Column-expression twin of :func:`forecast_window` for BATCHED
+    requests: given per-row input dates (and today/max as columns or
+    literals), compute the clamped [start, end] per row so a whole batch of
+    forecast requests plans as ONE Spark job (no driver-side loop over
+    requests). Must mirror the scalar version exactly — property-tested
+    against it in tests/test_window_clamp.py.
+    """
+    from pyspark.sql import functions as F
+
+    one_start = F.date_sub(input_date, HALF)
+    one_end = F.date_add(input_date, HALF)
+    # clamp at today (snap forward)
+    start1 = F.when(one_start < today, today).otherwise(one_start)
+    end1 = F.when(
+        one_start < today, F.least(F.date_add(today, SPAN_DAYS - 1), max_date)
+    ).otherwise(one_end)
+    # clamp at max_date (snap backward)
+    start2 = F.when(
+        end1 > max_date, F.greatest(F.date_sub(max_date, SPAN_DAYS - 1), today)
+    ).otherwise(start1)
+    end2 = F.when(end1 > max_date, max_date).otherwise(end1)
+    return start2, end2

@@ -160,3 +160,78 @@ def trends_request(
         move_type=move_type,
     )
     return trends_nested(trends)
+
+
+def forecast_batch(
+    spark: SparkSession,
+    models: DataFrame,
+    pct: DataFrame,
+    requests: DataFrame,  # (branch long, move_type string|null, input_date date)
+    today: dt.date,
+    max_date: dt.date,
+) -> DataFrame:
+    """MANY forecast requests as ONE Spark job — the serving-layer scale
+    story. The reference handles one request per HTTP call with ~30 DB
+    round-trips each; here a whole batch plans together:
+
+    requests → per-row window clamp (column expressions) → explode each
+    window into its date spine → semi-join the registry (drops unknown
+    branches, the reference's 400 path) → score → tail. Cost is one plan
+    regardless of batch size.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.datetime_fns import forecast_window_cols
+    from .percentages import month_grain_percentages
+
+    t = F.lit(str(today)).cast("date")
+    m = F.lit(str(max_date)).cast("date")
+    start, end = forecast_window_cols(F.col("input_date"), t, m)
+    windows = requests.filter(F.col("input_date") <= m).select(
+        "branch",
+        "move_type",
+        "input_date",
+        start.alias("w_start"),
+        end.alias("w_end"),
+    )
+    spine = windows.select(
+        "branch",
+        "move_type",
+        "input_date",
+        F.explode(
+            F.sequence(F.col("w_start"), F.col("w_end"), F.expr("interval 1 day"))
+        ).alias("ds"),
+    )
+    known = spine.join(
+        models.select("branch"), on="branch", how="left_semi"
+    )
+    scored = score(models, known.select("branch", "ds").distinct())
+    frame = (
+        known.join(scored, on=["branch", "ds"])
+        .select(
+            "branch",
+            "move_type",
+            "input_date",
+            "ds",
+            F.col("yhat_upper").alias("branch_forecast"),
+        )
+    )
+    tail = forecast_tail(
+        frame.drop("input_date"), pct, month_grain_percentages(pct)
+    ).alias("t")
+    # Re-attach the request identity (a request = branch+move_type+input_date).
+    # move_type may legitimately be NULL (the 100% demotion path) — a plain
+    # equi-join would silently drop those rows, so the key is null-safe.
+    req = frame.select("branch", "move_type", "input_date", "ds").alias("r")
+    return req.join(
+        tail,
+        (F.col("r.branch") == F.col("t.branch"))
+        & F.col("r.move_type").eqNullSafe(F.col("t.move_type"))
+        & (F.col("r.ds") == F.col("t.ds")),
+    ).select(
+        F.col("r.branch").alias("branch"),
+        F.col("r.move_type").alias("move_type"),
+        F.col("r.input_date").alias("input_date"),
+        F.col("r.ds").alias("ds"),
+        *[F.col(f"t.{c}").alias(c) for c in tail.columns if c not in ("branch", "move_type", "ds")],
+    )

@@ -217,3 +217,35 @@ def svc_trends_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_col="l_returnflag", today=dt.date(1999, 6, 1),
         max_date=dt.date(1999, 7, 31), years=(1995, 2000),
     )
+
+
+@register("svc_forecast_batch", tags=("pipeline", "service", "batch"), oracle=None)
+def svc_forecast_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of 20 forecast requests (10 branches x 2 dates, mixed
+    move_types) planned as one Spark job (plans.service.forecast_batch):
+    per-row window clamps, exploded spines, one scoring pass, one tail.
+    The reference would serve these as 20 HTTP calls x ~30 round-trips."""
+    import datetime as dt
+
+    tune(spark)
+    from ..plans.percentages import compute_percentages
+    from ..plans.service import forecast_batch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = compute_percentages(
+        li, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity",
+    )
+    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    reqs = spark.createDataFrame(
+        [
+            (b, "R" if b % 2 == 0 else None, d)
+            for b in range(1, 11)
+            for d in (dt.date(1999, 6, 3), dt.date(1999, 7, 30))
+        ],
+        "branch long, move_type string, input_date date",
+    )
+    return forecast_batch(
+        spark, models, pct, reqs,
+        today=dt.date(1999, 6, 1), max_date=dt.date(1999, 7, 31),
+    )

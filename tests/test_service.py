@@ -115,3 +115,34 @@ def test_trends_request_end_to_end(spark):
     assert all(isinstance(r.days, str) and r.days for r in rows)
     years = [r.year for r in rows]
     assert years == sorted(years)
+
+
+def test_forecast_batch_matches_single_requests(spark, models, pct):
+    """The batched path must produce the same daily rows as issuing each
+    request singly (same clamp, same scoring, same tail)."""
+    import datetime as dt
+
+    from move_forecast_ind_spark.plans.service import (
+        forecast_batch,
+        forecast_request,
+    )
+
+    reqs = [(3, "R", "1999-06-03"), (7, None, "1999-07-30")]
+    req_df = spark.createDataFrame(
+        [(b, mt, dt.date.fromisoformat(d)) for b, mt, d in reqs],
+        "branch long, move_type string, input_date date",
+    )
+    batch = forecast_batch(spark, models, pct, req_df, today=TODAY, max_date=MAX)
+    got = {
+        (r.branch, r.move_type, str(r.input_date), str(r.ds)): r.predicted_moves
+        for r in batch.collect()
+    }
+    expected = {}
+    for b, mt, d in reqs:
+        daily, _ = forecast_request(
+            spark, models, pct, date=d, branch=b, move_type=mt,
+            today=TODAY, max_date=MAX,
+        )
+        for r in daily.collect():
+            expected[(b, mt, d, str(r.ds))] = r.predicted_moves
+    assert got == expected

@@ -77,3 +77,33 @@ def test_window_properties(input_off: int, today_off: int):
     if today <= input_date <= MAX and (e - s).days == 6:
         lo, hi = min(s, input_date), max(e, input_date)
         assert (hi - lo).days <= 9  # input is within 3 days of the window
+
+
+def test_column_clamp_matches_scalar(spark):
+    """The batched (column-expression) clamp must agree with the scalar
+    clamp on a grid of inputs spanning every boundary case."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.datetime_fns import (
+        forecast_window,
+        forecast_window_cols,
+    )
+
+    inputs = [TODAY + k * ONE for k in range(-10, 60, 7)] + [
+        TODAY, MAX, MAX - ONE, TODAY + ONE
+    ]
+    rows = [(i, d) for i, d in enumerate(inputs)]
+    df = spark.createDataFrame(rows, "id int, input_date date")
+    s, e = forecast_window_cols(
+        F.col("input_date"),
+        F.lit(str(TODAY)).cast("date"),
+        F.lit(str(MAX)).cast("date"),
+    )
+    got = {
+        r.id: (r.s, r.e)
+        for r in df.select("id", s.alias("s"), e.alias("e")).collect()
+    }
+    for i, d in rows:
+        assert got[i] == forecast_window(d, TODAY, MAX), f"input {d}"
