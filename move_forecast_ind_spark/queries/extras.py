@@ -643,3 +643,84 @@ def f_python_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 100 = 0
         """
     )
+
+
+@register(
+    "q2_correlated_scalar_max",
+    tags=("subquery", "classic"),
+    oracle="""
+    SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    WHERE l.l_partkey % 40 = 0
+      AND l.l_quantity = (
+        SELECT MAX(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    ORDER BY l.l_partkey, l.l_orderkey, l.l_linenumber
+    """,
+)
+def q2_correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar aggregate subquery (rows equal to
+    their group's max) - Catalyst de-correlates it into an aggregate +
+    self-join."""
+    tune(spark)
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l
+        WHERE l.l_partkey % 40 = 0
+          AND l.l_quantity = (
+            SELECT MAX(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        ORDER BY l.l_partkey, l.l_orderkey, l.l_linenumber
+        """
+    )
+
+
+@register(
+    "q22_anti_with_scalar",
+    tags=("subquery", "anti", "classic"),
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_r4('AVG(c_acctbal)')} AS v FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers,
+           {sql_r2('SUM(c.c_acctbal)')}  AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_anti_with_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (above-average balance) +
+    NOT EXISTS anti join (no recent orders), grouped."""
+    tune(spark)
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        f"""
+        WITH avg_bal AS (
+          SELECT {sql_r4('AVG(c_acctbal)')} AS v FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*)                      AS n_customers,
+               {sql_r2('SUM(c.c_acctbal)')}  AS total_bal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.v
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )
