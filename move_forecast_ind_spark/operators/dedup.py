@@ -6,7 +6,7 @@ pipeline:
 1. **Exact** — group by canonical fingerprint (md5 of normalized text);
    one shuffle on the hash, keeper = min(doc_id). Scale: shuffle carries
    (hash, doc_id) pairs only.
-2. **MinHash + LSH** — shingle → 64 deterministic min-hashes → 16 bands of
+2. **MinHash + LSH** — shingle → 32 deterministic min-hashes → 8 bands of
    4 → candidate pairs join on (band, band-signature) → exact-Jaccard
    verify on candidates only. Scale: candidates ∝ true near-dups, not n².
 3. **SimHash** — 48-bit signed-sum sketch over token hashes; near-dups are
@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import r4
 from ..functions.text import fingerprint, shingles_from_tokens, tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
@@ -107,7 +108,7 @@ def jaccard_pairs(
             "n_common",
             "n_a",
             "n_b",
-            F.round(jac, 4).alias("jaccard"),
+            r4(jac).alias("jaccard"),
         )
     )
 
@@ -115,21 +116,21 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """64 deterministic min-hashes per doc.
+    """N_PERM (32) deterministic min-hashes per doc.
 
     Base hash: pmod(xxhash64(shingle, seed=42), 2^31-1). Permutation i:
     h_i = (a_i·h + b_i) mod (2^31-1) with fixed odd multipliers — products
     stay under 2^62, no overflow.
 
-    Shape: collect the per-doc base hashes into one array, then take the 64
+    Shape: collect the per-doc base hashes into one array, then take the 32
     permutation minima as in-row array folds. This beats the naive
-    64-min-aggregate layout ~4× — the partial-aggregate hash map of 64-long
+    per-column min-aggregate layout ~4× — the partial-aggregate hash map of wide
     rows costs more than shuffling the raw hash list (one long per shingle)
     and folding inside codegen.
     """
     sh = _shingled(docs, id_col, text_col, k)
-    # Materialize the base hash once; the 64 permutations are affine
-    # transforms of it (don't rely on CSE to avoid 64 xxhash64 evals).
+    # Materialize the base hash once; the permutations are affine
+    # transforms of it (don't rely on CSE to avoid N_PERM xxhash64 evals).
     base = sh.select(
         "doc_id",
         F.pmod(F.xxhash64(F.col("sh"), F.lit(42)), F.lit(MERSENNE31)).alias("h"),
@@ -153,7 +154,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the signature (16 bands × 4 rows) and self-join on
+    """Band the signature (N_BANDS bands × BAND_SIZE rows) and self-join on
     (band_id, band signature) → candidate pairs (doc_a < doc_b, distinct)."""
     bands = signatures.select(
         "doc_id",
@@ -234,7 +235,7 @@ def minhash_dedup_pairs(
         n_common.alias("n_common"),
         n_a.alias("n_a"),
         n_b.alias("n_b"),
-        F.round(jac, 4).alias("jaccard"),
+        r4(jac).alias("jaccard"),
     )
 
 

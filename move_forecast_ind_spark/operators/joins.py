@@ -38,20 +38,27 @@ def asof_join(
     """
     on = list(on)
     lcols = [c for c in left.columns]
+    # The right row travels as ONE struct so NULLs inside its value columns
+    # survive: filling each value column independently with
+    # last(ignorenulls) would pair an older row's non-null value with a
+    # newer row's timestamp (diverging from merge_asof / ASOF JOIN).
+    rv_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(v).alias(v) for v in right_values],
+    )
+    rv_type = right.select(rv_struct.alias("__rv")).schema["__rv"].dataType
     tagged_l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(v + suffix) for v in right_values],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     tagged_r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(v + suffix) for v in right_values],
-        F.col(right_ts).alias(right_ts + suffix),
+        rv_struct.alias("__rv"),
     ).select(*tagged_l.columns)  # align column order for unionByName safety
 
     unioned = tagged_l.unionByName(tagged_r)
@@ -61,19 +68,13 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *unioned.columns,
-        *[
-            F.last(v + suffix, ignorenulls=True).over(w).alias(v + suffix + "__f")
-            for v in [*right_values, right_ts]
-        ],
+    filled = unioned.withColumn(
+        "__rv_f", F.last("__rv", ignorenulls=True).over(w)
     )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[
-            F.col(v + suffix + "__f").alias(v + suffix)
-            for v in [*right_values, right_ts]
-        ],
+        *[F.col("__rv_f")[v].alias(v + suffix) for v in right_values],
+        F.col("__rv_f")["__rts"].alias(right_ts + suffix),
     )
     return out
 

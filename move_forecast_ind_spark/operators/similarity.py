@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import r6
 from ..functions.vectors import as_double, cosine
 
 N_PLANES = 16
@@ -53,7 +54,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "neighbor_id", r6(F.col("cos")).alias("cos"), "rank")
     )
 
 
@@ -141,7 +142,7 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "neighbor_id", r6(F.col("cos")).alias("cos"), "rank")
     )
 
 
@@ -206,5 +207,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "neighbor_id", r6(F.col("cos")).alias("cos"), "rank")
     )

@@ -69,13 +69,13 @@ def forecast_request(
 
     # unknown move_type → None (100 %), the silent demotion (main.py:204-209)
     if move_type is not None:
-        known = (
+        unknown = (
             pct.select("move_type")
             .filter(F.col("move_type") == move_type)
             .limit(1)
             .isEmpty()
         )
-        if known:
+        if unknown:
             move_type = None
 
     start, end = forecast_window(input_date, today, max_date)
@@ -186,6 +186,26 @@ def forecast_batch(
 
     t = F.lit(str(today)).cast("date")
     m = F.lit(str(max_date)).cast("date")
+
+    # The silent unknown-move_type demotion (main.py:204-209), batched: a
+    # type absent from the percentage table becomes NULL => the 100% path.
+    known_types = pct.select("move_type").distinct().alias("k")
+    requests = (
+        requests.alias("q")
+        .join(
+            F.broadcast(known_types),
+            F.col("q.move_type") == F.col("k.move_type"),
+            "left",
+        )
+        .select(
+            F.col("q.branch").alias("branch"),
+            F.when(F.col("k.move_type").isNotNull(), F.col("q.move_type"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("move_type"),
+            F.col("q.input_date").alias("input_date"),
+        )
+    )
+
     start, end = forecast_window_cols(F.col("input_date"), t, m)
     windows = requests.filter(F.col("input_date") <= m).select(
         "branch",
@@ -216,8 +236,14 @@ def forecast_batch(
             F.col("yhat_upper").alias("branch_forecast"),
         )
     )
+    # Requests with overlapping windows share (branch, move_type, ds) rows;
+    # dedupe the tail input or the re-attach join multiplies rows per
+    # overlapping request.
+    tail_input = frame.select(
+        "branch", "move_type", "ds", "branch_forecast"
+    ).distinct()
     tail = forecast_tail(
-        frame.drop("input_date"), pct, month_grain_percentages(pct)
+        tail_input, pct, month_grain_percentages(pct)
     ).alias("t")
     # Re-attach the request identity (a request = branch+move_type+input_date).
     # move_type may legitimately be NULL (the 100% demotion path) — a plain

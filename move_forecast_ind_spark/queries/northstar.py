@@ -97,7 +97,7 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, n_common,
            na.n AS n_a, nb.n AS n_b,
-           ROUND(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+           FLOOR((n_common / (na.n + nb.n - n_common)) * 1e4 + 0.5) / 1e4 AS jaccard
     FROM common
     JOIN sizes na ON doc_a = na.doc_id
     JOIN sizes nb ON doc_b = nb.doc_id
@@ -279,7 +279,7 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+    SELECT query_id, neighbor_id, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos, rank
     FROM ranked WHERE rank <= 5
     """,
 )
@@ -382,9 +382,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.vec_id AS vec_a,
            b.vec_id AS vec_b,
-           ROUND(list_inner_product(a.e, b.e)
-                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
-                 6) AS cos
+           FLOOR((list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))))
+                 * 1e6 + 0.5) / 1e6 AS cos
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_inner_product(a.e, b.e)
           / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.3
@@ -405,7 +405,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .select("vec_a", "vec_b", r6(cos).alias("cos"))
     )
 
 

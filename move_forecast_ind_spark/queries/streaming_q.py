@@ -98,20 +98,21 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
       SELECT user_id,
+             event_id,
              epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_us
       FROM events
     ),
     flagged AS (
-      SELECT user_id, us,
+      SELECT user_id, event_id, us,
              CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),
     numbered AS (
       SELECT user_id, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )

@@ -53,17 +53,28 @@ def upsert_overwrite(
     in updates (left_anti), union the updates, overwrite. Matches the
     reference's ON CONFLICT DO UPDATE semantics (last write wins per key).
 
-    Not snapshot-isolated like Delta MERGE — the staging write keeps it
-    crash-safe (never a half-written target): write to `<path>__stage`,
-    then atomically re-point by overwriting target from the staged data.
+    Not snapshot-isolated like Delta MERGE. The staging write ensures the
+    merge plan fully materializes before the target is touched (a failure
+    while COMPUTING the merge can't corrupt the target); the final
+    stage→target copy is itself a rewrite, so a crash inside it still needs
+    the stage directory for recovery — true atomic swap requires an
+    FS-level rename or a table format.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         target = spark.read.parquet(target_path)
+    except AnalysisException as e:
+        # ONLY the missing-target case means "first write" — any other read
+        # failure (corrupt footer, transient FS error) must abort, or the
+        # overwrite below would silently drop every non-updated key.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        merged = updates
+    else:
         merged = target.join(updates, on=key_cols, how="left_anti").unionByName(
             updates
         )
-    except Exception:  # first write: no target yet
-        merged = updates
     stage = target_path.rstrip("/") + "__stage"
     merged.write.mode("overwrite").parquet(stage)
     spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)

@@ -43,8 +43,15 @@ def _staged_dir(sf_dir: str) -> str:
     d = f"/tmp/mfis_event_stream_{tag}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # lexists: a stale/broken symlink reports exists()=False but still
+    # blocks os.symlink — repair it instead of crashing.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return d
 
 

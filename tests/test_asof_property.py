@@ -77,3 +77,24 @@ def test_asof_matches_merge_asof(spark, left_rows, right_rows):
         assert {k: v for k, v in got.items()} == expected
     else:
         assert all(v == (None, None) for v in got.values()) or not got
+
+
+def test_asof_null_right_value_stays_null(spark):
+    """The matched right row's NULL value must come back as NULL — not an
+    older row's non-null value (regression: independent last(ignorenulls)
+    fills mixed rows)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 25)], "lid long, key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "key long, ts long, value double"
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts",
+        right_values=["value"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].ts_asof == 20
+    assert out[0].value_asof is None

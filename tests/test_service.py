@@ -146,3 +146,44 @@ def test_forecast_batch_matches_single_requests(spark, models, pct):
         for r in daily.collect():
             expected[(b, mt, d, str(r.ds))] = r.predicted_moves
     assert got == expected
+
+
+def test_forecast_batch_overlapping_windows_no_duplicates(spark, models, pct):
+    """Two requests for the same (branch, move_type) with overlapping
+    windows must each get exactly one row per day (regression: the tail
+    re-attach join used to multiply rows across overlapping requests)."""
+    import datetime as dt
+
+    from move_forecast_ind_spark.plans.service import forecast_batch
+
+    req_df = spark.createDataFrame(
+        [(7, "R", dt.date(1999, 6, 3)), (7, "R", dt.date(1999, 6, 5))],
+        "branch long, move_type string, input_date date",
+    )
+    batch = forecast_batch(spark, models, pct, req_df, today=TODAY, max_date=MAX)
+    rows = batch.collect()
+    keys = [(r.branch, r.move_type, r.input_date, r.ds) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (request, day) rows"
+    per_req = {}
+    for r in rows:
+        per_req.setdefault(r.input_date, set()).add(r.ds)
+    assert all(len(days) == 7 for days in per_req.values())
+
+
+def test_forecast_batch_demotes_unknown_move_type(spark, models, pct):
+    """Batch path must apply the same silent demotion as the single path:
+    unknown move_type -> NULL -> 100% (regression: it used to fall through
+    to the 1.0% constant)."""
+    import datetime as dt
+
+    from move_forecast_ind_spark.plans.service import forecast_batch
+
+    req_df = spark.createDataFrame(
+        [(7, "NOT_A_REAL_TYPE", dt.date(1999, 6, 3))],
+        "branch long, move_type string, input_date date",
+    )
+    rows = forecast_batch(
+        spark, models, pct, req_df, today=TODAY, max_date=MAX
+    ).collect()
+    assert rows and all(r.move_type is None for r in rows)
+    assert all(abs(r.pct_used - 100.0) < 1e-9 for r in rows)
