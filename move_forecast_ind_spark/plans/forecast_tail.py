@@ -1,24 +1,36 @@
 """The forecast request's relational tail as ONE Spark plan (SURVEY.md §3.1
 steps 7-11).
 
-After the model produces a per-day branch forecast, the reference does, PER
-ROW of the ≤7-day window: a day-grain percentage lookup (1 Postgres
-round-trip), a month-grain fallback lookup (another round-trip), a constant
-fallback, scaling, banding, random phrase choice, and running totals —
-up to ~30 fresh TCP connections per request (reference main.py:91-118,
-239-332). Here the lookup table is joined wholesale:
+After the model produces a per-day branch forecast, the reference does:
 
-    frame (≤7×branches rows)
-      LEFT JOIN broadcast(pct)       ON (branch, move_type, month, day)   [J1]
-      LEFT JOIN broadcast(month_pct) ON (branch, move_type, month)        [J2]
-      pct_used = COALESCE(day, month, 1.0)                                 [J3]
-      predicted = floor(pct_used/100 * forecast + 0.5)  clipped at 0       [F8-F10]
-      band/comment via CASE + deterministic phrase pick                    [F12-F14]
+- ONE percentage lookup at the REQUEST's input date (month, day) — with the
+  day → month-average → 1.0 fallback chain — and scales EVERY day of the
+  ≤7-day window by that single percentage (reference main.py:239-243, 255).
+- PER DAY of the window, a second lookup (same fallback chain) at that
+  forecast day's (month, day) that feeds only the comment: the implied
+  percentage (rounded forecast / branch forecast × 100) is compared against
+  the day's historical average and banded at ±5 pp (main.py:258-281).
 
-Two broadcast joins replace ~30 point lookups; every fallback level is one
-COALESCE argument. The phrase choice is the reference's random.choice
-(main.py:270-315) made deterministic: index = (branch*31 + month*7 + day) % 3
-— replayable and hash-checkable (SURVEY.md §5.4).
+Each lookup is 1-2 Postgres round-trips — up to ~30 fresh TCP connections
+per request (main.py:85-120, 239-332). Here the lookup table is joined
+wholesale:
+
+    frame (≤7×branches rows, carrying the request's input_date)
+      LEFT JOIN broadcast(pct)       ON (branch, move_type, imonth, iday) [J1]
+      LEFT JOIN broadcast(month_pct) ON (branch, move_type, imonth)      [J2]
+      pct_used  = COALESCE(input-day, input-month, 1.0)                  [J3]
+      predicted = floor(pct_used/100 * forecast + 0.5)  clipped at 0     [F8-F10]
+      LEFT JOIN broadcast(pct)       ON (branch, move_type, month, day)  [J1]
+      LEFT JOIN broadcast(month_pct) ON (branch, move_type, month)       [J2]
+      hist_avg  = COALESCE(day, month, 1.0)          (per forecast day)
+      implied   = predicted / forecast * 100
+      band/comment via CASE on (implied - hist_avg) + deterministic pick [F12-F14]
+
+Four broadcast joins of two tiny derived tables replace ~30 point lookups;
+every fallback level is one COALESCE argument. The phrase choice is the
+reference's random.choice (main.py:270-315) made deterministic:
+index = (branch*31 + month*7 + day) % 3 — replayable and hash-checkable
+(SURVEY.md §5.4).
 """
 
 from __future__ import annotations
@@ -26,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import r4, round_count, round_half_up
+from ..functions.rounding import r2, r4, round_count, round_half_up
 
 # Three-phrase banks per band (shape of reference main.py:130-163).
 PHRASES: dict[str, tuple[str, str, str]] = {
@@ -47,6 +59,10 @@ PHRASES: dict[str, tuple[str, str, str]] = {
     ),
 }
 
+# The demoted-request comment (reference main.py:282 NO_MOVE_TYPE path —
+# original wording, not the reference's string).
+NO_MOVE_TYPE_PHRASE = "branch-level forecast; no move type specified"
+
 
 def phrase_pick(band: Column, idx: Column) -> Column:
     """Deterministic phrase selection: CASE over band × (idx % 3)."""
@@ -58,43 +74,77 @@ def phrase_pick(band: Column, idx: Column) -> Column:
 
 
 def forecast_tail(
-    frame: DataFrame,  # branch, ds (date), move_type, branch_forecast (double)
+    frame: DataFrame,  # branch, move_type, input_date, ds, branch_forecast
     pct: DataFrame,  # plans.percentages.compute_percentages output
     month_pct: DataFrame,  # plans.percentages.month_grain_percentages output
 ) -> DataFrame:
-    """Attach percentages, scale, band, and phrase — one plan, two broadcast
-    joins, zero per-row work."""
+    """Attach percentages, scale, band, and phrase — one plan, four broadcast
+    joins, zero per-row work.
+
+    ``frame`` must carry the request's ``input_date``: the scaling
+    percentage is resolved ONCE at that date's (month, day) and applied to
+    every window day (reference main.py:239-243), while the per-day chain
+    only feeds the implied-vs-historical comment band (main.py:258-281).
+    """
     f = frame.select(
         "branch",
         "move_type",
+        "input_date",
         "ds",
         "branch_forecast",
         F.month("ds").alias("month"),
         F.dayofmonth("ds").alias("day"),
+        F.month("input_date").alias("imonth"),
+        F.dayofmonth("input_date").alias("iday"),
     )
-    day_pct = F.broadcast(
-        pct.select("branch", "move_type", "month", "day", "avg_percentage")
+    day_pct = pct.select("branch", "move_type", "month", "day", "avg_percentage")
+    # The same two lookup tables, re-keyed for the input-date resolution.
+    scale_day = day_pct.select(
+        "branch",
+        "move_type",
+        F.col("month").alias("imonth"),
+        F.col("day").alias("iday"),
+        F.col("avg_percentage").alias("scale_day_avg"),
     )
-    mon_pct = F.broadcast(month_pct)
+    scale_mon = month_pct.select(
+        "branch",
+        "move_type",
+        F.col("month").alias("imonth"),
+        F.col("month_avg_percentage").alias("scale_month_avg"),
+    )
 
     j = (
-        f.join(day_pct, on=["branch", "move_type", "month", "day"], how="left")
-        .join(mon_pct, on=["branch", "move_type", "month"], how="left")
+        f.join(F.broadcast(scale_day), on=["branch", "move_type", "imonth", "iday"], how="left")
+        .join(F.broadcast(scale_mon), on=["branch", "move_type", "imonth"], how="left")
+        .join(F.broadcast(day_pct), on=["branch", "move_type", "month", "day"], how="left")
+        .join(F.broadcast(month_pct), on=["branch", "move_type", "month"], how="left")
     )
     # NULL move_type = the reference's silent demotion of an unknown type
     # (reference main.py:204-209): no percentage split, the full branch
-    # forecast applies (100%). Otherwise: day → month → 1.0 fallback chain.
+    # forecast applies (100%). Otherwise: day → month → 1.0 fallback chain
+    # resolved at the INPUT date (main.py:239-243).
     pct_used = F.when(F.col("move_type").isNull(), F.lit(100.0)).otherwise(
         F.coalesce(
-            F.col("avg_percentage"), F.col("month_avg_percentage"), F.lit(1.0)
+            F.col("scale_day_avg"), F.col("scale_month_avg"), F.lit(1.0)
         )
     )
-    diff_pp = r4(
-        F.when(
-            F.col("avg_percentage").isNotNull()
-            & F.col("month_avg_percentage").isNotNull(),
-            F.col("avg_percentage") - F.col("month_avg_percentage"),
-        ).otherwise(F.lit(0.0))
+    predicted = round_count(
+        F.greatest(pct_used / 100.0 * F.col("branch_forecast"), F.lit(0.0))
+    )
+    # Per-day historical average — the comment band's yardstick
+    # (main.py:258-265). The reference's per-day fetch uses the same full
+    # fallback chain, so hist_avg is never null for a known move type.
+    hist_avg = F.when(
+        F.col("move_type").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.coalesce(F.col("avg_percentage"), F.col("month_avg_percentage"), F.lit(1.0))
+    )
+    implied = F.when(
+        F.col("branch_forecast") > 0,
+        predicted / F.col("branch_forecast") * 100.0,
+    ).otherwise(F.lit(0.0))
+    diff_pp = F.when(F.col("move_type").isNull(), F.lit(0.0)).otherwise(
+        r4(implied - hist_avg)
     )
     band = (
         F.when(F.abs(diff_pp) <= 5.0, "consistent")
@@ -104,24 +154,30 @@ def forecast_tail(
     idx = F.pmod(
         F.col("branch") * 31 + F.col("month") * 7 + F.col("day"), F.lit(3)
     ).cast("int")
-    predicted = round_count(
-        F.greatest(pct_used / 100.0 * F.col("branch_forecast"), F.lit(0.0))
+    comment = F.when(
+        F.col("move_type").isNull(), F.lit(NO_MOVE_TYPE_PHRASE)
+    ).otherwise(
+        F.concat(
+            phrase_pick(band, idx),
+            F.lit(" ("),
+            F.format_string("%.1f", round_half_up(hist_avg, 1)),
+            F.lit("% hist, "),
+            F.format_string("%.1f", round_half_up(implied, 1)),
+            F.lit("% now)"),
+        )
     )
     return j.select(
         "branch",
         "move_type",
+        "input_date",
         "ds",
-        F.round(F.col("branch_forecast"), 2).alias("branch_forecast"),
+        r2(F.col("branch_forecast")).alias("branch_forecast"),
         r4(pct_used).alias("pct_used"),
         predicted.alias("predicted_moves"),
+        r4(hist_avg).alias("hist_avg"),
         diff_pp.alias("diff_pp"),
         band.alias("band"),
-        F.concat(
-            phrase_pick(band, idx),
-            F.lit(" ("),
-            F.format_string("%.1f", round_half_up(pct_used, 1)),
-            F.lit("% of branch volume)"),
-        ).alias("comment"),
+        comment.alias("comment"),
     )
 
 

@@ -6,21 +6,33 @@ Python loop over branch × move_type × 12 × 31, two full pandas mask-scans per
 combination, a JSON resume checkpoint, and 1000-row upsert batches
 (reference precompute_percentages.py:178-233). Complexity O(combos × groups).
 
-Spark-first, the whole job is: two grouped sums and one equi-join —
+Spark-first, the whole job is: two grouped sums, a tiny cross join, and one
+left equi-join —
 
     moves   = facts.groupBy(branch, type, month, day).sum(count)
     totals  = facts.groupBy(branch,       month, day).sum(count)
-    pct     = moves ⋈ totals ON (branch, month, day)
               WHERE total > 0
-              SELECT ..., move/total*100 AS avg_percentage
+    types   = facts.select(type).distinct()          (global, ref :156)
+    pct     = (totals × broadcast(types)) LEFT JOIN moves
+              ON (branch, move_type, month, day)
+              SELECT ..., coalesce(move, 0)/total*100 AS avg_percentage
+
+The cross join reproduces the reference's loop domain exactly: it iterates
+ALL (branch × GLOBAL move_types × month × day) combinations and inserts
+avg_percentage = 0.0 whenever the branch-day total is positive but that
+move type had no moves (pandas ``.sum()`` of an empty mask is 0 —
+reference precompute_percentages.py:196-215). An inner join of the two
+aggregates would silently drop those zero rows, so serving would fall back
+to the month average where the reference answers "0% — predicted 0 moves".
 
 One shuffle per aggregate (map-side partials first) + one join shuffle on
-(branch, month, day). No loop, no checkpoint (task retry + idempotent
-overwrite replace it — SURVEY.md §2.12 R1), no batching (the writer does
-that). At 100 TB: group keys are (branch≈110 × 12 × 31 × types) ≈ small, so
-the join's build side is broadcastable and AQE will demote the shuffle join
-to broadcast automatically; output is a pure function of input, so a
-full overwrite of the derived table is the correct "upsert" (S5).
+the 4-part key. No loop, no checkpoint (task retry + idempotent overwrite
+replace it — SURVEY.md §2.12 R1), no batching (the writer does that). At
+100 TB: the move-type dimension is tiny (broadcast), group keys are
+(branch≈110 × 12 × 31 × types) ≈ small, so the left join's build side is
+broadcastable and AQE demotes the shuffle join to broadcast automatically;
+output is a pure function of input, so a full overwrite of the derived
+table is the correct "upsert" (S5).
 """
 
 from __future__ import annotations
@@ -57,18 +69,24 @@ def compute_percentages(
     totals = (
         facts.groupBy(F.col(branch_col).alias("branch"), month, day)
         .agg(r2(F.sum(count_col)).alias("total_count"))
-    )
-    return (
-        moves.join(totals, on=["branch", "month", "day"])
         .filter(F.col("total_count") > 0)  # div-zero guard, reference :209-215
+    )
+    # The reference's loop domain: every GLOBAL move type for every positive
+    # branch-day total — zero-move combos yield avg_percentage = 0.0 rows
+    # (reference precompute_percentages.py:156,196-215).
+    types = facts.select(F.col(type_col).alias("move_type")).distinct()
+    move_count = F.coalesce(F.col("move_count"), F.lit(0.0))
+    return (
+        totals.crossJoin(F.broadcast(types))
+        .join(moves, on=["branch", "move_type", "month", "day"], how="left")
         .select(
             "branch",
             "move_type",
             "month",
             "day",
-            "move_count",
+            move_count.alias("move_count"),
             "total_count",
-            r4(F.col("move_count") / F.col("total_count") * 100.0).alias(
+            r4(move_count / F.col("total_count") * 100.0).alias(
                 "avg_percentage"
             ),
         )

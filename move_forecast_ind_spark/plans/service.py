@@ -93,6 +93,9 @@ def forecast_request(
     frame = scored.select(
         "branch",
         F.lit(move_type).cast("string").alias("move_type"),
+        # The scaling percentage resolves at the REQUEST's input date, even
+        # when the window was clamped to start later (main.py:239-243).
+        F.lit(str(input_date)).cast("date").alias("input_date"),
         "ds",
         F.col("yhat_upper").alias("branch_forecast"),  # upper bound, main.py:235
     )
@@ -236,28 +239,9 @@ def forecast_batch(
             F.col("yhat_upper").alias("branch_forecast"),
         )
     )
-    # Requests with overlapping windows share (branch, move_type, ds) rows;
-    # dedupe the tail input or the re-attach join multiplies rows per
-    # overlapping request.
-    tail_input = frame.select(
-        "branch", "move_type", "ds", "branch_forecast"
-    ).distinct()
-    tail = forecast_tail(
-        tail_input, pct, month_grain_percentages(pct)
-    ).alias("t")
-    # Re-attach the request identity (a request = branch+move_type+input_date).
-    # move_type may legitimately be NULL (the 100% demotion path) — a plain
-    # equi-join would silently drop those rows, so the key is null-safe.
-    req = frame.select("branch", "move_type", "input_date", "ds").alias("r")
-    return req.join(
-        tail,
-        (F.col("r.branch") == F.col("t.branch"))
-        & F.col("r.move_type").eqNullSafe(F.col("t.move_type"))
-        & (F.col("r.ds") == F.col("t.ds")),
-    ).select(
-        F.col("r.branch").alias("branch"),
-        F.col("r.move_type").alias("move_type"),
-        F.col("r.input_date").alias("input_date"),
-        F.col("r.ds").alias("ds"),
-        *[F.col(f"t.{c}").alias(c) for c in tail.columns if c not in ("branch", "move_type", "ds")],
-    )
+    # The tail is keyed by the full request identity (branch, move_type,
+    # input_date, ds) — the scaling percentage depends on the request's
+    # input date, so requests with overlapping windows but different input
+    # dates legitimately produce different rows. forecast_tail carries
+    # input_date through, so no re-attach join is needed.
+    return forecast_tail(frame, pct, month_grain_percentages(pct))

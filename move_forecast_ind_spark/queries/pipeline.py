@@ -40,14 +40,21 @@ _PCT_CTES = """
              FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_count
       FROM lineitem
       GROUP BY 1, 2, 3
+      HAVING FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 > 0
+    ),
+    pct_types AS (
+      SELECT DISTINCT l_returnflag AS move_type FROM lineitem
     ),
     pct AS (
-      SELECT m.branch, m.move_type, m.month, m.day, m.move_count, t.total_count,
-             FLOOR((m.move_count / t.total_count * 1e2) * 1e4 + 0.5) / 1e4 AS avg_percentage
-      FROM pct_moves m
-      JOIN pct_totals t
-        ON m.branch = t.branch AND m.month = t.month AND m.day = t.day
-      WHERE t.total_count > 0
+      SELECT t.branch, ty.move_type, t.month, t.day,
+             COALESCE(m.move_count, 0e0) AS move_count, t.total_count,
+             FLOOR((COALESCE(m.move_count, 0e0) / t.total_count * 1e2) * 1e4 + 0.5) / 1e4
+               AS avg_percentage
+      FROM pct_totals t
+      CROSS JOIN pct_types ty
+      LEFT JOIN pct_moves m
+        ON m.branch = t.branch AND m.move_type = ty.move_type
+       AND m.month = t.month AND m.day = t.day
     )"""
 
 _MONTH_CTE = """
@@ -82,44 +89,71 @@ _TAIL_SQL = f"""
     frame AS (
       SELECT b.branch,
              'R'                            AS move_type,
+             DATE '1996-06-01'              AS input_date,
              CAST(d.d AS DATE)              AS ds,
              CAST(50 + ((b.branch * 7 + day(d.d)) % 50) AS DOUBLE) AS branch_forecast,
              CAST(month(d.d) AS INT)        AS month,
-             CAST(day(d.d) AS INT)          AS day
+             CAST(day(d.d) AS INT)          AS day,
+             CAST(month(DATE '1996-06-01') AS INT) AS imonth,
+             CAST(day(DATE '1996-06-01') AS INT)   AS iday
       FROM (SELECT unnest(range(1, 11)) AS branch) b,
            (SELECT unnest(generate_series(DATE '1996-06-01', DATE '1996-06-07',
                                           INTERVAL 1 DAY)) AS d) d
     ),
     joined AS (
-      SELECT f.branch, f.move_type, f.ds, f.branch_forecast, f.month, f.day,
+      SELECT f.branch, f.move_type, f.input_date, f.ds, f.branch_forecast,
+             f.month, f.day,
+             sp.avg_percentage        AS scale_day_avg,
+             sm.month_avg_percentage  AS scale_month_avg,
              p.avg_percentage,
-             m.month_avg_percentage,
-             COALESCE(p.avg_percentage, m.month_avg_percentage, 1e0) AS pct_used,
-             FLOOR((CASE WHEN p.avg_percentage IS NOT NULL
-                          AND m.month_avg_percentage IS NOT NULL
-                         THEN p.avg_percentage - m.month_avg_percentage
-                         ELSE 0e0 END) * 1e4 + 0.5) / 1e4 AS diff_pp
+             m.month_avg_percentage
       FROM frame f
+      LEFT JOIN pct sp
+        ON f.branch = sp.branch AND f.move_type = sp.move_type
+       AND f.imonth = sp.month AND f.iday = sp.day
+      LEFT JOIN month_pct sm
+        ON f.branch = sm.branch AND f.move_type = sm.move_type AND f.imonth = sm.month
       LEFT JOIN pct p
         ON f.branch = p.branch AND f.move_type = p.move_type
        AND f.month = p.month AND f.day = p.day
       LEFT JOIN month_pct m
         ON f.branch = m.branch AND f.move_type = m.move_type AND f.month = m.month
     ),
+    scaled AS (
+      SELECT branch, move_type, input_date, ds, branch_forecast, month, day,
+             COALESCE(scale_day_avg, scale_month_avg, 1e0) AS pct_used,
+             CAST(FLOOR(GREATEST(
+               COALESCE(scale_day_avg, scale_month_avg, 1e0) / 1e2 * branch_forecast,
+               0e0) + 0.5) AS BIGINT)                     AS predicted_moves,
+             COALESCE(avg_percentage, month_avg_percentage, 1e0) AS hist_avg,
+             CASE WHEN branch_forecast > 0
+                  THEN CAST(FLOOR(GREATEST(
+                         COALESCE(scale_day_avg, scale_month_avg, 1e0) / 1e2 * branch_forecast,
+                         0e0) + 0.5) AS BIGINT) / branch_forecast * 1e2
+                  ELSE 0e0 END                            AS implied
+      FROM joined
+    ),
+    banded AS (
+      SELECT *,
+             FLOOR((implied - hist_avg) * 1e4 + 0.5) / 1e4 AS diff_pp
+      FROM scaled
+    ),
     tail AS (
       SELECT branch,
              move_type,
+             input_date,
              ds,
-             ROUND(branch_forecast, 2)                  AS branch_forecast,
+             FLOOR(branch_forecast * 1e2 + 0.5) / 1e2   AS branch_forecast,
              FLOOR(pct_used * 1e4 + 0.5) / 1e4          AS pct_used,
-             CAST(FLOOR(GREATEST(pct_used / 1e2 * branch_forecast, 0e0) + 0.5) AS BIGINT)
-                                                        AS predicted_moves,
+             predicted_moves,
+             FLOOR(hist_avg * 1e4 + 0.5) / 1e4          AS hist_avg,
              diff_pp,
              {_BAND_SQL}                                AS band,
              {_phrase_sql(_BAND_SQL, "(branch * 31 + month * 7 + day) % 3")}
-               || ' (' || printf('%.1f', FLOOR(pct_used * 1e1 + 0.5) / 1e1)
-               || '% of branch volume)'                 AS comment
-      FROM joined
+               || ' (' || printf('%.1f', FLOOR(hist_avg * 1e1 + 0.5) / 1e1)
+               || '% hist, ' || printf('%.1f', FLOOR(implied * 1e1 + 0.5) / 1e1)
+               || '% now)'                              AS comment
+      FROM banded
     )"""
 
 
@@ -199,6 +233,7 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "branch",
             F.lit("R").alias("move_type"),
+            F.lit("1996-06-01").cast("date").alias("input_date"),
             "ds",
             (50 + (F.col("branch") * 7 + F.dayofmonth("ds")) % 50)
             .cast("double")
@@ -214,8 +249,8 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "join", "coalesce"),
     oracle=f"""
     {_TAIL_SQL}
-    SELECT branch, move_type, ds, branch_forecast, pct_used, predicted_moves,
-           diff_pp, band, comment
+    SELECT branch, move_type, input_date, ds, branch_forecast, pct_used,
+           predicted_moves, hist_avg, diff_pp, band, comment
     FROM tail
     """,
 )
@@ -377,25 +412,23 @@ _TAIL_DEMOTED_SQL = f"""
              CASE WHEN b.branch <= 5 THEN 'R' ELSE NULL END AS move_type,
              CAST(d.d AS DATE)              AS ds,
              CAST(50 + ((b.branch * 7 + day(d.d)) % 50) AS DOUBLE) AS branch_forecast,
-             CAST(month(d.d) AS INT)        AS month,
-             CAST(day(d.d) AS INT)          AS day
+             CAST(month(DATE '1996-06-01') AS INT) AS imonth,
+             CAST(day(DATE '1996-06-01') AS INT)   AS iday
       FROM (SELECT unnest(range(1, 11)) AS branch) b,
            (SELECT unnest(generate_series(DATE '1996-06-01', DATE '1996-06-07',
                                           INTERVAL 1 DAY)) AS d) d
     ),
     joined AS (
-      SELECT f.branch, f.move_type, f.ds, f.branch_forecast, f.month, f.day,
-             p.avg_percentage,
-             m.month_avg_percentage,
+      SELECT f.branch, f.move_type, f.ds, f.branch_forecast,
              CASE WHEN f.move_type IS NULL THEN 1e2
-                  ELSE COALESCE(p.avg_percentage, m.month_avg_percentage, 1e0)
+                  ELSE COALESCE(sp.avg_percentage, sm.month_avg_percentage, 1e0)
              END AS pct_used
       FROM frame f
-      LEFT JOIN pct p
-        ON f.branch = p.branch AND f.move_type = p.move_type
-       AND f.month = p.month AND f.day = p.day
-      LEFT JOIN month_pct m
-        ON f.branch = m.branch AND f.move_type = m.move_type AND f.month = m.month
+      LEFT JOIN pct sp
+        ON f.branch = sp.branch AND f.move_type = sp.move_type
+       AND f.imonth = sp.month AND f.iday = sp.day
+      LEFT JOIN month_pct sm
+        ON f.branch = sm.branch AND f.move_type = sm.move_type AND f.imonth = sm.month
     )
     SELECT branch, move_type, ds,
            FLOOR(pct_used * 1e4 + 0.5) / 1e4 AS pct_used,
@@ -437,6 +470,7 @@ def forecast_tail_demoted_move_type(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "branch",
             F.when(F.col("branch") <= 5, F.lit("R")).otherwise(F.lit(None)).alias("move_type"),
+            F.lit("1996-06-01").cast("date").alias("input_date"),
             "ds",
             (50 + (F.col("branch") * 7 + F.dayofmonth("ds")) % 50)
             .cast("double")
