@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import r4
 from ..functions.text import fingerprint, shingles_from_tokens, tokens
+from .materialize import checkpoint_parquet
 
 MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
 # 32 permutations in 8 bands of 4: catch probability ≥ 0.9998 at j=0.9
@@ -75,14 +76,46 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,  # optional (doc_a, doc_b) restriction
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard similarity for pairs sharing ≥1 shingle
     (inverted-index join), optionally restricted to candidate pairs.
 
     Output: doc_a, doc_b (a<b), n_common, n_a, n_b, jaccard — only pairs at
     or above ``threshold``.
+
+    Scale fences (the inverted-index self-join is quadratic in per-shingle
+    document frequency, so the standalone pass needs both):
+
+    - ``max_df``: shingles appearing in more than ``max_df`` documents are
+      STOP-SHINGLES, dropped from the index AND from the per-doc set sizes
+      (so jaccard stays a true set similarity over the capped universe).
+      Bounds the worst shingle's join fan-out at max_df² instead of n².
+      Callers that need the uncapped semantics pass ``max_df=None``.
+    - ``candidates``: the restriction is applied to the POSTINGS before the
+      self-join (semi-join on the candidate doc-id set), not just to pairs
+      after the groupBy — with candidates given, join cost is proportional
+      to the candidate docs' postings, not the corpus's.
     """
-    sh = _shingled(docs, id_col, text_col, k).cache()
+    sh = _shingled(docs, id_col, text_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+    # One pass over the corpus, then both self-join sides and the size
+    # aggregate scan the files — no recompute, no executor-memory pin.
+    sh = checkpoint_parquet(sh, "jaccard-postings")
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, on="doc_id", how="left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -94,6 +127,8 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
+        # exact pair-level restriction (the id-level semi above still
+        # admits cross pairs between unrelated candidates)
         common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -205,19 +240,21 @@ def minhash_dedup_pairs(
     all-pairs inverted-index join (that pass exists standalone as
     :func:`jaccard_pairs`)."""
     # Signatures and shingle-sets are tiny (one row per doc) but their
-    # lineage re-shingles the corpus, and both feed self-joins. Cache AND
-    # eagerly materialize: a cold cache inside a self-join still computes
-    # the subtree once per side within the same action.
-    sig = minhash_signatures(docs, id_col, text_col, k).cache()
-    sig.count()
+    # lineage re-shingles the corpus, and both feed self-joins. Checkpoint
+    # to parquet (see operators.materialize): the subtree runs exactly
+    # once, the self-join sides re-scan small columnar files, and nothing
+    # pins executor storage memory at 100 TB the way caching every doc's
+    # shingle set would.
+    sig = checkpoint_parquet(
+        minhash_signatures(docs, id_col, text_col, k), "minhash-sig"
+    )
     cand = minhash_lsh_candidates(sig)
-    sets = (
+    sets = checkpoint_parquet(
         docs.repartition(F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
-        .cache()
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs")),
+        "minhash-sets",
     )
-    sets.count()
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
     )

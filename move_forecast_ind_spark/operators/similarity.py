@@ -146,26 +146,72 @@ def ann_lsh_topk(
     )
 
 
+def fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Seeded MLlib k-means fit over the embedding column → a centroid
+    DataFrame ``(cent_id int, cv array<double>)``.
+
+    This is the IVF coarse quantizer: `KMeans` (kmeans|| init, fixed seed)
+    runs as a distributed treeAggregate per iteration — no driver-side data
+    pull beyond the k centroid vectors themselves, which are exactly the
+    "model" and small by construction. Persist them with
+    :func:`save_centroids` (S6 model-artifact sink) so serving jobs load
+    the fitted quantizer instead of re-fitting.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        as_double(F.col("embedding")).alias("arr")
+    ).select(array_to_vector("arr").alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cent_id int, cv array<double>")
+
+
+def save_centroids(cents: DataFrame, path: str) -> None:
+    """S6: persist the fitted coarse quantizer (tiny, one parquet file)."""
+    cents.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_centroids_mod: int = 50,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
     nprobe: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus against a centroid set,
+    """IVF ANN: coarse-quantize the corpus against a k-means centroid set,
     probe only the query's ``nprobe`` nearest cells, exact re-rank inside.
 
-    Centroids here are a deterministic corpus subset (vec_id % mod == 0) —
-    at scale they come from a k-means fit, but the *operator topology* is
-    identical: (1) broadcast centroids, assign every corpus vector to its
-    nearest cell via argmin over the broadcast (one map stage, no shuffle
-    of the corpus); (2) for each query pick nprobe cells the same way;
-    (3) equi-join on cell id — the join only touches ~nprobe/n_cells of
-    the corpus — and exact-rank the survivors.
+    ``centroids`` is a fitted ``(cent_id, cv)`` frame (see
+    :func:`fit_centroids` / :func:`load_centroids`); when None, a seeded
+    k-means fit runs inline. The operator topology is the scale story:
+    (1) broadcast centroids, assign every corpus vector to its nearest
+    cell via argmin over the broadcast (one map stage, no shuffle of the
+    corpus); (2) for each query pick nprobe cells the same way; (3)
+    equi-join on cell id — the join only touches ~nprobe/n_cells of the
+    corpus — and exact-rank the survivors.
     """
-    cents = corpus.filter(F.col("vec_id") % n_centroids_mod == 0).select(
-        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    if centroids is None:
+        centroids = fit_centroids(corpus, n_centroids=n_centroids, seed=seed)
+    cents = F.broadcast(
+        centroids.select("cent_id", as_double(F.col("cv")).alias("cv"))
     )
 
     def assign(df: DataFrame, id_alias: str, n: int) -> DataFrame:

@@ -43,6 +43,55 @@ def salted_join(
     return out.drop("__salt")
 
 
+def detect_skew(
+    df: DataFrame,
+    keys: list[str],
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+    top_n: int = 20,
+    skew_ratio: float = 4.0,
+) -> DataFrame:
+    """Sample → hot-key report: estimate per-key row counts from a seeded
+    sample and flag keys whose share exceeds ``skew_ratio``× the mean key
+    load, with a suggested salt factor per hot key.
+
+    Returns the ``top_n`` heaviest keys as
+    ``(*keys, est_rows, share, mean_share, is_hot, suggested_salts)`` —
+    a driver-sized frame (one action over a 1% sample, no full shuffle of
+    the input: the sample is a narrow map-side filter and the groupBy
+    shuffles only sampled rows).
+
+    ``suggested_salts`` is ceil(share / mean_share) capped at 64 — enough
+    splits to bring the hot key's per-task load back to the mean. Feed it
+    to :func:`salted_join` / :func:`salted_aggregate`, or trust AQE's
+    skew-join split when the skew is mild (this report is how you decide).
+    """
+    sampled = df.sample(fraction=sample_fraction, seed=seed)
+    counts = sampled.groupBy(*keys).agg(F.count(F.lit(1)).alias("sample_rows"))
+    totals = counts.agg(
+        F.sum("sample_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    est = F.col("sample_rows") / F.lit(sample_fraction)
+    share = F.col("sample_rows") / F.col("total")
+    mean_share = F.lit(1.0) / F.col("n_keys")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            est.cast("long").alias("est_rows"),
+            share.alias("share"),
+            mean_share.alias("mean_share"),
+            (share > mean_share * F.lit(skew_ratio)).alias("is_hot"),
+            F.least(
+                F.ceil(share / mean_share).cast("int"), F.lit(64)
+            ).alias("suggested_salts"),
+        )
+        .orderBy(F.col("est_rows").desc())
+        .limit(top_n)
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -162,7 +162,7 @@ def train_prophet_models(daily: DataFrame, cutoff: str) -> DataFrame:
     oracle-checked path.
     """
     try:
-        from prophet import Prophet  # noqa: F401
+        from prophet import Prophet
     except ImportError as e:
         raise NotImplementedError(
             "prophet is not installed in this environment; use train_models "
@@ -171,9 +171,10 @@ def train_prophet_models(daily: DataFrame, cutoff: str) -> DataFrame:
 
     import pickle
 
+    # Capture the class at plan-build time (driver-side import, fail-fast)
+    # and close over it — the applyInPandas workers deserialize the closure
+    # instead of re-importing, so the gate is checked exactly once.
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        from prophet import Prophet
-
         pdf = pdf.sort_values("ds")
         if len(pdf) < 2:
             return pd.DataFrame(columns=["branch", "model_bytes"])

@@ -148,18 +148,48 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate distinct — sketch-based; values are engine-specific by design,
-# so the contract is rows-only (the driver records the weaker check).
-@register("a_approx_count_distinct", tags=("aggregate", "approx"), oracle=None)
+# Approximate distinct — sketch values are engine-specific by design, so
+# the oracle contract is: emit the EXACT value alongside and a bounded-
+# relative-error flag; DuckDB recomputes the exact value and asserts the
+# bound as a literal. A sketch regression (>5% error) flips the hash.
+@register(
+    "a_approx_count_distinct",
+    tags=("aggregate", "approx"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_within_5pct,
+           true AS orders_within_5pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate: fixed-size sketch per partition, so
     at 100 TB the shuffle is O(tasks), unlike exact distinct which shuffles
-    every key once. rsd=0.01 keeps the estimate within ~1%."""
+    every key once. rsd=0.01 keeps the estimate within ~1%; the oracle gate
+    asserts ≤5% relative error against the exact count."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+
+    def within(approx, exact):
+        return (
+            F.abs(approx - exact) / exact <= F.lit(0.05)
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("ap"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("ao"), F.col("exact_orders")).alias("orders_within_5pct"),
     )
 
 
@@ -189,13 +219,34 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_percentile_approx", tags=("aggregate", "approx"), oracle=None)
+@register(
+    "a_percentile_approx",
+    tags=("aggregate", "approx"),
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r4('quantile_cont(l_extendedprice, 0.5)')} AS p50_price_exact,
+           true AS p50_within_5pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def a_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch percentile for the 100 TB path (bounded-memory, mergeable)."""
+    """Sketch percentile for the 100 TB path (bounded-memory, mergeable
+    partials). Sketch outputs are engine-specific, so the hash gate runs on
+    the exact percentile plus a ≤5%-relative-error assertion on the sketch
+    (the oracle recomputes the exact value and asserts the bound)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        r4(F.col("exact")).alias("p50_price_exact"),
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= F.lit(0.05)).alias(
+            "p50_within_5pct"
+        ),
     )
 
 

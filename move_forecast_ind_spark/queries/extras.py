@@ -426,17 +426,33 @@ def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- sampling (rows-only: engine RNGs differ by design) --------------------
-@register("s_deterministic_sample", tags=("scan", "sample"), oracle=None)
+# --- sampling --------------------------------------------------------------
+@register(
+    "s_deterministic_sample",
+    tags=("scan", "sample"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+          IN ('0', '1')
+    """,
+)
 def s_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — deterministic per (seed, partitioning), but
-    the sampling sequence is Spark-specific → rows-only contract (re-run
-    determinism asserted by the harness)."""
+    """Deterministic ~1/8 sample via an md5 hash gate on the row key — the
+    reproducible-at-scale alternative to engine RNG sampling: the same rows
+    are selected regardless of engine, partitioning, or cluster size (both
+    engines compute identical md5 hex), so downstream experiments are
+    replayable. (Spark's seeded ``df.sample`` exists but its sequence is
+    engine- and partitioning-specific, which breaks the cross-engine hash
+    gate and re-runs after repartitioning.)"""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
     )
+    return li.filter(
+        F.substring(F.md5(key), 1, 1).isin("0", "1")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @register(
@@ -616,20 +632,45 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Python UDTF (SURVEY §2.11: table-function surface) -------------------
-@register("f_python_udtf_expand", tags=("udtf",), oracle=None)
+@register(
+    "f_python_udtf_expand",
+    tags=("udtf",),
+    oracle="""
+    WITH n_of AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice < 200000 THEN 2 ELSE 4 END AS n
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    expanded AS (
+      SELECT o_orderkey, o_totalprice, n,
+             unnest(generate_series(1, n)) AS i
+      FROM n_of
+    )
+    SELECT o_orderkey AS orderkey,
+           CAST(i AS INT) AS installment,
+           FLOOR((o_totalprice / n) * 1e2 + 0.5) / 1e2 AS amount
+    FROM expanded
+    """,
+)
 def f_python_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4): expand each order into per-installment rows
     (a table function computing a variable-length output per input row),
-    invoked via LATERAL in SQL. Arrow-evaluated; rows-only contract (UDTFs
-    aren't ANSI-SQL) with determinism asserted by the harness re-run."""
+    invoked via LATERAL in SQL. Arrow-evaluated. The UDTF machinery isn't
+    ANSI-SQL, but its arithmetic is portable (floor-based rounding, see
+    functions.rounding), so the oracle re-derives the identical expansion
+    with generate_series — a full value-hash check of the UDTF output."""
     tune(spark)
+    import math
+
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="orderkey bigint, installment int, amount double")
     class SplitIntoInstallments:
         def eval(self, o_orderkey: int, o_totalprice: float):
             n = 2 if o_totalprice < 200000 else 4
-            per = round(o_totalprice / n, 2)
+            # portable half-up rounding (matches FLOOR(x*1e2+0.5)/1e2 in
+            # both engines; Python round() is half-even and diverges)
+            per = math.floor((o_totalprice / n) * 100.0 + 0.5) / 100.0
             for i in range(n):
                 yield o_orderkey, i + 1, per
 
@@ -677,6 +718,46 @@ def q2_correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l.l_partkey, l.l_orderkey, l.l_linenumber
         """
     )
+
+
+_Q21_SQL = """
+    SELECT s.s_suppkey,
+           s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 100
+    """
+
+
+@register("q21_exists_chain", tags=("subquery", "exists", "classic"), oracle=_Q21_SQL)
+def q21_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self-joins on
+    lineitem — suppliers who were the SOLE returned-flag supplier in
+    multi-supplier finished orders. (The fixture lacks receipt/commit
+    dates, so l_returnflag='R' stands in for the late-delivery flag; the
+    decorrelation shape — two semi/anti self-joins on l_orderkey — is
+    identical to the classic query.) LIMIT is deterministic: (numwait DESC,
+    s_suppkey) is a total order."""
+    tune(spark)
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_Q21_SQL)
 
 
 @register(

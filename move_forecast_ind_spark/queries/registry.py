@@ -85,6 +85,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "mm_binary_metadata",
     "dedup_embedding_cosine",
     "text_bpe_ish_token_count",
+    "text_quality",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "f_python_udtf_expand",
     # sketches + ANN + sampling (oracle-converted in round 2)
     "a_approx_count_distinct",
     "a_percentile_approx",

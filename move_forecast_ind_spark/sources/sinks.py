@@ -80,6 +80,40 @@ def upsert_overwrite(
     spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
 
 
+def upsert_partition_overwrite(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    partition_cols: list[str],
+) -> None:
+    """Incremental upsert at PARTITION grain — the ``replaceWhere`` pattern
+    without Delta: rewrite only the partitions present in ``updates``
+    (Spark dynamic partition overwrite), leaving every other partition's
+    files untouched.
+
+    This matches the reference's incremental upsert semantics
+    (precompute_percentages.py:218-233 ON CONFLICT DO UPDATE, resumed
+    mid-keyspace by checkpoint): re-deriving one branch's rows replaces
+    exactly that branch's partition. Contract: ``updates`` must carry the
+    COMPLETE new contents of each touched partition (derived tables
+    recomputed per-partition satisfy this by construction — each partition
+    is a pure function of its slice of the input).
+
+    At 100 TB this is the difference between rewriting ~1/110th of the
+    table per incremental branch refresh and rewriting all of it; the
+    key-level anti-join MERGE (:func:`upsert_overwrite`) stays the tool
+    for sub-partition updates.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     """S8's information_schema probe, catalog-native."""
     return spark.catalog.tableExists(name)

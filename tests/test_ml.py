@@ -72,3 +72,66 @@ def test_prophet_tier_gated_cleanly(spark):
         pass
     with _pytest.raises(NotImplementedError):
         train_prophet_models(_daily_series(spark, SF_SMALL), cutoff="1998-12-31")
+
+
+FAKE_PROPHET_SRC = '''
+"""Minimal stand-in for the prophet package (test fixture): records the
+constructor kwargs and the fitted row count, picklable by stdlib pickle."""
+
+
+class Prophet:
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def fit(self, df):
+        assert list(df.columns) == ["ds", "y"]
+        self.n_obs = len(df)
+        return self
+'''
+
+
+def test_prophet_tier_wiring_with_fake_module(spark, tmp_path):
+    """The reference-exact Prophet tier can't execute here (prophet not
+    installed), but its Spark wiring — groupBy().applyInPandas with the
+    registry schema, the reference's hyperparameters — must be real. Ship a
+    minimal fake `prophet` module to driver + workers and run the plan
+    end-to-end."""
+    import pickle
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.plans.training import (
+        PROPHET_PARAMS,
+        train_prophet_models,
+    )
+
+    mod = tmp_path / "prophet.py"
+    mod.write_text(FAKE_PROPHET_SRC)
+    spark.sparkContext.addPyFile(str(mod))  # importable in executors
+    saved_path = list(sys.path)
+    sys.path.insert(0, str(tmp_path))  # importable in the driver
+    sys.modules.pop("prophet", None)
+    try:
+        daily = spark.createDataFrame(
+            [
+                (b, f"2020-01-{d:02d}", float(10 * b + d))
+                for b in (1, 2)
+                for d in range(1, 11)
+            ],
+            "branch long, ds string, y double",
+        ).select("branch", F.col("ds").cast("date").alias("ds"), "y")
+
+        models = train_prophet_models(daily, cutoff="2020-01-31")
+        rows = {r.branch: r for r in models.collect()}
+    finally:
+        # restore the no-prophet state so the clean-gate test stays valid
+        sys.modules.pop("prophet", None)
+        sys.path[:] = saved_path
+
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        m = pickle.loads(bytes(r.model_bytes))
+        # hyperparameters flowed through to the (fake) fit, per branch
+        assert m.kwargs == PROPHET_PARAMS
+        assert m.n_obs == 10

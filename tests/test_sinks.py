@@ -146,3 +146,54 @@ def test_branch_from_path_parse(spark):
     )
     got = [r[0] for r in df.select(branch_from_path(F.col("p"))).collect()]
     assert got == ["Mumbai", "New Delhi"]
+
+
+def test_partition_upsert_equals_full_recompute(spark, tmpdir):
+    """S5 incremental: overwriting only the touched branch partitions
+    (dynamic partition overwrite) must converge to the same table as a
+    full recompute — and must NOT touch other partitions' files."""
+    import os
+
+    from move_forecast_ind_spark.plans.percentages import compute_percentages
+    from move_forecast_ind_spark.sources import load_table
+    from move_forecast_ind_spark.sources.sinks import (
+        upsert_partition_overwrite,
+        write_partitioned,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    pct = compute_percentages(li, "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity")
+    target = os.path.join(tmpdir, "pct_inc")
+
+    # initial state: branches <= 3 hold STALE values, the rest are current
+    stale = pct.filter(F.col("branch") <= 3).withColumn(
+        "avg_percentage", F.lit(-1.0)
+    )
+    write_partitioned(
+        stale.unionByName(pct.filter(F.col("branch") > 3)), target, "branch"
+    )
+    untouched_files = set()
+    for d in os.listdir(target):
+        if d.startswith("branch=") and int(d.split("=")[1]) > 3:
+            untouched_files |= {
+                os.path.join(d, f) for f in os.listdir(os.path.join(target, d))
+            }
+
+    # incremental refresh of just the stale branches
+    upsert_partition_overwrite(
+        spark, target, pct.filter(F.col("branch") <= 3), ["branch"]
+    )
+
+    merged = spark.read.parquet(target)
+    key = ["branch", "move_type", "month", "day"]
+    full = {tuple(r[k] for k in key): r.avg_percentage for r in pct.collect()}
+    got = {tuple(r[k] for k in key): r.avg_percentage for r in merged.collect()}
+    assert got == full
+    # other partitions' files were not rewritten
+    still = set()
+    for d in os.listdir(target):
+        if d.startswith("branch=") and int(d.split("=")[1]) > 3:
+            still |= {
+                os.path.join(d, f) for f in os.listdir(os.path.join(target, d))
+            }
+    assert untouched_files <= still

@@ -56,3 +56,30 @@ def test_salted_aggregate_matches_plain(spark):
     assert set(p) == set(s)
     for k in p:
         assert abs(p[k][0] - s[k][0]) < 1e-6 and p[k][1] == s[k][1]
+
+
+def test_detect_skew_flags_hot_key(spark):
+    """A synthetic 90/10 skew: one key owning ~90% of rows must be flagged
+    hot with a salt factor that spreads it back toward the mean load."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.operators.skew import detect_skew
+
+    hot = spark.range(0, 90_000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(0, 10_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 20).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    report = detect_skew(
+        hot.unionByName(cold), keys=["k"], sample_fraction=0.05, top_n=5
+    ).collect()
+    by_key = {r.k: r for r in report}
+    assert "HOT" in by_key
+    assert by_key["HOT"].is_hot
+    assert by_key["HOT"].suggested_salts >= 8
+    # cold keys near the mean must NOT be flagged
+    assert all(not r.is_hot for r in report if r.k != "HOT")
+    # estimates should recover the true magnitude within sampling noise
+    assert 60_000 <= by_key["HOT"].est_rows <= 120_000
