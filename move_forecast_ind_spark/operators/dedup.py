@@ -38,6 +38,18 @@ N_PERM = 32
 BAND_SIZE = 4
 N_BANDS = N_PERM // BAND_SIZE  # 8
 
+# Affine-permutation coefficients h -> (a·h + b) mod M, drawn once from a
+# seeded RNG. The coefficients MUST be full-range: small sequential
+# multipliers (e.g. a = 2i+1) make the map nearly ORDER-PRESERVING on
+# [0, M/a) — every "permutation" then selects (a transform of) the same
+# globally-minimal base hash, collapsing the 32 minhashes into correlated
+# copies whose agreement no longer estimates Jaccard (observed: 14/32
+# agreement on a 0.96-Jaccard pair). Products stay < 2^62: no overflow in
+# a signed 64-bit long.
+_PERM_RNG = __import__("numpy").random.RandomState(20240813)
+PERM_A: list[int] = [int(x) for x in _PERM_RNG.randint(1, MERSENNE31, N_PERM)]
+PERM_B: list[int] = [int(x) for x in _PERM_RNG.randint(0, MERSENNE31, N_PERM)]
+
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via canonical fingerprint: one row per distinct content,
@@ -154,8 +166,9 @@ def minhash_signatures(
     """N_PERM (32) deterministic min-hashes per doc.
 
     Base hash: pmod(xxhash64(shingle, seed=42), 2^31-1). Permutation i:
-    h_i = (a_i·h + b_i) mod (2^31-1) with fixed odd multipliers — products
-    stay under 2^62, no overflow.
+    h_i = (a_i·h + b_i) mod (2^31-1) with seeded full-range coefficients
+    (PERM_A/PERM_B — see the module-level note on why small multipliers
+    break the estimator) — products stay under 2^62, no overflow.
 
     Shape: collect the per-doc base hashes into one array, then take the 32
     permutation minima as in-row array folds. This beats the naive
@@ -176,7 +189,7 @@ def minhash_signatures(
         # NB: the lambda must take exactly ONE argument — a two-arg lambda
         # would be called as (element, array_index) by F.transform and
         # silently shadow the permutation constant.
-        a, b = 2 * i + 1, i * 7919 + 1
+        a, b = PERM_A[i], PERM_B[i]
         return F.array_min(
             F.transform(
                 "hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))

@@ -135,11 +135,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle contract: the cascade's output is compared against the EXACT
     inverted-index Jaccard pass — a full value-hash check, valid because
     (a) the verify stage computes true Jaccard on candidates (precision is
-    1.0 by construction), and (b) on this corpus every true pair sits at
-    jaccard ≥ 0.88, where the 8×4 banding's miss probability is < 4e-4 and
-    the fixed-permutation pipeline is fully deterministic — measured recall
-    is exactly 1.0 at every fixture scale, every run. A recall regression
-    (lost pair) would flip the row count/hash."""
+    1.0 by construction), and (b) the fixed-permutation pipeline is fully
+    deterministic and measured recall is exactly 1.0 at sf0.001/0.01/0.1
+    (the fixtures' weakest true pair sits at j=0.8, where 8×4 banding
+    misses with p≈1.5%; every other pair is ≥0.88 where p<4e-4). This is a
+    fixture contract, not a universal guarantee — on other corpora pairs
+    near the 0.5 threshold would make the cascade a (verified-precision)
+    approximation, which is the standard LSH trade. A recall regression
+    here flips the row count/hash."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
