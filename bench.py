@@ -22,6 +22,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# DuckDB anchor at sf0.1 (BASELINE.md "DuckDB anchor" section): wall-clock of
+# each query's oracle SQL under DuckDB (all cores, COUNT-wrapped to mirror
+# the .count() action, min of 2). Recorded 2026-08-13 by
+# tools/bench_duckdb.py; re-run that script to refresh. Ratios are only
+# emitted when benching at the anchor's scale factor.
+DUCKDB_ANCHOR_SF = 0.1
+DUCKDB_ANCHOR_SEC: dict[str, float] = {
+    "dedup_exact": 0.062,
+    "dedup_minhash_lsh": 0.607,
+    "dedup_ngram_jaccard": 0.594,
+    "forecast_tail_daily": 0.422,
+    "j1_broadcast_dim_join": 0.027,
+    "j_asof_join": 0.023,
+    "j_multiway_star_join": 0.039,
+    "j_sortmerge_join": 0.044,
+    "ml_linreg_forecast": 0.016,
+    "pct_etl": 0.21,
+    "q1_pricing_summary": 0.07,
+    "q3_shipping_priority": 0.08,
+    "sim_cosine_topk": 0.011,
+    "st_session_stats": 0.035,
+    "st_tumbling_counts": 0.009,
+    "text_stats": 0.002,
+    "trends_onepass": 0.016,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,18 +82,28 @@ def main() -> None:
         print(f"# {name}: {n} rows in {best:.3f}s (min of 2)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall-clock "
-                "(sum of per-query steady-state sec, min of 2 runs)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline query suite wall-clock "
+        "(sum of per-query steady-state sec, min of 2 runs)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if sf == DUCKDB_ANCHOR_SF:
+        ratios = {
+            name: round(t / DUCKDB_ANCHOR_SEC[name], 2)
+            for name, t in timings.items()
+            if name in DUCKDB_ANCHOR_SEC
+        }
+        anchor_total = round(
+            sum(DUCKDB_ANCHOR_SEC[n] for n in ratios), 3
         )
-    )
+        spark_total = round(sum(timings[n] for n in ratios), 3)
+        out["duckdb_anchor_sec"] = DUCKDB_ANCHOR_SEC
+        out["ratio_vs_duckdb"] = ratios
+        out["ratio_total_vs_duckdb"] = round(spark_total / anchor_total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

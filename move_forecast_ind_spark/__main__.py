@@ -1,14 +1,16 @@
 """Command-line entry point — the switchable user surface.
 
 The reference exposes POST /forecast/ and POST /historical_trends/ over
-uvicorn (reference main.py:415-447). This engine's equivalent surface is a
-CLI over the same request shapes (an HTTP layer would wrap these same
-functions; no web framework is assumed in this environment):
+uvicorn (reference main.py:415-447). This engine offers the same surface
+two ways: a CLI over the request shapes, and a real HTTP server
+(``serve`` → move_forecast_ind_spark/server.py, stdlib ThreadingHTTPServer
+— no web framework exists in this environment and none is required):
 
     python -m move_forecast_ind_spark forecast --date 1999-06-03 --branch 7 \
         [--move-type R] [--sf-dir /root/testdata/sf0.01]
     python -m move_forecast_ind_spark trends   --date 1999-06-03 --branch 7
     python -m move_forecast_ind_spark pct-etl  --out /tmp/pct
+    python -m move_forecast_ind_spark serve    --port 8000
     python -m move_forecast_ind_spark list-queries
 
 Output is one JSON document on stdout (the S7 response shape); errors exit 2
@@ -103,6 +105,43 @@ def cmd_pct_etl(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .plans.percentages import compute_percentages
+    from .plans.training import train_models
+    from .queries.ml import CUTOFF, _daily_series
+    from .server import ServingContext, serve
+    from .sources import load_table
+
+    spark = _spark()
+    li = load_table(spark, args.sf_dir, "lineitem").cache()
+    ctx = ServingContext(
+        spark=spark,
+        models=train_models(_daily_series(spark, args.sf_dir), cutoff=CUTOFF).cache(),
+        pct=compute_percentages(
+            li, branch_col="l_suppkey", type_col="l_returnflag",
+            date_col="l_shipdate", count_col="l_quantity",
+        ).cache(),
+        facts=li,
+        branch_col="l_suppkey",
+        date_col="l_shipdate",
+        count_col="l_quantity",
+        type_col="l_returnflag",
+        today=dt.date.fromisoformat(args.today),
+        max_date=dt.date.fromisoformat(args.max_date),
+        years=(1995, 2000),
+    )
+    srv = serve(ctx, host=args.host, port=args.port)
+    print(
+        json.dumps({"serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}"}),
+        flush=True,
+    )
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_list_queries(args) -> int:
     from .queries import REGISTRY
 
@@ -139,6 +178,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("pct-etl", parents=[common])
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_pct_etl)
+
+    s = sub.add_parser("serve", parents=[common])
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.set_defaults(fn=cmd_serve)
 
     lq = sub.add_parser("list-queries")
     lq.set_defaults(fn=cmd_list_queries)

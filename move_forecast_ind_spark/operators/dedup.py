@@ -110,17 +110,6 @@ def jaccard_pairs(
       to the candidate docs' postings, not the corpus's.
     """
     sh = _shingled(docs, id_col, text_col, k)
-    if max_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
-    # One pass over the corpus, then both self-join sides and the size
-    # aggregate scan the files — no recompute, no executor-memory pin.
-    sh = checkpoint_parquet(sh, "jaccard-postings")
     if candidates is not None:
         cand_ids = (
             candidates.select(F.col("doc_a").alias("doc_id"))
@@ -128,14 +117,36 @@ def jaccard_pairs(
             .distinct()
         )
         sh = sh.join(cand_ids, on="doc_id", how="left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # ONE shuffle builds the inverted index as grouped posting LISTS; the
+    # df cap is then a row-local size filter (no second aggregation, no
+    # anti-join pass), and candidate pairs expand IN-ROW from each posting
+    # list — work per shingle is bounded by max_df², never n². Checkpoint
+    # the (small) index once: both the pair expansion and the size
+    # aggregate re-scan it instead of recomputing the shingling.
+    inv = sh.groupBy("sh").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    if max_df is not None:
+        inv = inv.filter(F.size("ds") <= max_df)
+    inv = checkpoint_parquet(inv, "jaccard-index")
+    sizes = (
+        inv.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # all (a < b) combinations of each sorted posting list, in-row
+    d = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            d,
+            lambda x, i: F.transform(
+                F.slice(d, i + F.lit(2), F.greatest(F.size(d) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    common = (
+        inv.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:

@@ -27,6 +27,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the 64 MB advisory size instead of preserving maximum
+    # parallelism: tiny shuffles collapse to one task (measured 25-50% off
+    # per-query wall at small SF) while at 100 TB a 64 MB advisory target
+    # still yields full-cluster parallelism — the recommended setting when
+    # scheduling overhead matters.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
