@@ -250,6 +250,95 @@ def a_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_approx_top_k",
+    tags=("aggregate", "approx", "sketch"),
+    oracle="""
+    SELECT p_brand AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    GROUP BY 1
+    """,
+)
+def a_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark ``approx_top_k``): mergeable bounded-
+    memory heavy-hitters — the 100 TB replacement for a full GROUP BY when
+    only the head of the distribution matters. Hash-checkable here because
+    k (50) and maxItemsTracked exceed the column's cardinality (25 brands),
+    where the sketch is EXACT by construction — requesting k above
+    cardinality sidesteps tie-order at a top-k boundary, which the sketch
+    does not define."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    top = part.agg(F.expr("approx_top_k(p_brand, 50)").alias("tk"))
+    return top.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+
+
+@register(
+    "a_hll_sketch_distinct",
+    tags=("aggregate", "approx", "sketch"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           true AS hll_within_5pct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL (``hll_sketch_agg``/``hll_sketch_estimate``):
+    unlike ``approx_count_distinct``, the binary sketch itself is a column —
+    storable and union-mergeable across partitions/days, the building block
+    of incremental distinct-count rollups at 100 TB. Oracle gate: exact
+    value + ≤5% relative-error assertion (sketch estimates are
+    engine-specific)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= F.lit(0.05)
+        ).alias("hll_within_5pct"),
+    )
+
+
+@register(
+    "a_pivot_dynamic",
+    tags=("aggregate", "pivot"),
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_r2("SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)")} AS "1-URGENT",
+           {sql_r2("SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)")} AS "2-HIGH",
+           {sql_r2("SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)")} AS "3-MEDIUM",
+           {sql_r2("SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)")} AS "4-NOT SPECIFIED",
+           {sql_r2("SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)")} AS "5-LOW"
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with DISCOVERED values (no explicit list): Spark runs a
+    distinct-scan job to find the pivot columns, then the pivot aggregate —
+    the two-job dynamic path, vs a_pivot's single-job static one. The
+    oracle enumerates the fixture's priority values explicitly (dynamic
+    PIVOT output schema must still be deterministic to hash)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .agg(r2(F.sum("o_totalprice")))
+    )
+
+
 # Moments / stats.
 @register(
     "a_stats_moments",

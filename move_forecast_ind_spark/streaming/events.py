@@ -199,6 +199,63 @@ def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+def apply_count_delta(batch_df: DataFrame, batch_id: int, target_path: str) -> None:
+    """Merge one micro-batch's per-(event_type, day) counts into a derived
+    table, rewriting ONLY the touched event_type partitions
+    (sinks.upsert_partition_overwrite) — the streaming analog of the
+    reference's incremental precompute upsert.
+
+    Exactly-once: a ``_applied/batch=N`` marker makes re-delivered batches
+    no-ops (delta-merge is not naturally idempotent, unlike the
+    overwrite-by-batch-id sink below), so the count table is correct under
+    foreachBatch's at-least-once contract.
+    """
+    import os
+
+    marker = os.path.join(target_path, "_applied", f"batch={batch_id}")
+    if os.path.exists(marker):
+        return
+    spark = batch_df.sparkSession
+    delta = batch_df.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.errors import AnalysisException
+
+    from ..sources.sinks import upsert_partition_overwrite
+
+    try:
+        current = spark.read.parquet(target_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        current = None
+    if current is None:
+        merged = delta
+    else:
+        touched = delta.select("event_type").distinct()
+        merged = (
+            current.join(F.broadcast(touched), on="event_type", how="left_semi")
+            .unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n").alias("n"))
+        )
+    upsert_partition_overwrite(spark, target_path, merged, ["event_type"])
+    os.makedirs(marker, exist_ok=True)
+
+
+def maintain_counts_incremental(stream_df: DataFrame, target_path: str):
+    """Streaming materialized view: foreachBatch folds each micro-batch
+    into the per-(event_type, day) count table via partition-grain rewrite.
+    Returns the started query; caller drains/stops it."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: apply_count_delta(df, bid, target_path)
+        )
+        .start()
+    )
+
+
 def write_foreach_batch_idempotent(stream_df: DataFrame, out_dir: str):
     """Exactly-once-style sink: foreachBatch writes each micro-batch to a
     batch-id-named directory — re-delivered batches overwrite their own

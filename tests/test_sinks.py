@@ -197,3 +197,46 @@ def test_partition_upsert_equals_full_recompute(spark, tmpdir):
                 os.path.join(d, f) for f in os.listdir(os.path.join(target, d))
             }
     assert untouched_files <= still
+
+
+def test_versioned_sink_time_travel_and_merge(spark, tmpdir):
+    """S5 extension (sources/versioned.py): MERGE produces a NEW snapshot,
+    historical versions stay readable (time travel), vacuum bounds
+    retention, and reading a vacuumed version fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from move_forecast_ind_spark.sources import versioned as V
+
+    path = os.path.join(tmpdir, "vt")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, x double"
+    )
+    v0 = V.write_version(base, path)
+    assert v0 == 0 and V.latest_version(path) == 0
+
+    updates = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)], "k int, s string, x double"
+    )
+    v1 = V.merge_version(spark, path, updates, key_cols=["k"])
+    assert v1 == 1
+
+    now = {r.k: r.x for r in V.read_version(spark, path).collect()}
+    assert now == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # time travel: v0 is untouched by the merge
+    then = {r.k: r.x for r in V.read_version(spark, path, version=0).collect()}
+    assert then == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert [e["op"] for e in V.history(path)] == ["overwrite", "merge"]
+
+    v2 = V.merge_version(
+        spark, path, spark.createDataFrame([(1, "a", -1.0)], "k int, s string, x double"),
+        key_cols=["k"],
+    )
+    assert v2 == 2
+    dropped = V.vacuum(path, keep_last=2)
+    assert dropped == [0]
+    with _pytest.raises(FileNotFoundError):
+        V.read_version(spark, path, version=0)
+    # retained versions still read
+    assert {r.k for r in V.read_version(spark, path, version=1).collect()} == {1, 2, 3, 4}

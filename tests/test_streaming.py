@@ -163,3 +163,48 @@ def test_foreach_batch_idempotent_sink(spark, event_stream_factory):
 
         assert back.count() == load_table(spark, SF_SMALL, "events").count()
         assert "batch" in back.columns  # partition column from batch-id dirs
+
+
+def test_incremental_count_maintenance(spark, event_stream_factory):
+    """Streaming materialized view (maintain_counts_incremental): draining
+    the stream must produce exactly the batch groupBy of the whole table,
+    and re-delivering an applied batch must be a no-op (at-least-once
+    safety via the _applied marker)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.sources import load_table
+    from move_forecast_ind_spark.streaming.events import (
+        apply_count_delta,
+        maintain_counts_incremental,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        target = d + "/counts"
+        q = maintain_counts_incremental(event_stream_factory(), target)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r.event_type, str(r.day)): r.n
+            for r in spark.read.parquet(target).collect()
+        }
+        events = load_table(spark, SF_SMALL, "events")
+        want = {
+            (r.event_type, str(r.day)): r.n
+            for r in events.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+
+        # replaying batch 0 (at-least-once re-delivery) must not double-count
+        apply_count_delta(events, 0, target)
+        again = {
+            (r.event_type, str(r.day)): r.n
+            for r in spark.read.parquet(target).collect()
+        }
+        assert again == want
