@@ -208,3 +208,82 @@ def test_incremental_count_maintenance(spark, event_stream_factory):
             for r in spark.read.parquet(target).collect()
         }
         assert again == want
+
+
+def test_kafka_decode_normalizes_wire_frame(spark):
+    """decode_kafka_events is pure frame→frame: a batch frame with Kafka's
+    wire shape must decode to typed events, dropping malformed payloads."""
+    import datetime as dt
+    import json
+
+    from move_forecast_ind_spark.streaming.sources import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_events,
+    )
+
+    def rec(i, etype="click", bad=False):
+        payload = (
+            b"{not json"
+            if bad
+            else json.dumps(
+                {"event_id": i, "user_id": i % 7, "event_type": etype, "value": i / 2}
+            ).encode()
+        )
+        return (
+            str(i).encode(),
+            payload,
+            "events",
+            i % 3,
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, i),
+        )
+
+    wire = spark.createDataFrame(
+        [rec(0), rec(1, "purchase"), rec(2, bad=True), rec(3)], KAFKA_WIRE_SCHEMA
+    )
+    rows = {r.event_id: r for r in decode_kafka_events(wire).collect()}
+    assert set(rows) == {0, 1, 3}  # malformed record dropped, not crashed
+    assert rows[1].event_type == "purchase" and rows[1].value == 0.5
+    assert rows[3].partition == 0 and rows[3].offset == 3
+    assert rows[0].ts == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_kafka_stream_gated_cleanly(spark):
+    import pytest as _pytest
+
+    from move_forecast_ind_spark.streaming.sources import read_kafka_stream
+
+    with _pytest.raises(NotImplementedError):
+        read_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_rate_stream_shapes_events(spark):
+    """The rate source must deliver event-shaped rows continuously; drain a
+    moment of it into memory and check the derived columns."""
+    from move_forecast_ind_spark.streaming.sources import read_rate_stream
+
+    stream = read_rate_stream(spark, rows_per_second=200)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rate")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("t_rate").count() >= 50:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("t_rate").collect()
+    assert len(rows) >= 50
+    by_id = {r.event_id: r for r in rows}
+    for i, r in by_id.items():
+        assert r.user_id == i % 1000
+        assert r.event_type == f"type_{i % 4}"
+        assert abs(r.value - (i % 100) / 10.0) < 1e-9
