@@ -63,3 +63,52 @@ def test_no_cartesian_in_range_join(spark):
     plan = _plan(REGISTRY["j_range_join"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_tail_all_joins_broadcast(spark):
+    """The tail's four lookup joins (input-date scale pair + per-day hist
+    pair) must all broadcast — no shuffle join of a ≤7-row frame."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["forecast_tail_daily"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_pct_etl_zero_fill_broadcasts_types(spark):
+    """The move-type dimension cross join must be a broadcast (BNLJ over a
+    handful of rows), and the 4-key left join must not shuffle-sort."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["pct_etl"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_pairs_no_join_at_all(spark):
+    """The inverted-index rewrite generates pairs in-row: the standalone
+    dedup plan must contain NO join operator (the old self-join shape) —
+    aggregation + explode only."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMALL))
+    # joins remain only for attaching per-doc sizes; the pair GENERATION
+    # must be explode-of-combinations, not a shingle self-join
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_tiny_shuffles_coalesce_to_one_partition(spark):
+    """AQE with parallelismFirst=false must coalesce a tiny aggregate's
+    shuffle to a single partition (the scheduling-floor fix)."""
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.session import tune
+
+    tune(spark)
+    df = REGISTRY["a4_groupby_sum_orderby"].fn(spark, SF_SMALL)
+    # collect() (not count()) — count() plans a NEW aggregate on top, and
+    # this df's own execution is what finalizes its adaptive plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "AQEShuffleRead coalesced" in final
