@@ -29,20 +29,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # emitted when benching at the anchor's scale factor.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
-    "dedup_exact": 0.062,
-    "dedup_minhash_lsh": 0.607,
-    "dedup_ngram_jaccard": 0.594,
-    "forecast_tail_daily": 0.422,
-    "j1_broadcast_dim_join": 0.027,
-    "j_asof_join": 0.023,
-    "j_multiway_star_join": 0.039,
-    "j_sortmerge_join": 0.044,
-    "ml_linreg_forecast": 0.016,
-    "pct_etl": 0.21,
-    "q1_pricing_summary": 0.07,
-    "q3_shipping_priority": 0.08,
+    "dedup_exact": 0.059,
+    "dedup_minhash_lsh": 0.437,
+    "dedup_ngram_jaccard": 0.447,
+    "forecast_tail_daily": 0.334,
+    "j1_broadcast_dim_join": 0.023,
+    "j_asof_join": 0.019,
+    "j_multiway_star_join": 0.032,
+    "j_sortmerge_join": 0.035,
+    "ml_linreg_forecast": 0.015,
+    "pct_etl": 0.149,
+    "pipeline_training_data_prep": 2.235,
+    "q1_pricing_summary": 0.063,
+    "q3_shipping_priority": 0.071,
     "sim_cosine_topk": 0.011,
-    "st_session_stats": 0.035,
+    "st_session_stats": 0.032,
     "st_tumbling_counts": 0.009,
     "text_stats": 0.002,
     "trends_onepass": 0.016,

@@ -720,6 +720,56 @@ def q2_correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@register("q4_order_priority_exists", tags=("subquery", "exists", "classic"), oracle=_Q4_SQL)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarterly order-priority counts gated on a
+    correlated EXISTS against lineitem (returned-flag standing in for the
+    late-commit predicate) — Catalyst plans the EXISTS as one left-semi
+    join on l_orderkey."""
+    tune(spark)
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4_SQL)
+
+
+_Q14_SQL = """
+    SELECT FLOOR((1e2 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0e0 END)
+                  / SUM(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """
+
+
+@register("q14_promo_revenue", tags=("join", "conditional", "classic"), oracle=_Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim join in
+    a one-month window — the part side broadcasts, the CASE folds into the
+    partial aggregate (no second scan for the numerator)."""
+    tune(spark)
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q14_SQL)
+
+
 _Q21_SQL = """
     SELECT s.s_suppkey,
            s.s_name,

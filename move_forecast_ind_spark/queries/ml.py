@@ -201,10 +201,36 @@ def svc_forecast_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily
 
 
-@register("svc_trends_request", tags=("pipeline", "service"), oracle=None)
+@register(
+    "svc_trends_request",
+    tags=("pipeline", "service"),
+    oracle="""
+    WITH t AS (
+      SELECT CAST(year(l_shipdate) AS INT)  AS year,
+             CAST(l_shipdate AS DATE)       AS ds,
+             strftime(l_shipdate, '%m-%d')  AS month_day,
+             FLOOR(SUM(l_quantity) * 1e2 + 0.5) / 1e2 AS total_moves
+      FROM lineitem
+      WHERE l_suppkey = 7
+        AND year(l_shipdate) BETWEEN 1995 AND 2000
+        AND month(l_shipdate) * 100 + day(l_shipdate) BETWEEN 601 AND 607
+      GROUP BY 1, 2, 3
+    )
+    SELECT year,
+           array_to_string(
+             list(month_day || ':' || CAST(total_moves AS VARCHAR) ORDER BY ds),
+             ',') AS days
+    FROM t
+    GROUP BY year
+    ORDER BY year
+    """,
+)
 def svc_trends_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full /historical_trends/ endpoint (plans.service.trends_request):
-    clamp -> one-pass per-year aggregate -> nested per-year rows."""
+    clamp -> one-pass per-year aggregate -> nested per-year rows. Oracle:
+    the request's clamp resolves to the 1999-06-01..06-07 window
+    (input 06-03 with today 06-01), so the endpoint output equals the
+    nested trends SQL over month-day 601-607 for branch 7."""
     import datetime as dt
 
     tune(spark)

@@ -565,3 +565,77 @@ def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_ish.alias("n_bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: the training-data prep pipeline end-to-end
+# ---------------------------------------------------------------------------
+_PREP_QUALITY_SQL = f"""
+             LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 64e0,
+                   1e0) * 0.5e0
+             + LEAST(CAST({_sql_marker_hits('en')} AS DOUBLE) / 3e0, 1e0) * 0.3e0
+             + (1e0 - LEAST((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                             / GREATEST(CAST(length(text) AS DOUBLE), 1e0)) * 1e1,
+                            1e0)) * 0.2e0"""
+
+
+@register(
+    "pipeline_training_data_prep",
+    bench=True,
+    tags=("northstar", "pipeline", "dedup", "text"),
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    base AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             {", ".join(f"{_sql_marker_hits(lang)} AS h_{lang}" for lang in LANG_MARKERS)},
+             FLOOR(({_PREP_QUALITY_SQL}) * 1e4 + 0.5) / 1e4 AS quality,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM base
+    ),
+    feat AS (
+      SELECT doc_id,
+             CASE
+               WHEN GREATEST({", ".join(f"h_{lang}" for lang in LANG_MARKERS)}) = 0 THEN 'und'
+               {" ".join(
+                 f"WHEN h_{lang} = GREATEST({', '.join(f'h_{o}' for o in LANG_MARKERS)}) THEN '{lang}'"
+                 for lang in LANG_MARKERS)}
+             END AS guessed_lang,
+             quality,
+             n_tokens
+      FROM scored
+    )
+    SELECT doc_id, guessed_lang, quality, n_tokens
+    FROM feat
+    WHERE quality >= 0.5 AND guessed_lang <> 'und'
+    """,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-corpus prep pipeline as ONE plan: exact dedup (keep the
+    min-id copy of each canonical fingerprint) → language ID → quality
+    score → filter (quality ≥ 0.5, language determined) → per-doc feature
+    row. This is the composition a real 100 TB ingest runs nightly; every
+    stage is a column expression or one hash shuffle, so the whole pipeline
+    is two shuffles (dedup groupBy + keeper semi-join) over a single scan
+    lineage, with each stage individually oracle-checked elsewhere
+    (dedup_exact, text_langid, text_quality, text_stats)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, on="doc_id", how="left_semi")
+    feat = kept.select(
+        "doc_id",
+        langid(F.col("text")).alias("guessed_lang"),
+        r4(quality_score(F.col("text"))).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return feat.filter((F.col("quality") >= 0.5) & (F.col("guessed_lang") != "und"))
