@@ -171,30 +171,46 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, id_col: str, text_col: str, k: int = 3
-) -> DataFrame:
-    """N_PERM (32) deterministic min-hashes per doc.
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shs array<string>, hs array<long>) — one row per doc:
+    distinct shingles plus their base hashes
+    pmod(xxhash64(shingle, 42), 2^31-1).
 
-    Base hash: pmod(xxhash64(shingle, seed=42), 2^31-1). Permutation i:
-    h_i = (a_i·h + b_i) mod (2^31-1) with seeded full-range coefficients
-    (PERM_A/PERM_B — see the module-level note on why small multipliers
-    break the estimator) — products stay under 2^62, no overflow.
-
-    Shape: collect the per-doc base hashes into one array, then take the 32
-    permutation minima as in-row array folds. This beats the naive
-    per-column min-aggregate layout ~4× — the partial-aggregate hash map of wide
-    rows costs more than shuffling the raw hash list (one long per shingle)
-    and folding inside codegen.
+    The base hashes are computed HERE, not in the signature stage, so that
+    a checkpoint of this frame stores them: Catalyst's CollapseProject
+    inlines adjacent projections even when an alias is referenced many
+    times, so a lazy `hs` feeding 32 permutation folds re-hashes every
+    shingle 32× (observed 3× wall-clock regression) — persisting `hs`
+    through the checkpoint is the reliable materialization barrier.
     """
-    sh = _shingled(docs, id_col, text_col, k)
-    # Materialize the base hash once; the permutations are affine
-    # transforms of it (don't rely on CSE to avoid N_PERM xxhash64 evals).
-    base = sh.select(
-        "doc_id",
-        F.pmod(F.xxhash64(F.col("sh"), F.lit(42)), F.lit(MERSENNE31)).alias("h"),
+    return (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .select(
+            "doc_id",
+            "shs",
+            F.transform(
+                "shs",
+                lambda s: F.pmod(F.xxhash64(s, F.lit(42)), F.lit(MERSENNE31)),
+            ).alias("hs"),
+        )
     )
-    hs = base.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+
+def signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, …, hs) → (doc_id, sig array<N_PERM longs>) — MAP-ONLY.
+
+    Permutation i: h_i = (a_i·h + b_i) mod (2^31-1) with seeded full-range
+    coefficients (PERM_A/PERM_B — see the module-level note on why small
+    multipliers break the estimator) — products stay under 2^62, no
+    overflow. Because the per-doc hash array is already one row per doc,
+    the 32 minima are pure array folds: NO explode, NO shuffle — at 100 TB
+    the signature stage is a scan-speed map over the (tiny) set table.
+    Feed this a CHECKPOINTED frame (see _shingle_sets on why a lazy `hs`
+    is a 32× re-hash trap).
+    """
+    hsd = sets.filter(F.size("hs") > 0).select("doc_id", "hs")
 
     def perm_min(i: int):
         # NB: the lambda must take exactly ONE argument — a two-arg lambda
@@ -207,9 +223,17 @@ def minhash_signatures(
             )
         )
 
-    return hs.select(
+    return hsd.select(
         "doc_id", F.array(*[perm_min(i) for i in range(N_PERM)]).alias("sig")
     )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """N_PERM (32) deterministic min-hashes per doc (docs with fewer than
+    k tokens have no shingles and no signature)."""
+    return signatures_from_sets(_shingle_sets(docs, id_col, text_col, k))
 
 
 def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
@@ -263,22 +287,22 @@ def minhash_dedup_pairs(
     and intersects arrays — cost ∝ |candidates|·|shingles|, never the
     all-pairs inverted-index join (that pass exists standalone as
     :func:`jaccard_pairs`)."""
-    # Signatures and shingle-sets are tiny (one row per doc) but their
-    # lineage re-shingles the corpus, and both feed self-joins. Checkpoint
-    # to parquet (see operators.materialize): the subtree runs exactly
-    # once, the self-join sides re-scan small columnar files, and nothing
-    # pins executor storage memory at 100 TB the way caching every doc's
-    # shingle set would.
-    sig = checkpoint_parquet(
-        minhash_signatures(docs, id_col, text_col, k), "minhash-sig"
-    )
-    cand = minhash_lsh_candidates(sig)
+    # ONE checkpoint: the per-doc shingle-set table (tiny, one row per doc)
+    # is the shared base — signatures derive from it as a map-only array
+    # fold (signatures_from_sets, no shuffle), and the verify step joins
+    # candidate pairs back against it. Checkpointing (vs cache) runs the
+    # shingling exactly once, pins no executor storage memory, and the
+    # banding self-join re-scans small columnar files
+    # (see operators.materialize).
     sets = checkpoint_parquet(
-        docs.repartition(F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs")),
-        "minhash-sets",
+        _shingle_sets(docs, id_col, text_col, k), "minhash-sets"
     )
+    # The banding self-join consumes signatures on BOTH sides — checkpoint
+    # them too (a map-only derivation from the checkpointed sets, but left
+    # lazy it would fold 32 minima twice per doc and re-compile the wide
+    # codegen expression per side).
+    sig = checkpoint_parquet(signatures_from_sets(sets), "minhash-sig")
+    cand = minhash_lsh_candidates(sig)
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
     )
