@@ -63,12 +63,13 @@ def register(
 # everything here already passes the identical local oracle gate
 # (tests/test_oracle.py); this is evidence routing, not a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    # reference-parity pipelines (SURVEY §3.1-3.3)
+    # reference-parity pipelines (SURVEY §3.1-3.3) + the composite prep
     "pct_etl",
     "forecast_tail_daily",
     "trends_onepass",
     "dedup_exact",
     "sim_cosine_topk",
+    "pipeline_training_data_prep",
     "pct_month_grain",
     "forecast_summary",
     "trends_by_move_type",
@@ -96,19 +97,26 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "sim_ann_ivf",
     "s_deterministic_sample",
     "dedup_minhash_lsh",
-    # streaming batch-twins and the ML oracle query
+    "a_hll_sketch_distinct",
+    "a_approx_top_k",
+    "a_pivot_dynamic",
+    # streaming batch-twins, ML, converted service endpoint
     "st_tumbling_counts",
     "st_sliding_counts",
     "st_session_stats",
     "st_dedup_counts",
     "st_interval_join",
     "ml_linreg_forecast",
+    "svc_trends_request",
     # TPC-H shapes + remaining unsampled SQL families
     "q3_shipping_priority",
     "q6_forecast_revenue_change",
     "q21_exists_chain",
     "q2_correlated_scalar_max",
     "q22_anti_with_scalar",
+    "q4_order_priority_exists",
+    "q14_promo_revenue",
+    "q13_customer_distribution",
     "sub_scalar_subquery",
     "sub_correlated_exists",
     "sub_in_subquery",
@@ -121,7 +129,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "f_date_trunc",
     "f_bitwise_ops",
     "f_unpivot_stack",
-    "q13_customer_distribution",
     "q16_not_in_subquery",
     "q18_having_in",
     "q19_or_of_ands",
