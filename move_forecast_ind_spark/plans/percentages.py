@@ -73,8 +73,14 @@ def compute_percentages(
     )
     # The reference's loop domain: every GLOBAL move type for every positive
     # branch-day total — zero-move combos yield avg_percentage = 0.0 rows
-    # (reference precompute_percentages.py:156,196-215).
-    types = facts.select(F.col(type_col).alias("move_type")).distinct()
+    # (reference precompute_percentages.py:156,196-215). NULL move types are
+    # excluded from the domain: the reference's sorted(unique()) would crash
+    # on them, and a NULL key row could never match the moves join anyway.
+    types = (
+        facts.select(F.col(type_col).alias("move_type"))
+        .filter(F.col(type_col).isNotNull())
+        .distinct()
+    )
     move_count = F.coalesce(F.col("move_count"), F.lit(0.0))
     return (
         totals.crossJoin(F.broadcast(types))

@@ -209,6 +209,15 @@ def apply_count_delta(batch_df: DataFrame, batch_id: int, target_path: str) -> N
     no-ops (delta-merge is not naturally idempotent, unlike the
     overwrite-by-batch-id sink below), so the count table is correct under
     foreachBatch's at-least-once contract.
+
+    Honest caveat: the marker is written AFTER the partition overwrite, so
+    a crash in between re-applies the delta on restart (double count for
+    that batch). Closing that window needs the marker committed atomically
+    with the data — a transactional table format, or folding the
+    last-applied batch id into a manifest swapped in the same rename (the
+    pattern ``sources/versioned.py`` uses). The marker protects against
+    the common case: Structured Streaming re-delivering an already-
+    processed batch after a query restart.
     """
     import os
 
