@@ -639,3 +639,84 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
     )
     return feat.filter((F.col("quality") >= 0.5) & (F.col("guessed_lang") != "und"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+_WINNOW_W = 4  # window: guarantees shared fingerprints for matches ≥ w+k-1 grams
+
+
+@register(
+    "text_winnow_fingerprints",
+    tags=("northstar", "text", "fingerprint"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS gs
+      FROM toks
+      WHERE len(w) >= {_WINNOW_W} + 2
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(gs,
+                            g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS h
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(h) - {_WINNOW_W} + 2),
+               i -> list_min(h[i:i+{_WINNOW_W}-1]))) AS fps
+      FROM hs
+    )
+    SELECT doc_id, unnest(fps) AS fp
+    FROM win
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    ordered 3-gram, slide a w={w}-hash window, keep each window's minimum,
+    dedupe per doc. Guarantee: any shared run of ≥ w+k-1 grams between two
+    docs yields at least one shared fingerprint — the index behind
+    plagiarism/attribution search at corpus scale. Pure array expressions
+    (no UDF, no shuffle before the final explode); the hash is an md5
+    prefix so the oracle computes bit-identical fingerprints
+    (DuckDB hex-literal cast ≡ Spark conv(,16,10)).""".format(w=_WINNOW_W)
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = _WINNOW_W
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= w + 2)
+    n = F.size("toks")
+    grams = toked.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ).alias("gs"),
+    )
+    hs = grams.select(
+        "doc_id",
+        F.transform(
+            "gs",
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ).alias("h"),
+    )
+    m = F.size("h")
+    wins = hs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice("h", i, w)),
+            )
+        ).alias("fps"),
+    )
+    return wins.select("doc_id", F.explode("fps").alias("fp"))

@@ -216,3 +216,34 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark):
         }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"clustered IVF recall {recall:.2f}"
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's defining property: two docs sharing a contiguous run of
+    at least w+k-1 grams (w=4, k=3 → 6 grams ⇒ 8 shared words) must share
+    at least one fingerprint; fully disjoint docs share none."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " lambda mu nu xi"),
+        (2, "one two three " + shared),
+        (3, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import move_forecast_ind_spark.queries.northstar as ns
+    import move_forecast_ind_spark.sources as src
+
+    orig = src.load_table
+    try:
+        src.load_table = lambda spark, sf_dir, name: df  # noqa: ARG005
+        ns.load_table = src.load_table
+        out = REGISTRY["text_winnow_fingerprints"].fn(spark, "unused")
+        fps = {}
+        for r in out.collect():
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+    finally:
+        src.load_table = orig
+        ns.load_table = orig
+    assert fps[1] & fps[2], "docs sharing a long run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
