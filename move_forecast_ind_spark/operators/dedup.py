@@ -330,12 +330,19 @@ SIMHASH_BITS = 48  # keep the signature positive in a signed 64-bit long
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """48-bit SimHash over token hashes: per bit, sum ±1 weighted by token
     multiplicity; bit set where the sum is positive. One explode + one
-    groupBy with 48 conditional sums."""
+    groupBy with 48 conditional sums.
+
+    The token hash is the first 12 hex digits of md5 (48 bits) — identical
+    in Spark (``conv(substr(md5, 1, 12), 16, 10)``) and DuckDB
+    (``CAST('0x' || substr(md5, 1, 12) AS BIGINT)``), so the whole
+    signature — and therefore exact Hamming-pair output — is
+    oracle-checkable cross-engine (xxhash64 is Spark-only).
+    """
     tok = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"), F.lit(7))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -396,7 +403,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

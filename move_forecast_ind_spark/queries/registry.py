@@ -100,6 +100,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "a_hll_sketch_distinct",
     "a_approx_top_k",
     "a_pivot_dynamic",
+    "dedup_simhash",
     # streaming batch-twins, ML, converted service endpoint
     "st_tumbling_counts",
     "st_sliding_counts",
