@@ -41,6 +41,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# A/B hook for bench noise characterization (BASELINE.md "AQE coalesce A/B"):
+# SPARK_GRAFT_AQE_PARALLELISM_FIRST=true|false overrides the default above.
+_pf_override = os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST")
+if _pf_override in ("true", "false"):
+    RUNTIME_CONF["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = _pf_override
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
