@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .materialize import checkpoint_parquet
+from .materialize import materialize
 
 
 def connected_components(
@@ -48,7 +48,7 @@ def connected_components(
 
     Deterministic: the min-label fixpoint is order-independent.
     """
-    edges = checkpoint_parquet(
+    edges = materialize(
         pairs.select(
             F.col("doc_a").cast("long").alias("src"),
             F.col("doc_b").cast("long").alias("dst"),
@@ -64,7 +64,7 @@ def connected_components(
     )
     # init: label(v) = min(v, min direct neighbor) — one propagation round
     # folded in, so length-≤2 chains converge with zero loop iterations.
-    labels = checkpoint_parquet(
+    labels = materialize(
         edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select(
@@ -105,7 +105,7 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        stepped = checkpoint_parquet(
+        stepped = materialize(
             stepped.withColumn(
                 "changed", F.col("cluster_id") < F.col("old_label")
             ).select("doc_id", "cluster_id", "changed"),

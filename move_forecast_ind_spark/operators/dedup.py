@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import r4
 from ..functions.text import fingerprint, shingles_from_tokens, tokens
-from .materialize import checkpoint_parquet
+from .materialize import materialize
 
 MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
 # 32 permutations in 8 bands of 4: catch probability ≥ 0.9998 at j=0.9
@@ -89,6 +89,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,  # optional (doc_a, doc_b) restriction
     max_df: int | None = 1000,
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard similarity for pairs sharing ≥1 shingle
     (inverted-index join), optionally restricted to candidate pairs.
@@ -108,6 +109,18 @@ def jaccard_pairs(
       self-join (semi-join on the candidate doc-id set), not just to pairs
       after the groupBy — with candidates given, join cost is proportional
       to the candidate docs' postings, not the corpus's.
+    - ``prefilter_hot``: with False (default), hot shingles are dropped by
+      a row-local size filter AFTER the posting lists are collected — one
+      shuffle, but a shingle hotter than max_df still materializes its
+      full posting list in a single (non-spillable) aggregation buffer
+      before being discarded; fine while the hottest shingle's df is
+      memory-bounded. With True, a cheap (shingle, count) aggregate runs
+      first (map-side partial combine — longs, not lists) and the hot-
+      shingle set (tiny by definition: df > max_df survivors) broadcasts
+      into an anti-join BELOW the list aggregation, so hot posting lists
+      are never built. Same output, one extra light shuffle: the 100 TB
+      setting. (Round-3 measured +0.5-0.9 s at sf0.1, which is why it is
+      not the local default.)
     """
     sh = _shingled(docs, id_col, text_col, k)
     if candidates is not None:
@@ -118,33 +131,38 @@ def jaccard_pairs(
         )
         sh = sh.join(cand_ids, on="doc_id", how="left_semi")
     # ONE shuffle builds the inverted index as grouped posting LISTS; the
-    # df cap is then a row-local size filter (no second aggregation, no
-    # anti-join pass), and candidate pairs expand IN-ROW from each posting
-    # list — work per shingle is bounded by max_df², never n². Checkpoint
+    # df cap is a row-local size filter (or a pre-broadcast anti-join with
+    # prefilter_hot), and candidate pairs expand IN-ROW from each posting
+    # list — work per shingle is bounded by max_df², never n². Materialize
     # the (small) index once: both the pair expansion and the size
     # aggregate re-scan it instead of recomputing the shingling.
-    inv = sh.groupBy("sh").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-    if max_df is not None:
-        inv = inv.filter(F.size("ds") <= max_df)
-    inv = checkpoint_parquet(inv, "jaccard-index")
+    if prefilter_hot and max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = (
+            sh.join(F.broadcast(hot), on="sh", how="left_anti")
+            .groupBy("sh")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        )
+    else:
+        inv = sh.groupBy("sh").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ds")
+        )
+        if max_df is not None:
+            inv = inv.filter(F.size("ds") <= max_df)
+    inv = materialize(inv, "jaccard-index")
     sizes = (
         inv.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # all (a < b) combinations of each sorted posting list, in-row
-    d = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            d,
-            lambda x, i: F.transform(
-                F.slice(d, i + F.lit(2), F.greatest(F.size(d) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     common = (
-        inv.select(F.explode(pair_structs).alias("p"))
+        inv.select(F.explode(_pairs_in_row("ds")).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -153,6 +171,9 @@ def jaccard_pairs(
         # exact pair-level restriction (the id-level semi above still
         # admits cross pairs between unrelated candidates)
         common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    # NO broadcast hint on the size joins: sizes is one row per doc —
+    # corpus-sized at 100 TB — so the decision belongs to AQE, which
+    # broadcasts it at bench scale and shuffle-joins it at cluster scale.
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -236,9 +257,35 @@ def minhash_signatures(
     return signatures_from_sets(_shingle_sets(docs, id_col, text_col, k))
 
 
+def _pairs_in_row(ds) -> F.Column:
+    """All (a < b) combinations of a sorted id array, built in-row: the
+    shared expansion for every bucketed candidate generator (LSH bands,
+    simhash chunks, winnowing fingerprints). Work per bucket is |ds|² —
+    callers bound |ds| (max_df fence / bucket width) before expanding."""
+    d = F.col(ds) if isinstance(ds, str) else ds
+    return F.flatten(
+        F.transform(
+            d,
+            lambda x, i: F.transform(
+                F.slice(d, i + F.lit(2), F.greatest(F.size(d) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the signature (N_BANDS bands × BAND_SIZE rows) and self-join on
-    (band_id, band signature) → candidate pairs (doc_a < doc_b, distinct)."""
+    """Band the signature (N_BANDS bands × BAND_SIZE rows), bucket docs by
+    (band, band-hash), and expand candidate pairs (doc_a < doc_b, distinct)
+    IN-ROW from each bucket's sorted id list.
+
+    This is a grouped inverted index over band hashes, not a self-join:
+    one shuffle builds the buckets and the pair expansion is row-local —
+    versus the band self-join's two shuffled sides plus join. (Round 3
+    measured ~15% off the cascade at sf0.1; same candidate set.) Bucket
+    sizes are bounded by the banding's collision behavior — a bucket is a
+    set of docs agreeing on BAND_SIZE consecutive minhashes, so large
+    buckets are themselves near-duplicate clusters, not skew."""
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -258,18 +305,14 @@ def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -287,21 +330,18 @@ def minhash_dedup_pairs(
     and intersects arrays — cost ∝ |candidates|·|shingles|, never the
     all-pairs inverted-index join (that pass exists standalone as
     :func:`jaccard_pairs`)."""
-    # ONE checkpoint: the per-doc shingle-set table (tiny, one row per doc)
+    # ONE materialization: the per-doc shingle-set table (one row per doc)
     # is the shared base — signatures derive from it as a map-only array
-    # fold (signatures_from_sets, no shuffle), and the verify step joins
-    # candidate pairs back against it. Checkpointing (vs cache) runs the
-    # shingling exactly once, pins no executor storage memory, and the
-    # banding self-join re-scans small columnar files
-    # (see operators.materialize).
-    sets = checkpoint_parquet(
-        _shingle_sets(docs, id_col, text_col, k), "minhash-sets"
-    )
-    # The banding self-join consumes signatures on BOTH sides — checkpoint
-    # them too (a map-only derivation from the checkpointed sets, but left
-    # lazy it would fold 32 minima twice per doc and re-compile the wide
-    # codegen expression per side).
-    sig = checkpoint_parquet(signatures_from_sets(sets), "minhash-sig")
+    # fold (signatures_from_sets, no shuffle), the grouped band buckets
+    # consume the signatures once (no self-join since round 3), and the
+    # verify step joins candidate pairs back against the same sets. Left
+    # fully lazy the set table recomputes per consumer (measured 4.6-5.1 s
+    # at sf0.1 vs ~2 s materialized — the CollapseProject 32× re-hash trap);
+    # the r2 twin-parquet-checkpoint layout paid a second eager write+read
+    # job for the signatures, which the grouped banding no longer needs
+    # (one consumer → lazy derivation is free).
+    sets = materialize(_shingle_sets(docs, id_col, text_col, k), "minhash-sets")
+    sig = signatures_from_sets(sets)
     cand = minhash_lsh_candidates(sig)
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
@@ -367,11 +407,11 @@ def simhash_near_pairs(
     Candidate generation: 4 chunks of 12 bits — any pair within Hamming 3 of
     each other per-chunk-error bound shares ≥1 exact chunk (pigeonhole when
     max_hamming < 4); for larger budgets it is a recall/cost tradeoff.
-    Verification: ``bit_count(xor)`` on the candidate pairs only.
+    Verification: ``bit_count(xor)`` — computed IN-ROW during the bucket
+    pair expansion (the signature travels inside the bucket's struct list),
+    so the whole operator is one shuffle and zero joins.
     """
     chunks = signatures.select(
-        "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -385,25 +425,49 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        "doc_id",
+        "simhash",
+    ).select(
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.cv").alias("cv"),
+        "doc_id",
+        "simhash",
+    )
+    # bucket docs by exact chunk value; sorted-by-id struct list makes the
+    # in-row (a < b) expansion deterministic (struct sort keys on doc_id
+    # first, which is unique)
+    buckets = (
+        chunks.groupBy("chunk", "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
         )
+        .filter(F.size("ms") > 1)
+    )
+    m = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.hamming").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return cand.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)

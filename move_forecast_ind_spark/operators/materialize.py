@@ -22,7 +22,41 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-def checkpoint_parquet(df: DataFrame, label: str = "ckpt") -> DataFrame:
+def materialize(
+    df: DataFrame, label: str = "ckpt", mode: str | None = None
+) -> DataFrame:
+    """Cut ``df``'s lineage so multi-consumer plans compute it once.
+
+    mode (default from ``SPARK_GRAFT_MATERIALIZE``, else ``local``):
+
+    - ``local`` — ``localCheckpoint(eager=True)``: blocks in the executor
+      block manager (MEMORY_AND_DISK), no parquet encode/commit round-trip.
+      Round-3 measurement at sf0.1: saves 0.3-0.5 s per materialization vs
+      the parquet path (the parquet write's fixed job+commit cost dominates
+      at small-derived-frame sizes). Caveats at cluster scale: blocks are
+      NOT fault-tolerant (a lost executor fails the job rather than
+      recomputing) and they occupy storage memory — use for latency-bound
+      serving/bench paths.
+    - ``parquet`` — :func:`checkpoint_parquet`: durable, spillable,
+      partition-prunable; the 100 TB batch default (point
+      ``SPARK_GRAFT_CKPT_DIR`` at shared storage).
+    - ``none`` — no materialization (every consumer recomputes the
+      subtree; only sane when the subtree is a pruned scan).
+    """
+    mode = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "none":
+        return df
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "parquet":
+        # a handful of files keeps re-scan task counts sane for small frames
+        return checkpoint_parquet(df, label, npartitions=8)
+    raise ValueError(f"unknown materialize mode {mode!r}")
+
+
+def checkpoint_parquet(
+    df: DataFrame, label: str = "ckpt", npartitions: int | None = None
+) -> DataFrame:
     """Write ``df`` to a session-scoped parquet path and read it back.
 
     The write is eager (it runs the subtree exactly once); the returned
@@ -30,6 +64,13 @@ def checkpoint_parquet(df: DataFrame, label: str = "ckpt") -> DataFrame:
     plans never recompute the lineage. Files live under the driver-local
     tmp dir keyed by Spark application id — on a real cluster point
     ``SPARK_GRAFT_CKPT_DIR`` at shared storage (HDFS/S3) instead.
+
+    ``npartitions`` coalesces the write: a checkpoint of a small derived
+    frame (per-doc sets, a pre-aggregated table) otherwise lands as one
+    near-empty file per shuffle partition, and every downstream re-scan
+    pays a per-file open — at 32 local partitions that costs more than the
+    data. Size it so files land in the 16–128 MB band at the target scale
+    (callers at 100 TB pass a proportionally larger value or None).
     """
     spark = df.sparkSession
     base = os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/spark_graft_ckpt")
@@ -38,5 +79,7 @@ def checkpoint_parquet(df: DataFrame, label: str = "ckpt") -> DataFrame:
         spark.sparkContext.applicationId,
         f"{label}-{uuid.uuid4().hex[:8]}",
     )
+    if npartitions is not None:
+        df = df.coalesce(npartitions)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

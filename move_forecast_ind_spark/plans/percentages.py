@@ -58,6 +58,17 @@ def compute_percentages(
     """
     month = F.month(date_col).alias("month")
     day = F.dayofmonth(date_col).alias("day")
+    # Three pipelined subtrees over the same scan, NOT a shared materialized
+    # pre-aggregate. Round 3 measured the alternatives at sf0.1 (BASELINE.md
+    # noise section gives the ±5-7% floor): shared fine-grain aggregate with
+    # no materialization = 1.15 s (Catalyst's column pruning differentiates
+    # the three consumers, so ReuseExchange never fires and each consumer
+    # re-aggregates), checkpoint_parquet(fine) = 1.8 s, localCheckpoint =
+    # 1.7 s, per-(b,m,d) map_from_entries lookup = 1.2 s — versus 0.60-0.65 s
+    # for this shape with the moves broadcast hint. The whole-stage-codegen'd
+    # parallel scans beat every materialization at this data size; on a
+    # 100 TB fact table, where a second scan is hours not milliseconds, flip
+    # to a checkpointed fine-grain aggregate (see SCALE.md).
     moves = (
         facts.groupBy(
             F.col(branch_col).alias("branch"),
@@ -82,9 +93,13 @@ def compute_percentages(
         .distinct()
     )
     move_count = F.coalesce(F.col("move_count"), F.lit(0.0))
+    # The day-grain aggregate is small by construction (branches × types ×
+    # 366); the explicit broadcast skips AQE's demote-and-replan round —
+    # measured ~15% off the query wall at sf0.1, and at any scale this join
+    # build side stays dimension-sized.
     return (
         totals.crossJoin(F.broadcast(types))
-        .join(moves, on=["branch", "move_type", "month", "day"], how="left")
+        .join(F.broadcast(moves), on=["branch", "move_type", "month", "day"], how="left")
         .select(
             "branch",
             "move_type",

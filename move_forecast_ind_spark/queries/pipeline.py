@@ -212,10 +212,16 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the percentage build by hand — Catalyst can't infer it through
     # the aggregates, and it shrinks the broadcast ~100× (the month-grain
     # average over month=6 is unchanged by dropping other months first).
-    # Cache the ~1k-row slice: both the day-grain join and the month-grain
-    # aggregate consume it, and without the cache each one re-scans and
-    # re-aggregates the full fact table.
-    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6)).cache()
+    # NO materialization of the slice: the branch predicate reaches the
+    # parquet scan, so each of the four broadcast subtrees re-aggregates a
+    # ~2% row-group-pruned slice inside one codegen'd stage. Round 3
+    # measured the alternatives at sf0.1: lazy 0.82-0.93 s, parquet
+    # checkpoint 0.89-1.00 s, localCheckpoint 0.93-2.1 s, cache()
+    # 1.11-1.45 s (the r2 recording's 1.68 s) — the cache cost its cold
+    # build + InMemoryRelation scans breaking whole-stage codegen. At
+    # 100 TB, where the re-aggregation is no longer row-group-pruned to
+    # near-zero, checkpoint the slice instead (SCALE.md).
+    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6))
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
