@@ -97,7 +97,14 @@ def forecast_request(
         # when the window was clamped to start later (main.py:239-243).
         F.lit(str(input_date)).cast("date").alias("input_date"),
         "ds",
-        F.col("yhat_upper").alias("branch_forecast"),  # upper bound, main.py:235
+        # The reference clips and half-up-rounds the upper bound to an
+        # integer Count BEFORE any scaling (main.py:234-236: clip(0).
+        # round().astype(int)); final = round(pct/100 * Count) and
+        # implied% = final/Count — so the tail must see the integer, not
+        # the raw yhat_upper (score() computes it as `count`). Feeding the
+        # fractional bound shifts predicted_moves by ±1 and can flip the
+        # ±5pp comment band.
+        F.col("count").cast("double").alias("branch_forecast"),
     )
     mon = month_grain_percentages(pct)
     daily = forecast_tail(frame, pct, mon)
@@ -236,7 +243,8 @@ def forecast_batch(
             "move_type",
             "input_date",
             "ds",
-            F.col("yhat_upper").alias("branch_forecast"),
+            # integer Count, not raw yhat_upper — see forecast_request
+            F.col("count").cast("double").alias("branch_forecast"),
         )
     )
     # The tail is keyed by the full request identity (branch, move_type,
