@@ -693,11 +693,10 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4  # window: guarantees shared fingerprints for matches ≥ w+k-1 grams
 
 
-@register(
-    "text_winnow_fingerprints",
-    tags=("northstar", "text", "fingerprint"),
-    oracle=f"""
-    WITH toks AS (
+# Winnowing CTE chain (DuckDB) — shared by the fingerprint index oracle and
+# the winnow-candidate dedup oracle. Ends with fps(doc_id, fp).
+_WINNOW_CTES = f"""
+    toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
       FROM documents
     ),
@@ -720,22 +719,38 @@ _WINNOW_W = 4  # window: guarantees shared fingerprints for matches ≥ w+k-1 gr
                range(1, len(h) - {_WINNOW_W} + 2),
                i -> list_min(h[i:i+{_WINNOW_W}-1]))) AS fps
       FROM hs
-    )
-    SELECT doc_id, unnest(fps) AS fp
-    FROM win
+    ),
+    fps AS (
+      SELECT doc_id, unnest(fps) AS fp FROM win
+    )"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    tags=("northstar", "text", "fingerprint"),
+    oracle=f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_id, fp FROM fps
     """,
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
-    ordered 3-gram, slide a w={w}-hash window, keep each window's minimum,
-    dedupe per doc. Guarantee: any shared run of ≥ w+k-1 grams between two
-    docs yields at least one shared fingerprint — the index behind
-    plagiarism/attribution search at corpus scale. Pure array expressions
-    (no UDF, no shuffle before the final explode); the hash is an md5
-    prefix so the oracle computes bit-identical fingerprints
-    (DuckDB hex-literal cast ≡ Spark conv(,16,10)).""".format(w=_WINNOW_W)
+    ordered 3-gram, slide a w=4-hash window (_WINNOW_W), keep each window's
+    minimum, dedupe per doc. Guarantee: any shared run of ≥ w+k-1 grams
+    between two docs yields at least one shared fingerprint — the index
+    behind plagiarism/attribution search at corpus scale. Pure array
+    expressions (no UDF, no shuffle before the final explode); the hash is
+    an md5 prefix so the oracle computes bit-identical fingerprints
+    (DuckDB hex-literal cast ≡ Spark conv(,16,10))."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    return _winnow_fps(docs)
+
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints — the shared frame behind
+    ``text_winnow_fingerprints`` (the index) and ``dedup_winnow_pairs``
+    (the MOSS candidate join). Pure array expressions over one scan."""
     w = _WINNOW_W
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -766,3 +781,172 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fps"),
     )
     return wins.select("doc_id", F.explode("fps").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing as a dedup candidate pass (MOSS end-to-end)
+# ---------------------------------------------------------------------------
+_WINNOW_MAX_DF = 1000  # fingerprint-bucket fence, mirror of jaccard max_df
+
+
+@register(
+    "dedup_winnow_pairs",
+    tags=("northstar", "dedup", "fingerprint"),
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    fpc AS (
+      SELECT doc_id, fp FROM fps
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WINNOW_MAX_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    cids AS (
+      SELECT doc_a AS doc_id FROM cand
+      UNION SELECT doc_b FROM cand
+    ),
+    jtoks AS (
+      SELECT d.doc_id, string_split(trim(d.text), ' ') AS words
+      FROM documents d JOIN cids USING (doc_id)
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM jtoks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    vcommon AS (
+      SELECT c.* FROM common c JOIN cand USING (doc_a, doc_b)
+    )
+    SELECT doc_a, doc_b, n_common,
+           na.n AS n_a, nb.n AS n_b,
+           FLOOR((n_common / (na.n + nb.n - n_common)) * 1e4 + 0.5) / 1e4 AS jaccard
+    FROM vcommon
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS use-case end-to-end: winnowing fingerprints as the
+    CANDIDATE generator (bucket by fingerprint, in-row pair expansion,
+    df-capped buckets) feeding the exact-Jaccard verifier restricted to
+    candidates. Same grouped-inverted-index topology as the LSH/simhash
+    tiers — no all-pairs join anywhere; candidate cost is bounded by
+    bucket width (≤ max_df) squared. Winnowing's guarantee (a shared run
+    of ≥ w+k-1 grams ⇒ a shared fingerprint) makes this the
+    substring-plagiarism variant of near-dup detection, complementary to
+    the bag-of-shingles MinHash tier."""
+    tune(spark)
+    from ..operators.dedup import _pairs_in_row
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _winnow_fps(docs)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _WINNOW_MAX_DF))
+    )
+    cand = (
+        buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, candidates=cand, max_df=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (transitive closure over near-dup pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    tags=("northstar", "dedup", "graph"),
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_PAIRS_SQL}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+    SELECT cluster_id,
+           MIN(doc_id)                                        AS keeper_doc_id,
+           COUNT(*)                                           AS n_members,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+    FROM labels
+    GROUP BY 1
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: the MinHash+LSH cascade emits pairs;
+    corpus dedup needs the transitive closure (A~B, B~C => one cluster,
+    keeper = min id — exact_dedup's keeper rule). Iterative min-label
+    propagation with pointer-doubling (operators.components, O(log n)
+    rounds, each a bounded set of equi-join shuffles over one row per
+    distinct doc in any pair — orders of magnitude smaller than the
+    corpus). Oracle: DuckDB recursive CTE computing min reachable id over
+    the same (hash-identical) pair set."""
+    tune(spark)
+    from ..operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    return clusters.select(
+        "cluster_id",
+        "keeper_doc_id",
+        "n_members",
+        F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
+            "member_ids"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL decode (stdlib encode/decode round trip)
+# ---------------------------------------------------------------------------
+@register(
+    "mm_decode_real",
+    tags=("northstar", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS INT)         AS width,
+           CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+           'png'                                AS format
+    FROM documents
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: a mapInPandas producer writes one
+    genuine spec-valid PNG per doc (stdlib struct+zlib — signature, IHDR,
+    zlib IDAT, CRCs), and a second mapInPandas stage decodes the actual
+    bytes back by parsing the container header (multimodal.
+    parse_image_header — PNG/BMP/GIF/JPEG). Dimensions are a pure function
+    of doc_id, so the oracle hash-checks the decoded values — proving the
+    decode read the real header, not metadata carried alongside. (Full
+    pixel rasterization remains gated on PIL: decode_image_real.)"""
+    tune(spark)
+    from ..multimodal import decode_media_real, synthesize_png_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(docs, "doc_id")
+    return decode_media_real(media).select("doc_id", "width", "height", "format")
