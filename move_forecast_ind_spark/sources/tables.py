@@ -32,13 +32,36 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` to session-timezone ``TimestampType`` for ANY
+    physical parquet encoding the fixture has shipped with:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` → epoch-nanos ``LongType`` →
+      ``timestamp_micros(ts div 1000)``;
+    - ``timestamp[us]`` with no UTC flag → ``TimestampNTZType`` →
+      ``cast("timestamp")`` (the session tz is pinned UTC in session.py, so
+      the cast is a wall-clock no-op and ``unix_micros`` is bit-exact);
+    - already ``TimestampType`` → pass through.
+
+    Downstream plans (windows, as-of join, ``unix_micros``) require plain
+    TIMESTAMP; keeping the contract here means a testdata re-encode can
+    never again fan out into query-level failures.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one lake table (filters/pruning push down).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it scans as epoch-nanos LONG and we normalize back to a microsecond
-    TimestampType here so downstream plans see a plain timestamp column.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and plain
+    ``timestamp[us]`` parquet across fixture generations;
+    :func:`normalize_event_ts` maps every encoding to ``TimestampType`` so
+    downstream plans see one stable column type.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,8 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -18,18 +18,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import tune
+from ..sources.tables import normalize_event_ts
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # physically TIMESTAMP(NANOS) → read as long with nanosAsLong
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The file stream source requires an explicit schema, and the fixture's
+# physical ts encoding has changed across generations (TIMESTAMP(NANOS) →
+# nanos LongType; timestamp[us] no-UTC-flag → TimestampNTZType). Probe the
+# batch footer once per sf_dir so the stream schema always matches the bytes
+# on disk, then normalize to TimestampType exactly like the batch loader.
+_EVENTS_FIELDS = [
+    ("event_id", T.LongType()),
+    ("user_id", T.LongType()),
+    ("event_type", T.StringType()),
+    ("value", T.DoubleType()),
+    ("props", T.StringType()),
+]
+
+
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    fields = [T.StructField("event_id", T.LongType()), T.StructField("ts", ts_type)]
+    fields += [T.StructField(n, t) for n, t in _EVENTS_FIELDS[1:]]
+    return T.StructType(fields)
 
 
 def _staged_dir(sf_dir: str) -> str:
@@ -58,14 +69,15 @@ def _staged_dir(sf_dir: str) -> str:
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch locally; a directory of arriving files — or Kafka — at
-    scale). Normalizes the nanos-long ts exactly like sources.tables."""
+    scale). Normalizes ts to TimestampType exactly like sources.tables,
+    whatever the physical encoding on disk."""
     tune(spark)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .format("parquet")
         .load(_staged_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
