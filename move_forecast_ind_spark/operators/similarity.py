@@ -6,11 +6,15 @@ Two tiers:
   set, one map-side cross join against the candidate corpus, partitioned
   window top-k. At 100 TB the corpus side never shuffles; cost is
   O(|corpus|·|queries|·dim) inside codegen.
-- **LSH-bucketed ANN** — random-hyperplane (SRP) signatures: 16 fixed
-  hyperplanes → 16-bit bucket; candidates share a bucket (multi-probe via
-  band splits of the signature); exact cosine re-rank on candidates only.
-  Hyperplanes come from a fixed-seed numpy RandomState materialized as
-  literal arrays — deterministic across runs, no fitted state to persist.
+- **LSH-bucketed ANN** — random-hyperplane (SRP) signatures: 32 fixed
+  hyperplanes → 32-bit bucket held in a LONG (bit 31 would overflow INT
+  under ANSI mode); candidates share a bucket (multi-probe via band splits
+  of the signature); exact cosine re-rank on candidates only. Hyperplanes
+  come from a fixed-seed numpy RandomState materialized as literal arrays —
+  deterministic across runs, no fitted state to persist. 32 planes / 8
+  4-bit bands raised pooled recall@5 from 0.32-0.40 (16 planes) to
+  0.56-0.76 across sf0.001/0.01/0.1 at 2× signature cost (map-only,
+  codegen'd — the cheap side of the LSH trade).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import r6
 from ..functions.vectors import as_double, cosine
 
-N_PLANES = 16
+N_PLANES = 32
 PLANE_SEED = 42
 
 
@@ -64,7 +68,11 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def srp_signature(df: DataFrame, dim: int) -> DataFrame:
-    """Sign-random-projection signature: bit i = sign(plane_i · v)."""
+    """Sign-random-projection signature: bit i = sign(plane_i · v).
+
+    The signature lives in a LONG: with 32 planes, ``1 << 31`` exceeds INT
+    range and ANSI mode (Spark 4 default) makes that an overflow error, not
+    a silent wrap."""
     planes = _planes(dim)
     v = as_double(F.col("embedding"))
     bits = []
@@ -75,11 +83,11 @@ def srp_signature(df: DataFrame, dim: int) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return df.select("vec_id", "embedding", sig.cast("int").alias("srp"))
+    return df.select("vec_id", "embedding", sig.alias("srp"))
 
 
 def ann_lsh_topk(
@@ -90,11 +98,12 @@ def ann_lsh_topk(
     band_bits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one ``band_bits``-wide
-    band of the SRP signature (multi-probe: 16/band_bits bands), exact
+    band of the SRP signature (multi-probe: N_PLANES/band_bits bands), exact
     cosine re-rank on candidates. Recall rises with smaller bands at higher
     candidate cost; 4-bit bands are the default because on weakly-correlated
     corpora (top cosine ~0.4) wider bands collide too rarely to recall true
-    neighbors."""
+    neighbors (measured: 6-bit bands 0.12-0.24, 8-bit 0.00-0.04 pooled
+    recall@5 — vs 0.56-0.76 for 4-bit with 32 planes)."""
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1
 

@@ -412,17 +412,18 @@ _ANN_ORACLE = """
 
 @register("sim_ann_lsh", tags=("northstar", "similarity", "lsh"), oracle=_ANN_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection LSH buckets (4-bit
-    multi-probe bands) + exact re-rank of candidates
+    """Approximate top-5 via sign-random-projection LSH buckets (32 planes,
+    8 multi-probe 4-bit bands) + exact re-rank of candidates
     (operators.similarity.ann_lsh_topk), verified as pooled recall@5
     against the brute-force baseline (deterministic: fixed-seed planes,
-    fixed data; measured 0.32-0.40 ≥ the 0.30 bar)."""
+    fixed data; measured 0.56 / 0.56 / 0.76 at sf0.001/0.01/0.1 ≥ the
+    0.50 bar — was 0.32-0.40 with 16 planes)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     ann = ann_lsh_topk(q, emb, dim=EMB_DIM, k=5)
     brute = brute_force_topk(q, emb, k=5)
-    return _recall_vs_brute(ann, brute, k=5, floor=0.30)
+    return _recall_vs_brute(ann, brute, k=5, floor=0.50)
 
 
 @register(
@@ -571,15 +572,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_ivf", tags=("northstar", "similarity", "ivf"), oracle=_ANN_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_topk): seeded k-means coarse
-    quantizer (16 cells) + nprobe=4 probing + exact re-rank — the
+    quantizer (16 cells) + nprobe=8 probing + exact re-rank — the
     inverted-file scale path next to the SRP-LSH one. Verified as pooled
-    recall@5 vs brute force (measured 0.40-0.52 ≥ the 0.30 bar)."""
+    recall@5 vs brute force (measured 0.72 / 0.88 / 0.84 at
+    sf0.001/0.01/0.1 ≥ the 0.60 bar — was 0.40-0.52 at nprobe=4; at 100 TB
+    the cell count grows ~sqrt(n) and nprobe stays a small fixed fraction,
+    so probing cost per query falls, not rises)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    ann = ivf_topk(q, emb, k=5, nprobe=4)
+    ann = ivf_topk(q, emb, k=5, nprobe=8)
     brute = brute_force_topk(q, emb, k=5)
-    return _recall_vs_brute(ann, brute, k=5, floor=0.30)
+    return _recall_vs_brute(ann, brute, k=5, floor=0.60)
 
 
 @register(
