@@ -66,21 +66,6 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc.
-
-    Repartition by doc before the explode: shingling multiplies rows ~100×,
-    and corpora often arrive in few fat files — without the spread, one task
-    owns the whole expansion. Tokens are materialized in their own
-    projection first (see shingles_from_tokens' CSE note)."""
-    toked = docs.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    )
-    return toked.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("sh")
-    )
-
-
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -97,98 +82,147 @@ def jaccard_pairs(
     Output: doc_a, doc_b (a<b), n_common, n_a, n_b, jaccard — only pairs at
     or above ``threshold``.
 
-    Scale fences (the inverted-index self-join is quadratic in per-shingle
-    document frequency, so the standalone pass needs both):
+    Topology (round 4 — TWO shuffles on the default path, no joins, no
+    materialization): each posting carries its doc's id AND pre-cap set
+    size packed into one long, so the posting-list groupBy and the pair
+    groupBy close the whole computation:
+
+        shingle sets (map) → explode postings (sh, pk) → groupBy sh →
+        sorted pk lists ≤ max_df → double-explode a<b pairs (codegen
+        Generate, measured ~30% faster than the higher-order
+        flatten/transform expansion at 1.1M pairs) → groupBy (pka, pkb) →
+        unpack ids/sizes → jaccard filter.
+
+    Work per shingle is bounded by max_df², never n².
+
+    Scale fences:
 
     - ``max_df``: shingles appearing in more than ``max_df`` documents are
-      STOP-SHINGLES, dropped from the index AND from the per-doc set sizes
-      (so jaccard stays a true set similarity over the capped universe).
-      Bounds the worst shingle's join fan-out at max_df² instead of n².
-      Callers that need the uncapped semantics pass ``max_df=None``.
-    - ``candidates``: the restriction is applied to the POSTINGS before the
-      self-join (semi-join on the candidate doc-id set), not just to pairs
-      after the groupBy — with candidates given, join cost is proportional
-      to the candidate docs' postings, not the corpus's.
-    - ``prefilter_hot``: with False (default), hot shingles are dropped by
-      a row-local size filter AFTER the posting lists are collected — one
-      shuffle, but a shingle hotter than max_df still materializes its
-      full posting list in a single (non-spillable) aggregation buffer
-      before being discarded; fine while the hottest shingle's df is
-      memory-bounded. With True, a cheap (shingle, count) aggregate runs
-      first (map-side partial combine — longs, not lists) and the hot-
-      shingle set (tiny by definition: df > max_df survivors) broadcasts
-      into an anti-join BELOW the list aggregation, so hot posting lists
-      are never built. Same output, one extra light shuffle: the 100 TB
-      setting. (Round-3 measured +0.5-0.9 s at sf0.1, which is why it is
-      not the local default.)
+      STOP-SHINGLES, excluded from the index AND from the per-doc set
+      sizes (jaccard stays a true set similarity over the capped
+      universe). Because the packed size is computed before the cap, docs
+      touching a hot shingle get a correction joined in afterwards — from
+      a per-doc hot-count frame that is EMPTY unless hot shingles exist
+      (fixture max_df: 25), and the join target is the near-dup pair
+      frame, already tiny. ``None`` → uncapped semantics, no cap pass.
+    - ``prefilter_hot``: with False (default), a hot shingle's full
+      posting list still materializes in one aggregation buffer before the
+      size filter drops it; fine while the hottest df is memory-bounded.
+      With True, a (shingle, count) aggregate (longs, map-side combine)
+      runs first and the hot set — tiny by definition — broadcasts into
+      an anti-join below the list aggregation, so hot posting lists are
+      never built: the 100 TB setting, one extra light shuffle.
+    - ``candidates``: applied to the shingle sets before anything else
+      (semi-join on the candidate doc-id set) — cost proportional to the
+      candidate docs' postings, not the corpus's — plus an exact
+      pair-level semi at the end (the id-level semi still admits cross
+      pairs between unrelated candidates).
     """
-    sh = _shingled(docs, id_col, text_col, k)
+    sets = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+    )
     if candidates is not None:
         cand_ids = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(cand_ids, on="doc_id", how="left_semi")
-    # ONE shuffle builds the inverted index as grouped posting LISTS; the
-    # df cap is a row-local size filter (or a pre-broadcast anti-join with
-    # prefilter_hot), and candidate pairs expand IN-ROW from each posting
-    # list — work per shingle is bounded by max_df², never n². Materialize
-    # the (small) index once: both the pair expansion and the size
-    # aggregate re-scan it instead of recomputing the shingling.
+        sets = sets.join(cand_ids, on="doc_id", how="left_semi")
+    # pk = doc_id << 24 | n: one long carries identity and pre-cap size
+    # through both groupBys (sorting pks sorts by doc_id — the size bits
+    # are constant per doc). 24 bits caps per-doc distinct shingles at
+    # ~16.7M (a guard-filtered absurdity), ids at 2^39.
+    #
+    # pk is packed INSIDE the transform, not as a sibling column of the
+    # explode: CollapseProject inlines the whole tokenize→shingle chain
+    # into every projection that references `shs`, and a generator's
+    # sibling columns are evaluated per OUTPUT row — measured 6.1 s vs
+    # 0.65 s at sf0.1 for this one select (the same trap _shingle_sets
+    # documents for minhash).
+    _NBITS, _NMASK = 24, (1 << 24) - 1
+    pk_arr = F.transform(
+        "shs",
+        lambda s: F.struct(
+            s.alias("sh"),
+            (
+                F.col("doc_id").cast("long") * F.lit(1 << _NBITS)
+                + F.size("shs").cast("long")
+            ).alias("pk"),
+        ),
+    )
+    postings = (
+        sets.filter(F.size("shs") < _NMASK)
+        .select(F.explode(pk_arr).alias("p"))
+        .select(F.col("p.sh").alias("sh"), F.col("p.pk").alias("pk"))
+    )
+    hot_cnt = None  # (hdoc, n_hot): per-doc count of dropped hot shingles
     if prefilter_hot and max_df is not None:
         hot = (
-            sh.groupBy("sh")
+            postings.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        inv = (
-            sh.join(F.broadcast(hot), on="sh", how="left_anti")
-            .groupBy("sh")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        hot_cnt = (
+            postings.join(F.broadcast(hot), on="sh", how="left_semi")
+            .groupBy(F.shiftright("pk", _NBITS).alias("hdoc"))
+            .agg(F.count(F.lit(1)).alias("n_hot"))
         )
-    else:
-        inv = sh.groupBy("sh").agg(
-            F.array_sort(F.collect_list("doc_id")).alias("ds")
-        )
-        if max_df is not None:
-            inv = inv.filter(F.size("ds") <= max_df)
-    inv = materialize(inv, "jaccard-index")
-    sizes = (
-        inv.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        postings = postings.join(F.broadcast(hot), on="sh", how="left_anti")
+    inv = postings.groupBy("sh").agg(F.array_sort(F.collect_list("pk")).alias("ds"))
+    if max_df is not None:
+        if not prefilter_hot:
+            hot_cnt = (
+                inv.filter(F.size("ds") > max_df)
+                .select(F.explode("ds").alias("pk"))
+                .groupBy(F.shiftright("pk", _NBITS).alias("hdoc"))
+                .agg(F.count(F.lit(1)).alias("n_hot"))
+            )
+        inv = inv.filter(F.size("ds") <= max_df)
+    # a<b pair expansion via two chained Generates (whole-stage codegen).
+    pairs = (
+        inv.select("ds", F.explode("ds").alias("pka"))
+        .select("pka", F.explode("ds").alias("pkb"))
+        .filter(F.col("pka") < F.col("pkb"))
     )
-    # all (a < b) combinations of each sorted posting list, in-row
     common = (
-        inv.select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("pka", "pkb")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    if candidates is not None:
-        # exact pair-level restriction (the id-level semi above still
-        # admits cross pairs between unrelated candidates)
-        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
-    # NO broadcast hint on the size joins: sizes is one row per doc —
-    # corpus-sized at 100 TB — so the decision belongs to AQE, which
-    # broadcasts it at bench scale and shuffle-joins it at cluster scale.
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(na, on="doc_a")
-        .join(nb, on="doc_b")
-        .filter(jac >= threshold)
         .select(
-            "doc_a",
-            "doc_b",
+            F.shiftright("pka", _NBITS).alias("doc_a"),
+            F.shiftright("pkb", _NBITS).alias("doc_b"),
             "n_common",
-            "n_a",
-            "n_b",
-            r4(jac).alias("jaccard"),
+            F.col("pka").bitwiseAND(F.lit(_NMASK)).alias("n_a"),
+            F.col("pkb").bitwiseAND(F.lit(_NMASK)).alias("n_b"),
         )
+    )
+    if hot_cnt is not None:
+        # capped-universe sizes: subtract each doc's hot-shingle count.
+        # hot_cnt is empty unless some shingle exceeded max_df, and the
+        # left side is the (small) pair frame — broadcast-joined by AQE.
+        for side in ("a", "b"):
+            common = (
+                common.join(
+                    hot_cnt, common[f"doc_{side}"] == hot_cnt["hdoc"], "left"
+                )
+                .withColumn(
+                    f"n_{side}",
+                    F.col(f"n_{side}") - F.coalesce(F.col("n_hot"), F.lit(0)),
+                )
+                .drop("hdoc", "n_hot")
+            )
+    if candidates is not None:
+        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return common.filter(jac >= threshold).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        r4(jac).alias("jaccard"),
     )
 
 
