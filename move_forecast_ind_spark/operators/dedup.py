@@ -118,8 +118,16 @@ def jaccard_pairs(
       pair-level semi at the end (the id-level semi still admits cross
       pairs between unrelated candidates).
     """
+    _NBITS, _NMASK = 24, (1 << 24) - 1
+    # Overflow guard for the pk packing below: distinct shingles ≤ token
+    # count ≤ text length, so a raw-length predicate (pushed to the parquet
+    # scan) bounds per-doc shingles under 2^24 WITHOUT touching the shingle
+    # array. Guarding on F.size("shs") instead forces the whole
+    # tokenize→shingle chain to evaluate twice (filter + generator) —
+    # measured 3.2 s vs 0.6 s at sf0.1 for the postings stage alone.
     sets = (
-        docs.repartition(F.col(id_col))
+        docs.filter(F.length(F.col(text_col)) < _NMASK)
+        .repartition(F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
     )
@@ -141,7 +149,6 @@ def jaccard_pairs(
     # sibling columns are evaluated per OUTPUT row — measured 6.1 s vs
     # 0.65 s at sf0.1 for this one select (the same trap _shingle_sets
     # documents for minhash).
-    _NBITS, _NMASK = 24, (1 << 24) - 1
     pk_arr = F.transform(
         "shs",
         lambda s: F.struct(
@@ -153,8 +160,7 @@ def jaccard_pairs(
         ),
     )
     postings = (
-        sets.filter(F.size("shs") < _NMASK)
-        .select(F.explode(pk_arr).alias("p"))
+        sets.select(F.explode(pk_arr).alias("p"))
         .select(F.col("p.sh").alias("sh"), F.col("p.pk").alias("pk"))
     )
     hot_cnt = None  # (hdoc, n_hot): per-doc count of dropped hot shingles
@@ -165,6 +171,9 @@ def jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("sh")
         )
+        # postings now has THREE lazy consumers (hot, hot_cnt, the
+        # anti-join) — materialize once or the shingling chain runs 3×.
+        postings = materialize(postings, "jaccard-postings")
         hot_cnt = (
             postings.join(F.broadcast(hot), on="sh", how="left_semi")
             .groupBy(F.shiftright("pk", _NBITS).alias("hdoc"))
@@ -174,6 +183,24 @@ def jaccard_pairs(
     inv = postings.groupBy("sh").agg(F.array_sort(F.collect_list("pk")).alias("ds"))
     if max_df is not None:
         if not prefilter_hot:
+            # inv feeds BOTH the hot-count correction and the pair
+            # expansion, and hot_cnt itself is joined twice (side a/b).
+            # Without a barrier every consumer lazily re-runs the whole
+            # tokenize→shingle→explode→groupBy chain — measured 6.47 s vs
+            # 2.6 s at sf0.1 (the round-4 snapshot shipped exactly that
+            # regression). Materialize the index ONCE; the extra consumers
+            # then re-scan a small per-shingle frame.
+            inv = materialize(inv, "jaccard-index")
+            # Scalar probe on the (already-materialized) index: when NO
+            # shingle exceeds the cap — the common case on clean corpora —
+            # the cap filter and the two correction joins are no-ops; skip
+            # them instead of paying two extra index scans + joins
+            # (~0.4 s at sf0.1). One aggregate over the small per-shingle
+            # frame, same spirit as connected_components' convergence
+            # probe: a scalar to the driver, never data.
+            max_ds = inv.agg(F.max(F.size("ds"))).first()[0] or 0
+            if max_ds <= max_df:
+                return _finish_pairs(inv, None, candidates, threshold, _NBITS, _NMASK)
             hot_cnt = (
                 inv.filter(F.size("ds") > max_df)
                 .select(F.explode("ds").alias("pk"))
@@ -181,6 +208,19 @@ def jaccard_pairs(
                 .agg(F.count(F.lit(1)).alias("n_hot"))
             )
         inv = inv.filter(F.size("ds") <= max_df)
+    return _finish_pairs(inv, hot_cnt, candidates, threshold, _NBITS, _NMASK)
+
+
+def _finish_pairs(
+    inv: DataFrame,
+    hot_cnt: DataFrame | None,
+    candidates: DataFrame | None,
+    threshold: float,
+    nbits: int,
+    nmask: int,
+) -> DataFrame:
+    """Pair expansion + Jaccard filter over a (sh, ds) inverted index of
+    pk-packed postings (see :func:`jaccard_pairs` for the packing)."""
     # a<b pair expansion via two chained Generates (whole-stage codegen).
     pairs = (
         inv.select("ds", F.explode("ds").alias("pka"))
@@ -191,11 +231,11 @@ def jaccard_pairs(
         pairs.groupBy("pka", "pkb")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
-            F.shiftright("pka", _NBITS).alias("doc_a"),
-            F.shiftright("pkb", _NBITS).alias("doc_b"),
+            F.shiftright("pka", nbits).alias("doc_a"),
+            F.shiftright("pkb", nbits).alias("doc_b"),
             "n_common",
-            F.col("pka").bitwiseAND(F.lit(_NMASK)).alias("n_a"),
-            F.col("pkb").bitwiseAND(F.lit(_NMASK)).alias("n_b"),
+            F.col("pka").bitwiseAND(F.lit(nmask)).alias("n_a"),
+            F.col("pkb").bitwiseAND(F.lit(nmask)).alias("n_b"),
         )
     )
     if hot_cnt is not None:
