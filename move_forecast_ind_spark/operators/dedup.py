@@ -180,7 +180,10 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_hot"))
         )
         postings = postings.join(F.broadcast(hot), on="sh", how="left_anti")
-    inv = postings.groupBy("sh").agg(F.array_sort(F.collect_list("pk")).alias("ds"))
+    # No array_sort: the a<b pair filter in _finish_pairs works on the
+    # unordered list, and `sh` is dead after the groupBy — dropping both
+    # shaves the checkpoint write (~0.15 s at sf0.1).
+    inv = postings.groupBy("sh").agg(F.collect_list("pk").alias("ds")).select("ds")
     if max_df is not None:
         if not prefilter_hot:
             # inv feeds BOTH the hot-count correction and the pair

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize
 from ..plans.forecast_tail import PHRASES, forecast_summary, forecast_tail
 from ..plans.percentages import compute_percentages, month_grain_percentages
 from ..plans.trends import historical_trends, trends_nested
@@ -212,16 +213,17 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the percentage build by hand — Catalyst can't infer it through
     # the aggregates, and it shrinks the broadcast ~100× (the month-grain
     # average over month=6 is unchanged by dropping other months first).
-    # NO materialization of the slice: the branch predicate reaches the
-    # parquet scan, so each of the four broadcast subtrees re-aggregates a
-    # ~2% row-group-pruned slice inside one codegen'd stage. Round 3
-    # measured the alternatives at sf0.1: lazy 0.82-0.93 s, parquet
-    # checkpoint 0.89-1.00 s, localCheckpoint 0.93-2.1 s, cache()
-    # 1.11-1.45 s (the r2 recording's 1.68 s) — the cache cost its cold
-    # build + InMemoryRelation scans breaking whole-stage codegen. At
-    # 100 TB, where the re-aggregation is no longer row-group-pruned to
-    # near-zero, checkpoint the slice instead (SCALE.md).
-    pct = pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6))
+    # Materialize the ~1.2k-row slice ONCE: four broadcast subtrees (two
+    # day-grain keyings + two month-grain) otherwise each re-aggregate the
+    # pruned lineitem scan. Round-4 A/B at sf0.1 (min of 4): lazy 1.35 s,
+    # localCheckpoint 1.03 s — the r3 note recording the opposite did not
+    # reproduce on a quiet host. At 100 TB the barrier is mandatory anyway
+    # (the re-aggregation is no longer row-group-pruned to near-zero;
+    # SCALE.md), so small-SF and cluster now take the same shape.
+    pct = materialize(
+        pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6)),
+        "tail-pct-slice",
+    )
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
