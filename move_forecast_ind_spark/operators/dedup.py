@@ -230,6 +230,22 @@ def _finish_pairs(
         .select("pka", F.explode("ds").alias("pkb"))
         .filter(F.col("pka") < F.col("pkb"))
     )
+    if hot_cnt is None:
+        # Size-compatibility prefilter (AllPairs-style length filter):
+        # j ≥ t ⟹ overlap ≥ t·max(n_a,n_b) and overlap ≤ min ⟹
+        # min ≥ t·max. The sizes ride in the pk low bits, so the filter
+        # runs BEFORE the pair aggregation and drops size-incompatible
+        # pairs from the shuffle (measured -24% pair rows, -0.3 s on the
+        # aggregate at sf0.1). Tiny epsilon slack so float thresholds can
+        # only ADMIT boundary pairs, never drop them. Skipped when a hot
+        # correction is pending: pk sizes are then pre-cap and the capped
+        # sizes (what jaccard uses) aren't known until after the join.
+        na = F.col("pka").bitwiseAND(F.lit(nmask))
+        nb = F.col("pkb").bitwiseAND(F.lit(nmask))
+        pairs = pairs.filter(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+        )
     common = (
         pairs.groupBy("pka", "pkb")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -403,29 +419,93 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """The full MinHash cascade: LSH candidates → exact-Jaccard verify.
 
-    Verification joins the candidate PAIRS against per-doc shingle *sets*
-    and intersects arrays — cost ∝ |candidates|·|shingles|, never the
-    all-pairs inverted-index join (that pass exists standalone as
-    :func:`jaccard_pairs`)."""
-    # ONE materialization: the per-doc shingle-set table (one row per doc)
-    # is the shared base — signatures derive from it as a map-only array
-    # fold (signatures_from_sets, no shuffle), the grouped band buckets
-    # consume the signatures once (no self-join since round 3), and the
-    # verify step joins candidate pairs back against the same sets. Left
-    # fully lazy the set table recomputes per consumer (measured 4.6-5.1 s
-    # at sf0.1 vs ~2 s materialized — the CollapseProject 32× re-hash trap);
-    # the r2 twin-parquet-checkpoint layout paid a second eager write+read
-    # job for the signatures, which the grouped banding no longer needs
-    # (one consumer → lazy derivation is free).
-    sets = materialize(_shingle_sets(docs, id_col, text_col, k), "minhash-sets")
-    sig = signatures_from_sets(sets)
-    cand = minhash_lsh_candidates(sig)
-    a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    Round-4 topology — signatures AS AGGREGATES, verify on candidates only,
+    ZERO full-corpus materialization:
+
+    - The 32 per-doc minhashes are ``min()`` aggregate expressions over the
+      exploded (hash, doc) postings — one shuffle whose map-side combine
+      reduces each partition to one 32-column row per doc. Aggregation
+      evaluates every posting ONCE, which structurally side-steps the
+      CollapseProject trap (32 array folds referencing a lazy hash column
+      get the whole tokenize→shingle→hash chain inlined into each fold —
+      the 32× re-hash that previously forced checkpointing the set table;
+      measured 2.7 s vs 3.4 s at sf0.1 against the checkpoint layout, and
+      at 100 TB it additionally saves writing per-doc sets to storage).
+    - The verify step re-shingles ONLY docs that appear in a candidate
+      pair (broadcast semi-join on the candidate id set): candidates are
+      ∝ true near-dups, so the re-shingle cost is a vanishing fraction of
+      the corpus — cheaper at every scale than persisting all sets for
+      the few that get verified. Candidate pairs are localCheckpointed
+      (they are consumed by the id-set derivation and both verify sides;
+      the frame is tiny by construction).
+
+    Verification intersects candidate docs' exact shingle-string sets —
+    precision 1.0, identical output to :func:`jaccard_pairs` whenever the
+    banding catches every true pair (see the registry docstring for the
+    measured fixture recall contract)."""
+    pk_arr = F.transform(
+        # hash packed INSIDE the transform that explode consumes: a
+        # generator over the raw lazy chain evaluates it per OUTPUT row
+        # (measured 6.2 s vs 0.6 s at sf0.1 for these postings alone).
+        "shs",
+        lambda s: F.struct(
+            F.pmod(F.xxhash64(s, F.lit(42)), F.lit(MERSENNE31)).alias("h"),
+            F.col("doc_id").cast("long").alias("d"),
+        ),
     )
-    b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    postings = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .select(F.explode(pk_arr).alias("p"))
+        .select("p.h", "p.d")
     )
+    mins = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]), F.lit(MERSENNE31))
+        ).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    sig = postings.groupBy("d").agg(*mins)
+    bands = sig.select(
+        F.col("d").alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = materialize(
+        buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct(),
+        "minhash-cand",
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    vsets = (
+        docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+    )
+    a = vsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = vsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     joined = cand.join(a, on="doc_a").join(b, on="doc_b")
     n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
     n_a = F.size("shs_a").cast("long")
