@@ -17,6 +17,7 @@ for _mod in (
     "streaming_q",
     "ml",
     "extras",
+    "corpus",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

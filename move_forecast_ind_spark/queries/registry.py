@@ -96,15 +96,21 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "st_dedup_counts",
     "st_interval_join",
     "j_asof_join",
-    # --- flagship reference-parity + north-star continuity (fill to 50) ---
+    # --- new round-4 operators: never driver-sampled (6) ---
+    "corpus_chunk_dedup",
+    "corpus_repetition_quality",
+    "corpus_length_histogram",
+    "corpus_mix_weighted",
+    "emb_centroid_by_label",
+    "q5_local_supplier_volume",
+    # --- flagship reference-parity + north-star continuity (fill to 50).
+    # dedup_minhash_lsh / dedup_ngram_jaccard were re-topologized in round
+    # 4 (aggregate signatures, size prefilter) and need fresh rows; the
+    # rest carry prior-round green evidence but anchor the sample. ---
     "pct_etl",
     "forecast_tail_daily",
     "trends_onepass",
     "pipeline_training_data_prep",
-    "forecast_tail_demoted_move_type",
-    "pct_month_grain",
-    "forecast_summary",
-    "svc_trends_request",
     "ml_linreg_forecast",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -115,8 +121,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_quality",
-    "text_langid",
-    "mm_frame_sample",
 )
 
 
