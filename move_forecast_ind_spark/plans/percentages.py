@@ -49,12 +49,22 @@ def compute_percentages(
     type_col: str,
     date_col: str,
     count_col: str,
+    types_from: DataFrame | None = None,
 ) -> DataFrame:
     """Derive the (branch, move_type, month, day) percentage table.
 
     Output columns: branch, move_type, month, day, move_count, total_count,
     avg_percentage — with sums pre-rounded (r2) and the percentage r4'd so
     the result hash-matches an ANSI-SQL oracle computing the same plan.
+
+    ``types_from``: source frame for the GLOBAL move-type domain (defaults
+    to ``facts``). Callers that pre-filter ``facts`` to a slice (the
+    forecast tail) must pass the unfiltered fact table here — the
+    reference's loop domain is the corpus-wide ``sorted(unique())``
+    (precompute_percentages.py:156), and a type missing from the slice
+    still owes its zero-percentage rows. The domain scan prunes to the
+    single type column, so this costs a narrow column scan, not a second
+    full-width pass.
     """
     month = F.month(date_col).alias("month")
     day = F.dayofmonth(date_col).alias("day")
@@ -88,7 +98,8 @@ def compute_percentages(
     # excluded from the domain: the reference's sorted(unique()) would crash
     # on them, and a NULL key row could never match the moves join anyway.
     types = (
-        facts.select(F.col(type_col).alias("move_type"))
+        (types_from if types_from is not None else facts)
+        .select(F.col(type_col).alias("move_type"))
         .filter(F.col(type_col).isNotNull())
         .distinct()
     )

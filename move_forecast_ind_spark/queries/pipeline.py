@@ -205,25 +205,32 @@ def pct_month_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # The frame below only touches branches 1-10 in June. Round 4: filter
+    # the FACTS (the filter is on grouping keys, so slicing before the
+    # aggregates is exact) and materialize the ~3k-row slice ONCE — the
+    # percentage build's moves/totals subtrees then aggregate the tiny
+    # checkpoint instead of re-scanning lineitem (month(l_shipdate)=6
+    # cannot push to parquet, so every subtree scan was a full pass:
+    # three full-width scans → one + a type-column-only domain scan).
+    # A/B at sf0.1 (min of 4, interleaved): 0.90-0.94 s → 0.75-0.86 s.
+    # The move-type domain must stay GLOBAL (types_from=li): a type
+    # absent from the June slice still owes zero-percentage rows, which
+    # feed the month-grain average (reference precompute loop domain).
+    facts = materialize(
+        li.filter(
+            F.col("l_suppkey").between(1, 10) & (F.month("l_shipdate") == 6)
+        ),
+        "tail-facts-slice",
+    )
     pct = compute_percentages(
-        li, branch_col="l_suppkey", type_col="l_returnflag",
-        date_col="l_shipdate", count_col="l_quantity",
+        facts, branch_col="l_suppkey", type_col="l_returnflag",
+        date_col="l_shipdate", count_col="l_quantity", types_from=li,
     )
-    # The frame below only touches branches 1-10 in June; push that filter
-    # into the percentage build by hand — Catalyst can't infer it through
-    # the aggregates, and it shrinks the broadcast ~100× (the month-grain
-    # average over month=6 is unchanged by dropping other months first).
-    # Materialize the ~1.2k-row slice ONCE: four broadcast subtrees (two
-    # day-grain keyings + two month-grain) otherwise each re-aggregate the
-    # pruned lineitem scan. Round-4 A/B at sf0.1 (min of 4): lazy 1.35 s,
-    # localCheckpoint 1.03 s — the r3 note recording the opposite did not
-    # reproduce on a quiet host. At 100 TB the barrier is mandatory anyway
-    # (the re-aggregation is no longer row-group-pruned to near-zero;
-    # SCALE.md), so small-SF and cluster now take the same shape.
-    pct = materialize(
-        pct.filter(F.col("branch").between(1, 10) & (F.col("month") == 6)),
-        "tail-pct-slice",
-    )
+    # Materialize the ~1.2k-row day-grain slice too: four broadcast
+    # subtrees (two day-grain keyings + two month-grain) otherwise each
+    # re-aggregate it. At 100 TB both barriers are mandatory (SCALE.md);
+    # small-SF and cluster take the same shape.
+    pct = materialize(pct, "tail-pct-slice")
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
