@@ -328,6 +328,85 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_stratified_sample",
+    tags=("corpus", "sampling", "window"),
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    ranked by md5 of the id — reproducible across engines, partitionings
+    and cluster sizes (unlike seeded engine RNG sampling, whose sequence
+    is partitioning-specific). The per-stratum top-k is a single windowed
+    rank; at scale, per-stratum partitions are language-sized and the
+    hash ranking needs no global sort."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk")).filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "corpus_split_assign",
+    tags=("corpus", "sampling"),
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash bucket
+    (90/5/5) — the standard leakage-safe split at corpus scale: membership
+    is a pure function of the id, so re-runs, engine changes, and corpus
+    growth never reshuffle existing assignments. Map-side bucket + one
+    summary aggregate; the md5-hex idiom is bit-identical in both engines
+    (same as the SimHash token hash)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "q5_local_supplier_volume",
     tags=("join", "aggregate", "classic"),
     oracle="""

@@ -101,6 +101,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "corpus_repetition_quality",
     "corpus_length_histogram",
     "corpus_mix_weighted",
+    "corpus_stratified_sample",
+    "corpus_split_assign",
     "emb_centroid_by_label",
     "q5_local_supplier_volume",
     # --- flagship reference-parity + north-star continuity (fill to 50).
@@ -112,7 +114,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "trends_onepass",
     "pipeline_training_data_prep",
     "ml_linreg_forecast",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -120,7 +121,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "text_quality",
 )
 
 
