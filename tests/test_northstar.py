@@ -247,3 +247,39 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         ns.load_table = orig
     assert fps[1] & fps[2], "docs sharing a long run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_jaccard_size_prefilter_is_lossless(spark):
+    """The AllPairs size-compatibility prefilter (round 4: min >= t*max
+    before the pair aggregate) must never drop a true >=threshold pair.
+    Brute-force every pair in pandas at several thresholds and compare
+    exact output sets."""
+    import itertools
+
+    from move_forecast_ind_spark.operators.dedup import jaccard_pairs
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def shingle_set(text, k=3):
+        w = text.strip().split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sets = {r.doc_id: shingle_set(r.text) for r in pdf.itertuples()}
+    for t in (0.25, 0.5, 0.75):
+        expected = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= t:
+                expected.add((a, b))
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=t, max_df=None
+            ).collect()
+        }
+        assert got == expected, f"threshold {t}: {got ^ expected}"
