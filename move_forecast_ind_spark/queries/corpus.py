@@ -407,6 +407,55 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_unigram_lm_score",
+    tags=("corpus", "text", "quality"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(v.c AS DOUBLE) / tot.n) AS lp
+      FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           FLOOR(AVG(lp) * 1e6 + 0.5) / 1e6 AS avg_logprob,
+           FLOOR(EXP(-AVG(lp)) * 1e2 + 0.5) / 1e2 AS unigram_ppl
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def corpus_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: score each document by its average
+    corpus-unigram log-probability (and the implied unigram perplexity).
+    Two aggregations and one broadcast join: the vocabulary frame is
+    token-distinct (vanishing vs the corpus; explicitly broadcast — at
+    web scale swap for the standard pruned-vocab + shuffle join), the
+    token stream is scored map-side, and the per-doc average is map-side
+    combinable. No Python in the plan."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), on="tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        r6(F.avg("lp")).alias("avg_logprob"),
+        r2(F.exp(-F.avg("lp"))).alias("unigram_ppl"),
+    )
+
+
+@register(
     "q5_local_supplier_volume",
     tags=("join", "aggregate", "classic"),
     oracle="""

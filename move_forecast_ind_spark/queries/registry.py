@@ -103,6 +103,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "corpus_mix_weighted",
     "corpus_stratified_sample",
     "corpus_split_assign",
+    "corpus_unigram_lm_score",
     "emb_centroid_by_label",
     "q5_local_supplier_volume",
     # --- flagship reference-parity + north-star continuity (fill to 50).
@@ -115,7 +116,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "pipeline_training_data_prep",
     "ml_linreg_forecast",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
