@@ -95,6 +95,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "st_session_stats",
     "st_dedup_counts",
     "st_interval_join",
+    "st_stateful_user_gaps",
     "j_asof_join",
     # --- new round-4 operators: never driver-sampled (6) ---
     "corpus_chunk_dedup",
@@ -117,7 +118,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ml_linreg_forecast",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",

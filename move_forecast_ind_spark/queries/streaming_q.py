@@ -217,3 +217,43 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
         "click_value",
     )
+
+
+@register(
+    "st_stateful_user_gaps",
+    tags=("streaming", "stateful", "window"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+           MAX(us) AS last_seen_us
+    FROM o GROUP BY 1
+    """,
+)
+def st_stateful_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.py::stateful_user_gaps (custom
+    GroupState operator): per-user count, max gap between CONSECUTIVE
+    events (µs, (ts, event_id) order), last-seen timestamp (µs). In batch
+    the consecutive gap is a lag window; in the stream it is the
+    last-seen-µs scalar the GroupState carries across micro-batches —
+    tests/test_streaming.py asserts the drained state matches this row
+    for row."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", us.alias("us"), (us - F.lag(us).over(w)).alias("gap")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_us"),
+        F.max("us").alias("last_seen_us"),
+    )

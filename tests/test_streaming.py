@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -287,3 +288,27 @@ def test_rate_stream_shapes_events(spark):
         assert r.user_id == i % 1000
         assert r.event_type == f"type_{i % 4}"
         assert abs(r.value - (i % 100) / 10.0) < 1e-9
+
+
+def test_stateful_user_gaps_equivalence(spark, event_stream_factory):
+    """Packaged GroupState operator (streaming/stateful.py): the drained
+    per-user gap state must equal the batch lag-window twin row for row."""
+    from move_forecast_ind_spark.queries.streaming_q import st_stateful_user_gaps
+    from move_forecast_ind_spark.streaming.stateful import stateful_user_gaps
+
+    out = _drain(stateful_user_gaps(event_stream_factory()), "t_user_gaps", "update")
+    # update mode re-emits per batch; the row with the max n_events per
+    # user is the final state.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        (r.user_id, r.n_events, r.max_gap_us, r.last_seen_us)
+        for r in out.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .drop("rk")
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.max_gap_us, r.last_seen_us)
+        for r in st_stateful_user_gaps(spark, SF_SMALL).collect()
+    }
+    assert final == batch
