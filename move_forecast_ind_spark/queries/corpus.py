@@ -456,6 +456,118 @@ def corpus_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_ngram_novelty",
+    tags=("corpus", "text", "dedup"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
+      WHERE len(w) >= 3
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    firsts AS (SELECT sh, MIN(doc_id) AS d FROM sh GROUP BY 1),
+    novel AS (SELECT d AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY 1)
+    SELECT tot.doc_id, n_shingles,
+           COALESCE(n_novel, 0) AS n_novel,
+           FLOOR(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_shingles * 1e4 + 0.5)
+             / 1e4 AS novelty_ratio
+    FROM tot LEFT JOIN novel ON tot.doc_id = novel.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty / contamination score: the fraction of a document's
+    distinct 3-shingles whose FIRST corpus occurrence (min doc_id) is this
+    document. Low novelty = the content already exists earlier in the
+    corpus (the dedup-adjacent contamination check). No per-shingle join
+    back: first-occurrence counts aggregate directly to their owning doc
+    (two map-combinable aggregates + one tiny doc-keyed join)."""
+    tune(spark)
+    from ..functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = F.transform(
+        "shs", lambda s: F.struct(s.alias("sh"), F.col("doc_id").alias("d"))
+    )
+    postings = (
+        docs.repartition(F.col("doc_id"))
+        .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("shs"))
+        .select(F.explode(sh_arr).alias("p"))
+        .select(F.col("p.sh").alias("sh"), F.col("p.d").alias("doc_id"))
+    )
+    tot = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        postings.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return (
+        tot.join(novel, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_novel.cast("long").alias("n_novel"),
+            r4(n_novel.cast("double") / F.col("n_shingles")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    tags=("join", "aggregate", "topk", "classic"),
+    oracle="""
+    SELECT c_custkey, c_name,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking — quarter-filtered
+    orders ⋈ R-flagged lineitem ⋈ customer ⋈ broadcast nation, top 20 by
+    revenue (c_custkey tie-break so the LIMIT is deterministic in both
+    engines). Plans as TakeOrderedAndProject: per-task top-k heap +
+    driver merge, no global sort at any scale."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "q5_local_supplier_volume",
     tags=("join", "aggregate", "classic"),
     oracle="""

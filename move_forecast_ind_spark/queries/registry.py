@@ -105,8 +105,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "corpus_stratified_sample",
     "corpus_split_assign",
     "corpus_unigram_lm_score",
+    "corpus_ngram_novelty",
     "emb_centroid_by_label",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     # --- flagship reference-parity + north-star continuity (fill to 50).
     # dedup_minhash_lsh / dedup_ngram_jaccard were re-topologized in round
     # 4 (aggregate signatures, size prefilter) and need fresh rows; the
@@ -115,10 +117,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "forecast_tail_daily",
     "trends_onepass",
     "pipeline_training_data_prep",
-    "ml_linreg_forecast",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
 )
