@@ -112,3 +112,41 @@ def test_tiny_shuffles_coalesce_to_one_partition(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "AQEShuffleRead coalesced" in final
+
+
+def test_q5_q10_broadcast_dims_no_cartesian(spark):
+    """The TPC-H-shape joins must broadcast every dimension side and never
+    plan a cartesian product; Q10's top-20 must be a TakeOrderedAndProject
+    (per-task heap), not a global sort."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    q5 = _plan(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in q5
+    assert q5.count("BroadcastHashJoin") >= 3
+
+    q10 = _plan(REGISTRY["q10_returned_items"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in q10
+    assert "TakeOrderedAndProject" in q10
+    assert "BroadcastHashJoin" in q10
+
+
+def test_corpus_chunk_dedup_single_content_shuffle(spark):
+    """C4-style chunk dedup: exactly one exchange keyed on chunk content
+    feeds the window (plus the final per-doc aggregate's exchange) — no
+    joins anywhere."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["corpus_chunk_dedup"].fn(spark, SF_SMALL))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """The LM scorer's vocabulary and total must broadcast — the token
+    stream is never shuffled for the probability join."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["corpus_unigram_lm_score"].fn(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
