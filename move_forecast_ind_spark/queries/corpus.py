@@ -456,6 +456,137 @@ def corpus_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs",
+    tags=("corpus", "dedup", "join"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           FLOOR(CAST(n_common AS DOUBLE) / na.n * 1e4 + 0.5) / 1e4
+             AS containment_a,
+           FLOOR(CAST(n_common AS DOUBLE) / nb.n * 1e4 + 0.5) / 1e4
+             AS containment_b
+    FROM common
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT similarity (|A∩B| / |A|): the asymmetric near-dup
+    measure that catches sub-document duplication — a short doc quoted
+    whole inside a longer one has low Jaccard but containment ≈ 1. Pairs
+    where the smaller side is ≥ 80% contained. Reuses the jaccard_pairs
+    inverted-index topology (its n_common/n_a/n_b output IS the
+    containment numerator/denominators)."""
+    tune(spark)
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0, max_df=1000)
+    # threshold=0: containment>=0.8 implies no useful Jaccard lower bound
+    # when the size ratio is extreme (the exact case containment exists
+    # for), so no pair may be pre-dropped; the size prefilter correctly
+    # self-disables at t=0 and max_df still bounds the expansion.
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    return pairs.filter(cont >= 0.8).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        r4(F.col("n_common") / F.col("n_a")).alias("containment_a"),
+        r4(F.col("n_common") / F.col("n_b")).alias("containment_b"),
+    )
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    tags=("corpus", "dedup", "aggregate"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    ),
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_in_dup_pair,
+           FLOOR(CAST(COUNT(dd.doc_id) AS DOUBLE) / COUNT(*) * 1e4 + 0.5)
+             / 1e4 AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication analytics by provenance: which sources contribute
+    near-duplicate documents (doc appears in a ≥0.5-Jaccard pair), as a
+    per-source rate — the triage view that decides which feeds get
+    down-weighted or re-crawled. Composes the exact-Jaccard cascade with
+    a metadata join: the dup-doc id set is tiny (∝ near-dups), broadcast
+    against the corpus."""
+    tune(spark)
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_in_dup_pair"),
+            r4(F.count("is_dup") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "corpus_ngram_novelty",
     tags=("corpus", "text", "dedup"),
     oracle="""

@@ -106,6 +106,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "corpus_split_assign",
     "corpus_unigram_lm_score",
     "corpus_ngram_novelty",
+    "corpus_dup_rate_by_source",
+    "dedup_containment_pairs",
     "emb_centroid_by_label",
     "q5_local_supplier_volume",
     "q10_returned_items",
@@ -115,8 +117,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # rest carry prior-round green evidence but anchor the sample. ---
     "pct_etl",
     "forecast_tail_daily",
-    "trends_onepass",
-    "pipeline_training_data_prep",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_ann_lsh",
