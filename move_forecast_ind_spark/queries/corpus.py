@@ -698,6 +698,41 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from ..functions.zorder import z_value_sql
+
+    return f"""
+    SELECT l_suppkey, l_partkey,
+           {z_value_sql('l_suppkey', 'l_partkey')} AS z
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """
+
+
+@register(
+    "s_zorder_key",
+    tags=("scan", "layout"),
+    oracle=_zorder_oracle(),
+)
+def s_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_suppkey, l_partkey) — the
+    S9 layout operator: writes sorted by this key put BOTH dimensions'
+    ranges into each parquet row group, so min/max statistics prune
+    filters on either key (functions/zorder.py; the layout win is
+    asserted quantitatively in tests/test_plans.py). Pure shift/mask
+    column arithmetic, bit-identical in both engines."""
+    tune(spark)
+    from ..functions.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_suppkey", "l_partkey",
+        z_value(F.col("l_suppkey"), F.col("l_partkey")).alias("z"),
+    )
+
+
 @register(
     "q5_local_supplier_volume",
     tags=("join", "aggregate", "classic"),

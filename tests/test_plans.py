@@ -150,3 +150,53 @@ def test_unigram_lm_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """Range-partitioning a write by the Morton key must shrink each
+    file's (suppkey-span × partkey-span) bounding box vs a round-robin
+    layout — the min/max-statistics file-pruning win the Z-order layout
+    exists for (a filter on EITHER key then skips most files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from move_forecast_ind_spark.functions.zorder import z_value
+    from move_forecast_ind_spark.sources import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_suppkey", "l_partkey")
+
+    def mean_file_area(path: str) -> float:
+        areas = []
+        for p in os.listdir(path):
+            if not p.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, p)).metadata
+            smin = pmin = 1 << 62
+            smax = pmax = -1
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                cols = {
+                    rg.column(j).path_in_schema: rg.column(j).statistics
+                    for j in range(rg.num_columns)
+                }
+                smin = min(smin, cols["l_suppkey"].min)
+                smax = max(smax, cols["l_suppkey"].max)
+                pmin = min(pmin, cols["l_partkey"].min)
+                pmax = max(pmax, cols["l_partkey"].max)
+            areas.append((smax - smin + 1) * (pmax - pmin + 1))
+        return sum(areas) / len(areas)
+
+    natural = str(tmp_path / "natural")
+    zsorted = str(tmp_path / "zsorted")
+    li.repartition(8).write.parquet(natural)  # round-robin: full spans
+    (
+        li.withColumn("z", z_value(F.col("l_suppkey"), F.col("l_partkey")))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.parquet(zsorted)
+    )
+    a_nat, a_z = mean_file_area(natural), mean_file_area(zsorted)
+    # the z-layout must shrink the average per-file 2-D bounding box
+    assert a_z < a_nat * 0.5, (a_nat, a_z)
