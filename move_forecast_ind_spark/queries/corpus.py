@@ -698,6 +698,49 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_table_stats",
+    tags=("scan", "stats"),
+    oracle="""
+    SELECT 'l_returnflag' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_returnflag) AS n_nulls,
+           COUNT(DISTINCT l_returnflag) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+           COUNT(DISTINCT l_suppkey) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity) FROM lineitem
+    """,
+)
+def s_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (row count, null count, exact NDV)
+    for the optimizer-relevant lineitem columns — the statistics
+    collection pass a cost-based optimizer feeds on. One scan: the four
+    distinct-counts plan as a single multi-distinct aggregate (Expand),
+    then unpivoted to (col, stats) rows. At 100 TB swap the exact NDVs
+    for approx_count_distinct — kept exact here so the oracle
+    value-hashes."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_suppkey", "l_shipdate", "l_quantity"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"cnt_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in cols],
+    )
+    stack = ", ".join(
+        f"'{c}', n_rows - cnt_{c}, ndv_{c}" for c in cols
+    )
+    return agg.selectExpr(
+        "n_rows", f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)"
+    ).select("col", "n_rows", "n_nulls", "n_distinct")
+
+
 def _zorder_oracle() -> str:
     from ..functions.zorder import z_value_sql
 

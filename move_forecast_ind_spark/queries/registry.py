@@ -110,6 +110,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "dedup_containment_pairs",
     "emb_centroid_by_label",
     "s_zorder_key",
+    "s_table_stats",
     "q5_local_supplier_volume",
     "q10_returned_items",
     # --- flagship reference-parity + north-star continuity (fill to 50).
@@ -120,7 +121,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "forecast_tail_daily",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "sim_ann_lsh",
 )
 
 
