@@ -699,6 +699,120 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_keywords",
+    tags=("corpus", "text", "window"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok
+             ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok AS keyword, rk,
+           FLOOR(tfidf * 1e6 + 0.5) / 1e6 AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf·ln(N/df), deterministic tie-break on the term. The classic text
+    featurization: term-frequency aggregate, document-frequency aggregate
+    (broadcast — vocabulary-sized), score map-side, per-doc top-k
+    window."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), on="tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("keyword"),
+            "rk",
+            r6(F.col("tfidf")).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_against_base",
+    tags=("corpus", "dedup", "join"),
+    oracle=r"""
+    WITH base AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id < 250
+    ),
+    incoming AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id >= 250
+    )
+    SELECT i.doc_id, i.fp,
+           CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS dup_of_base
+    FROM incoming i LEFT JOIN base b ON i.fp = b.fp
+    """,
+)
+def dedup_incremental_against_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag INCOMING documents (doc_id ≥ 250 here —
+    the daily-crawl slice) whose canonical fingerprint already exists in
+    the BASE corpus (doc_id < 250). The production shape for rolling
+    ingestion: the base side reduces to a distinct-fingerprint set — at
+    scale a bucketed/Bloom-backed table — and the incoming batch left
+    semi-probes it; no pairwise work ever happens."""
+    tune(spark)
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    return incoming.join(F.broadcast(base), on="fp", how="left").select(
+        "doc_id",
+        "fp",
+        F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("dup_of_base"),
+    )
+
+
+@register(
     "s_table_stats",
     tags=("scan", "stats"),
     oracle="""
