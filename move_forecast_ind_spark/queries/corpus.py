@@ -813,6 +813,75 @@ def dedup_incremental_against_base(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "corpus_sequence_pack",
+    tags=("corpus", "window", "sampling"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_toks,
+             SUM(n_toks) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n_toks AS start_off
+      FROM t
+    ),
+    b AS (
+      SELECT lang, CAST(FLOOR(start_off / 512.0) AS BIGINT) AS bin,
+             doc_id, n_toks
+      FROM c
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_started,
+           MIN(doc_id) AS first_doc_id
+    FROM b GROUP BY 1, 2
+    """,
+)
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: concatenate each language's documents in
+    id order and chunk the token stream into 512-token training bins —
+    each doc is assigned the bin its START offset falls in (the standard
+    concat-then-chunk prep). One running-sum window per language; the
+    manifest aggregate is map-side combinable. At scale the window
+    partitions by (lang, shard) with per-shard offsets re-based by a
+    second tiny aggregate."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_off"),
+    )
+    return (
+        c.select(
+            "lang",
+            F.floor(F.col("start_off") / F.lit(512.0)).alias("bin"),
+            "doc_id",
+            "n_toks",
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tokens_started"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
     "s_table_stats",
     tags=("scan", "stats"),
     oracle="""
