@@ -18,6 +18,8 @@ for _mod in (
     "ml",
     "extras",
     "corpus",
+    "classic",
+    "curation",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

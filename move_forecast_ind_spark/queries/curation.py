@@ -1,0 +1,609 @@
+"""Data-curation operators for LLM training pipelines (round-4 widening).
+
+Six first-class capabilities a 100 TB corpus pipeline needs beyond the
+dedup/similarity/text families in :mod:`northstar` and :mod:`corpus`:
+
+- PII redaction (regex scrub + per-category counts);
+- benchmark decontamination (8-gram overlap against a held-out eval split);
+- Bloom-filter prefiltered incremental dedup (the bloom bitmap built IN
+  SQL as 32-bit words — portable, broadcastable, no driver-side filter
+  object);
+- hashed bag-of-words linear classifier inference (fastText-shaped quality
+  scoring, entirely JVM-side);
+- embedding scalar quantization (per-dimension min/max int8 codes +
+  reconstruction error — the storage-compression step before ANN);
+- SCD2 interval compaction over an event stream (type-2 slowly-changing
+  history: run-length collapse + validity intervals).
+
+Reference parity: the reference (satya-dataengineer/move-forecast-IND) has
+none of this surface; these implement the LLM-data-pipeline mandate. All
+hot paths are built-in column expressions; cross-engine hashing uses the
+md5-prefix→BIGINT trick shared with operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import r6, sql_r6
+from ..functions.text import fingerprint, shingles_from_tokens, tokens
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns are RE2-safe (no lookaround) so Java regex (Spark) and RE2
+# (DuckDB) agree: email, dotted-quad IP, NNN-NNNN phone.
+_PAT_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+"
+_PAT_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PAT_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    tags=("curation", "text", "regex"),
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             trim(text) || CASE
+               WHEN doc_id % 3 = 0 THEN ''
+               ELSE ' contact '
+                 || COALESCE(string_split_regex(trim(text), '\\s+')[1], 'x') || '.'
+                 || COALESCE(string_split_regex(trim(text), '\\s+')[2], 'y')
+                 || '@mail.example.com ip 10.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR)
+                 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ' cc ' || COALESCE(string_split_regex(trim(text), '\\s+')[3], 'z')
+                           || '@corp.example.org'
+                      ELSE '' END
+             END AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_PAT_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PAT_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(body, '{_PAT_PHONE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(body,
+               '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_IP}', '<IP>', 'g'),
+               '{_PAT_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM synth
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4s / phone numbers per
+    document. The fixture corpus carries no digits, so a PII-bearing
+    suffix is synthesized DETERMINISTICALLY from fixture columns (doc_id
+    arithmetic + the doc's own first tokens) in both engines — the
+    operator under test is the regex count+redact chain, which runs on
+    strings that really contain PII in three density regimes (none /
+    one-of-each / double-email).
+
+    100 TB: pure map stage — three `regexp_count` and a 3-deep
+    `regexp_replace` chain inside whole-stage codegen, no shuffle, no
+    UDF. The emitted `redacted_fp` md5 proves byte-equality of the
+    redacted text, not just the counts."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = lambda k, d: F.coalesce(F.element_at(toks, k), F.lit(d))  # noqa: E731
+    pii = F.concat(
+        F.lit(" contact "), w(1, "x"), F.lit("."), w(2, "y"),
+        F.lit("@mail.example.com ip 10."),
+        (F.col("doc_id") % 250).cast("string"), F.lit("."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" cc "), w(3, "z"), F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.trim(F.col("text")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(pii),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PAT_EMAIL, "<EMAIL>"), _PAT_IP, "<IP>"
+        ),
+        _PAT_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_PAT_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PAT_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(body, F.lit(_PAT_PHONE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# --- Benchmark decontamination --------------------------------------------
+
+_DECON_K = 8  # n-gram width: the published decontamination standard (GPT-3
+# used 13-gram, PaLM 8-gram overlap); 8 fits the fixture's 40-200-word docs.
+_EVAL_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set (chosen
+# so the fixture's duplicate docs actually straddle the split — the oracle
+# comparison is non-trivial at every SF: 4 contaminated docs at sf0.001,
+# 1+ at sf0.01).
+
+
+@register(
+    "corpus_decontaminate",
+    tags=("curation", "corpus", "semi"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i : i + {_DECON_K - 1}], ' ') AS gram
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - {_DECON_K - 1})) AS i
+      ) s
+      WHERE len(w) >= {_DECON_K}
+    ),
+    ev AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM sh s JOIN ev USING (gram)
+    WHERE s.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY 1
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {_DECON_K}-gram with the held-out eval split (doc_id % {_EVAL_MOD} == 0
+    stands in for the benchmark corpus). Emits each contaminated train doc
+    with its count of distinct shared grams — the remove-or-downweight
+    signal.
+
+    100 TB: the eval side is benchmark-sized (thousands of docs), so its
+    distinct-gram set BROADCASTS; the train side is one Generate + a
+    map-side hash semi-join + per-doc count — the corpus never shuffles
+    on content. This is exactly the published n-gram decontamination
+    topology (eval grams as the small build side)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            shingles_from_tokens(tokens(F.col("text")), _DECON_K)
+        ).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(ev), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# --- Bloom-prefiltered incremental dedup -----------------------------------
+
+_BLOOM_BITS = 1 << 14  # m = 16384 bits → 512 32-bit words
+_BLOOM_K = 3  # hash functions
+_INC_MOD = 4  # doc_id % 4 == 0 is the incoming batch; rest is the base.
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(fp || '#{j}'), 1, 8)) AS BIGINT) "
+        f"% {_BLOOM_BITS}"
+    )
+
+
+def _bloom_pos(fp, j: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(fp, F.lit(f"#{j}"))), 1, 8), 16, 10)
+        .cast("long") % _BLOOM_BITS
+    )
+
+
+def _bloom_words_sql() -> str:
+    """DuckDB CTE body replicating the bloom bitmap build (same md5
+    positions, same 32-bit-word bit_or packing as the Spark plan)."""
+    pos_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {_bloom_pos_sql(j)} AS pos FROM base" for j in range(_BLOOM_K)
+    )
+    return pos_union
+
+
+@register(
+    "dedup_bloom_prefilter",
+    tags=("curation", "dedup", "bloom"),
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    base AS (SELECT fp FROM fps WHERE doc_id % {_INC_MOD} <> 0),
+    pos AS (
+      {_bloom_words_sql()}
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT i.doc_id, i.fp,
+             {_bloom_pos_sql(0).replace('fp', 'i.fp')} AS p0,
+             {_bloom_pos_sql(1).replace('fp', 'i.fp')} AS p1,
+             {_bloom_pos_sql(2).replace('fp', 'i.fp')} AS p2
+      FROM fps i WHERE i.doc_id % {_INC_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.doc_id, p.fp,
+             CASE WHEN
+                 (COALESCE(w0.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.p0 % 32 AS INT))) <> 0
+             AND (COALESCE(w1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.p1 % 32 AS INT))) <> 0
+             AND (COALESCE(w2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.p2 % 32 AS INT))) <> 0
+             THEN 1 ELSE 0 END AS bloom_candidate
+      FROM probe p
+      LEFT JOIN words w0 ON w0.word_idx = p.p0 // 32
+      LEFT JOIN words w1 ON w1.word_idx = p.p1 // 32
+      LEFT JOIN words w2 ON w2.word_idx = p.p2 // 32
+    )
+    SELECT c.doc_id, c.fp, c.bloom_candidate,
+           CASE WHEN c.bloom_candidate = 1
+                 AND c.fp IN (SELECT fp FROM base)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM cand c
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a SQL-native Bloom-filter prefilter: the
+    base corpus's fingerprint set is compressed into a {_BLOOM_BITS}-bit
+    Bloom bitmap ({_BLOOM_K} md5-derived hash positions per key, bitmap
+    stored as 512 32-bit words via a `bit_or` aggregate), the incoming
+    batch probes the BROADCAST bitmap, and only bloom-POSITIVE candidates
+    pay the exact fingerprint semi-join. Emits every incoming doc with
+    both flags, so the bloom's behavior is data: `bloom_candidate=1,
+    is_dup=0` rows are its false positives, and a false NEGATIVE (which a
+    correct Bloom filter cannot produce) would show as `is_dup` missing a
+    true duplicate vs the oracle — the oracle rebuilds the identical
+    bitmap in SQL, checking the construction bit-for-bit cross-engine.
+
+    100 TB: this is how rolling-ingestion dedup avoids re-shuffling the
+    full base corpus per batch — the bitmap is 2 KB per 16 K bits (size
+    ~10 bits/key at scale), built once per base snapshot with one
+    map-side-combinable aggregate, broadcast to every executor; the probe
+    is a 512-row broadcast join + bitmask test, and only the tiny
+    candidate set touches the exact fingerprint index."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    base = fps.filter(F.col("doc_id") % _INC_MOD != 0)
+    incoming = fps.filter(F.col("doc_id") % _INC_MOD == 0)
+
+    # Build: K positions per base fp → (word_idx, bit) → OR into words.
+    pos = base.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fp"), j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("pos") / 32).cast("int").alias("word_idx"),
+            # shiftleft with a COLUMN bit count needs the SQL form — the
+            # Python F.shiftleft only takes a literal numBits.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    # Probe: all K positions must hit a set bit to stay a candidate.
+    probe = incoming.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fp"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.floor(F.col("pos") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    flagged = (
+        probe.join(F.broadcast(words), on="word_idx", how="left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                    F.col("mask")
+                )
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.min("hit").alias("bloom_candidate"))
+    )
+
+    # Exact verify ONLY for bloom-positive candidates — bloom-negative
+    # rows are dup-free by the no-false-negative property and never touch
+    # the fingerprint index (at scale that index is disk-resident and
+    # shuffled; the bitmap spared these rows that cost).
+    base_set = base.select("fp").distinct().withColumn("in_base", F.lit(1))
+    verified = (
+        flagged.filter(F.col("bloom_candidate") == 1)
+        .join(F.broadcast(base_set), on="fp", how="left")
+        .select(
+            "doc_id",
+            "fp",
+            "bloom_candidate",
+            F.coalesce(F.col("in_base"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+    negatives = flagged.filter(F.col("bloom_candidate") == 0).select(
+        "doc_id", "fp", "bloom_candidate", F.lit(0).alias("is_dup")
+    )
+    return verified.unionByName(negatives)
+
+
+# --- Hashed bag-of-words linear classifier ---------------------------------
+
+_CLS_BUCKETS = 1024
+_CLS_WMOD = 4096
+_CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+@register(
+    "text_hashed_classifier",
+    tags=("curation", "text", "ml"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_CLS_BUCKETS}
+               AS bucket
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST((bucket * {_CLS_MIX}) % {_CLS_WMOD} AS DOUBLE)
+                 / {_CLS_WMOD}e0 - 5e-1) AS raw,
+             COUNT(*) AS n_tokens
+      FROM feat GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_r6("raw / n_tokens")} AS mean_weight,
+           {sql_r6("1e0 / (1e0 + exp(-(raw / n_tokens) * 8e0))")} AS quality_prob,
+           raw / n_tokens > 0e0 AS keep
+    FROM scored
+    """,
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier inference — the fastText-
+    style quality-filter shape used by production corpus pipelines: token
+    → hash bucket (md5-prefix mod {_CLS_BUCKETS}), bucket → fixed weight
+    (Knuth multiplicative mix, closed-form so both engines derive the
+    identical weight table WITHOUT shipping one), document score = mean
+    token weight, squashed through a logistic to a keep-probability.
+
+    A real deployment swaps the closed-form weights for a trained
+    `array<double>` broadcast literal; the plan shape is identical.
+
+    100 TB: one map stage (tokenize → hash → weight) + one per-doc
+    aggregate; no vocabulary join at all — THE reason hashed features are
+    the scale play (a word-level weight table join would shuffle the
+    corpus; the hash is free inside codegen)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _CLS_BUCKETS
+    )
+    weight = (
+        ((bucket * _CLS_MIX) % _CLS_WMOD).cast("double") / float(_CLS_WMOD)
+        - 0.5
+    )
+    scored = tok.groupBy("doc_id").agg(
+        F.sum(weight).alias("raw"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    mean_w = F.col("raw") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        r6(mean_w).alias("mean_weight"),
+        r6(1.0 / (1.0 + F.exp(-mean_w * 8.0))).alias("quality_prob"),
+        (mean_w > 0.0).alias("keep"),
+    )
+
+
+# --- Embedding scalar quantization -----------------------------------------
+
+
+@register(
+    "emb_scalar_quantize",
+    tags=("curation", "embedding", "quantization"),
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) s
+    ),
+    stats AS (
+      SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM e GROUP BY 1
+    ),
+    q AS (
+      SELECT e.vec_id, e.label, e.val, s.mn, s.mx,
+             CASE WHEN s.mx > s.mn
+               THEN CAST(FLOOR((e.val - s.mn) / (s.mx - s.mn) * 255e0 + 0.5)
+                         AS INT)
+               ELSE 0 END AS code
+      FROM e JOIN stats s USING (dim)
+    ),
+    err AS (
+      SELECT vec_id, label,
+             COUNT(*) AS n_dims,
+             SUM(POW(val - (mn + CAST(code AS DOUBLE) / 255e0 * (mx - mn)), 2))
+               AS sse
+      FROM q GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           CAST(n_dims AS INT) AS n_dims,
+           {sql_r6("sse / n_dims")} AS mse
+    FROM err
+    """,
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding scalar quantization (int8): per-DIMENSION min/max over
+    the corpus → 0..255 codes → reconstruction MSE per vector. The
+    compression step run before storing embeddings for ANN at scale
+    (float32→int8 is 4×; the emitted MSE is the quality audit).
+
+    100 TB: pass 1 aggregates (dim → min,max) — 64 rows out of any corpus
+    size, map-side combinable; pass 2 is a map stage with the broadcast
+    stats joined per dimension. Codes here are derived per-row and folded
+    straight into the error metric; a writer would emit
+    `array<tinyint>` + the 64-row scale table."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    )
+    stats = e.groupBy("dim0").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    q = e.join(F.broadcast(stats), on="dim0").withColumn(
+        "code",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (F.col("val") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 255.0
+                + F.lit(0.5)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    deq = F.col("mn") + F.col("code").cast("double") / 255.0 * (
+        F.col("mx") - F.col("mn")
+    )
+    return (
+        q.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum(F.pow(F.col("val") - deq, F.lit(2))).alias("sse"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_dims",
+            r6(F.col("sse") / F.col("n_dims")).alias("mse"),
+        )
+    )
+
+
+# --- SCD2 interval compaction ----------------------------------------------
+
+
+@register(
+    "w_scd2_intervals",
+    tags=("curation", "window", "events"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT user_id, run_id, event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             IS NULL AS is_current
+    FROM collapsed
+    """,
+)
+def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension compaction over the event log:
+    collapse each user's consecutive same-type event runs and emit
+    validity intervals — `valid_from` (run start), `valid_to` (next run's
+    start, NULL while current), run length. The standard
+    change-data-capture → dimension-history shape: LAG to detect change
+    points, running SUM to number runs, per-run aggregate, LEAD to close
+    intervals.
+
+    100 TB: one shuffle on user_id serves every window and the aggregate
+    (same partitioning reused across all four steps — Catalyst plans a
+    single Exchange); per-user state is the run counter, never the
+    history."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            F.lag("event_type").over(order_w).isNull()
+            | (F.lag("event_type").over(order_w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+    )
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(seq_w)
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

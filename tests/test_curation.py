@@ -1,0 +1,160 @@
+"""Property and plan-shape tests for the round-4 curation/classic operators
+(queries/curation.py, queries/classic.py) beyond the parametrized oracle
+gate in test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every exact duplicate must be bloom-positive: rows with is_dup=1
+    and bloom_candidate=0 would mean the bitmap dropped a set bit —
+    impossible for a correct Bloom filter, fatal for the dedup."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedup_bloom_prefilter"].fn(spark, SF_SMALL)
+    bad = rows.filter((F.col("is_dup") == 1) & (F.col("bloom_candidate") == 0))
+    assert bad.isEmpty()
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """The 16384-bit / k=3 bitmap over the base split must stay sparse at
+    fixture scale: false-positive rate (candidates that fail the exact
+    verify) under 20% of incoming — far looser than the theoretical rate
+    (<2% for n≈400 keys), so only a broken hash/bit packing trips it."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedup_bloom_prefilter"].fn(spark, SF_SMALL).collect()
+    n = len(rows)
+    fp = sum(1 for r in rows if r.bloom_candidate == 1 and r.is_dup == 0)
+    assert n > 0
+    assert fp / n < 0.20, f"bloom false-positive rate {fp}/{n}"
+
+
+def test_bloom_bitmap_is_broadcast(spark):
+    """The words table (512 rows) must broadcast to the probe side — a
+    shuffle join there would defeat the prefilter's purpose at scale."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["dedup_bloom_prefilter"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The eval-split gram set is the build side and must broadcast; the
+    train corpus must never be shuffled on gram content."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["corpus_decontaminate"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_counts_by_regime(spark):
+    """The synthesized PII regimes must be visible in the counts:
+    doc_id%3==0 docs carry none, doc_id%5==0 (and %3!=0) carry two
+    emails, everyone else exactly one of each category."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_pii_redact"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+        else:
+            assert r.n_ips == 1 and r.n_phones == 1
+            assert r.n_emails == (2 if r.doc_id % 5 == 0 else 1)
+
+
+def test_classifier_is_pure_map_plus_aggregate(spark):
+    """Hashed features mean NO vocabulary join: the plan must contain no
+    join at all — one Generate (explode) + hash aggregate."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["text_hashed_classifier"].fn(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_quantize_stats_broadcast_back(spark):
+    """The 64-row per-dimension stats table joins back by broadcast."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["emb_scalar_quantize"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_codes_in_range(spark):
+    """Reconstruction error must be small relative to the per-dim span:
+    max MSE for uniform int8 quantization is (span/255)^2/4 per dim; the
+    fixture embeddings span ~[-1,1] so mse << 1e-4."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["emb_scalar_quantize"].fn(spark, SF_SMALL).collect()
+    assert rows and all(0.0 <= r.mse < 1e-4 for r in rows)
+
+
+def test_scd2_intervals_partition_chain(spark):
+    """Intervals must tile each user's timeline: ordered by valid_from,
+    every non-final interval's valid_to equals the next valid_from, the
+    final interval is open (NULL) and flagged is_current."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["w_scd2_intervals"].fn(spark, SF_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert not a.is_current
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        # adjacent intervals must represent an actual change
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.event_type != b.event_type
+
+
+def test_scd2_single_exchange_on_user(spark):
+    """All windows + the run aggregate share the user_id partitioning —
+    Catalyst should plan exactly one shuffle over the event scan."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["w_scd2_intervals"].fn(spark, SF_SMALL))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 user_id exchange, saw {n_exchanges}"
+
+
+def test_classic_queries_broadcast_dims(spark):
+    """Q7/Q8/Q9/Q20: dimension sides broadcast; no cartesian products."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    for name in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q20_semi_join_chain",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q15_max_is_broadcast_not_window(spark):
+    """The scalar max must come back as a one-row broadcast join, not an
+    unpartitioned window (single-task funnel)."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q15_top_supplier"].fn(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
