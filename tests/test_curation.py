@@ -158,3 +158,31 @@ def test_q15_max_is_broadcast_not_window(spark):
     plan = _plan(REGISTRY["q15_top_supplier"].fn(spark, SF_SMALL))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wav_round_trip_and_junk_tolerance(spark):
+    """make_wav → parse_wav inverts the parameters; junk payloads decode
+    to null feature rows instead of failing the batch."""
+    import numpy as np
+
+    from move_forecast_ind_spark.multimodal import make_wav, parse_wav
+
+    for seed in (0, 7, 123):
+        rate, frames, ch = 8000 * (1 + seed % 3), 200 + seed % 100, 1 + seed % 2
+        parsed = parse_wav(make_wav(rate, frames, ch, seed=seed))
+        assert parsed is not None
+        r, c, n, x = parsed
+        assert (r, c, n) == (rate, ch, frames)
+        assert x.dtype == np.dtype("<i2") and len(x) == frames * ch
+    assert parse_wav(b"not a wav at all") is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt/data
+
+
+def test_audio_features_no_shuffle(spark):
+    """Two chained mapInPandas stages over the binary column — the plan
+    must not contain any Exchange (pure map pipeline)."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["mm_audio_features"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
