@@ -22,11 +22,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# DuckDB anchor at sf0.1 (BASELINE.md "DuckDB anchor" section): wall-clock of
-# each query's oracle SQL under DuckDB (all cores, COUNT-wrapped to mirror
-# the .count() action, min of 2). Recorded 2026-08-13 by
-# tools/bench_duckdb.py; re-run that script to refresh. Ratios are only
-# emitted when benching at the anchor's scale factor.
+# STATIC DuckDB anchor at sf0.1 (BASELINE.md "DuckDB anchor" section):
+# wall-clock of each query's oracle SQL under DuckDB (all cores,
+# COUNT-wrapped to mirror the .count() action, min of 2), recorded
+# 2026-08-13 by tools/bench_duckdb.py. Kept for cross-round continuity —
+# but host speed varies by >4× across driver VMs (measured 2026-08-14:
+# the same DuckDB suite took 16.1 s on that day's VM vs 3.99 s recorded),
+# so the static ratio conflates code with host. The LIVE anchor below
+# re-times each oracle in-process, interleaved with the Spark runs, and
+# is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
     "dedup_exact": 0.059,
@@ -73,16 +77,44 @@ def main() -> None:
     # long-running engine amortizes away; min-of-N measures steady state.
     # On a noisy shared box, SPARK_GRAFT_BENCH_RUNS=3 tightens the min.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    # Live DuckDB anchor: same parquet, same host, same minute — timed
+    # interleaved with each query's Spark runs so host-speed drift (the
+    # dominant noise across driver VMs, see BASELINE.md) cancels out of
+    # the ratio. COUNT-wrapped to mirror the .count() action.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
     timings: dict[str, float] = {}
+    duck_live: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best, n = float("inf"), -1
+        duck_best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            if spec.oracle is not None:
+                t0 = time.perf_counter()
+                con.sql(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()
+                duck_best = min(duck_best, time.perf_counter() - t0)
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {best:.3f}s (min of {n_runs})", file=sys.stderr)
+        if spec.oracle is not None:
+            duck_live[name] = round(duck_best, 3)
+        print(
+            f"# {name}: {n} rows in {best:.3f}s (min of {n_runs}; "
+            f"duckdb live {duck_live.get(name, float('nan')):.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -93,6 +125,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if duck_live:
+        live_ratios = {
+            name: round(timings[name] / duck_live[name], 2) for name in duck_live
+        }
+        live_total = round(sum(duck_live.values()), 3)
+        spark_live_total = round(sum(timings[n] for n in duck_live), 3)
+        out["duckdb_live_sec"] = duck_live
+        out["duckdb_live_total"] = live_total
+        out["ratio_vs_duckdb_live"] = live_ratios
+        out["ratio_total_vs_duckdb_live"] = round(spark_live_total / live_total, 2)
     if sf == DUCKDB_ANCHOR_SF:
         ratios = {
             name: round(t / DUCKDB_ANCHOR_SEC[name], 2)
