@@ -675,3 +675,167 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_wav_media(docs, "doc_id")
     return audio_features_real(media)
+
+
+# --- Quality-weighted resampling -------------------------------------------
+
+
+@register(
+    "corpus_quality_resample",
+    tags=("curation", "sampling", "text"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_CLS_BUCKETS}
+               AS bucket
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST((bucket * {_CLS_MIX}) % {_CLS_WMOD} AS DOUBLE)
+                 / {_CLS_WMOD}e0 - 5e-1) / COUNT(*) AS mean_w
+      FROM feat GROUP BY 1
+    ),
+    probs AS (
+      SELECT doc_id,
+             1e0 / (1e0 + exp(-mean_w * 8e0)) AS keep_prob,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 / 1e6 AS u
+      FROM scored
+    )
+    SELECT doc_id,
+           {sql_r6("keep_prob")} AS keep_prob,
+           {sql_r6("u")} AS u
+    FROM probs WHERE u < keep_prob
+    """,
+)
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling (the CCNet head/middle/tail
+    selection shape): each document is kept with probability equal to its
+    hashed-classifier quality score, decided by a DETERMINISTIC per-doc
+    uniform draw (md5 of the doc id — reproducible across runs, engines,
+    and partitionings; never `rand()`, which would unfix the sample under
+    retries/speculation). Chains text_hashed_classifier's score into the
+    sampling stage exactly as a production pipeline does.
+
+    100 TB: tokenize→hash→score is one map + per-doc aggregate; the draw
+    and threshold are row-local — the sample is decided without any
+    global coordination, so the stage stays embarrassingly parallel."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _CLS_BUCKETS
+    )
+    weight = (
+        ((bucket * _CLS_MIX) % _CLS_WMOD).cast("double") / float(_CLS_WMOD)
+        - 0.5
+    )
+    scored = tok.groupBy("doc_id").agg(
+        (F.sum(weight) / F.count(F.lit(1))).alias("mean_w")
+    )
+    keep_prob = 1.0 / (1.0 + F.exp(-F.col("mean_w") * 8.0))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    ).cast("double") / 1e6
+    return (
+        scored.select(
+            "doc_id",
+            r6(keep_prob).alias("keep_prob"),
+            r6(u).alias("u"),
+            (u < keep_prob).alias("keep"),
+        )
+        .filter("keep")
+        .drop("keep")
+    )
+
+
+# --- Event-funnel conversion ------------------------------------------------
+
+
+@register(
+    "w_funnel_conversion",
+    tags=("curation", "events", "aggregate"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click,
+           FLOOR(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v) * 1e6 + 0.5) / 1e6 AS view_to_click,
+           FLOOR(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c) * 1e6 + 0.5) / 1e6 AS click_to_purchase
+    """,
+)
+def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel conversion (view → click → purchase): stage N
+    counts only users whose stage-N event happens STRICTLY AFTER their
+    stage-(N-1) entry time — the sequential-pattern semantics that a
+    naive per-type distinct count gets wrong. Three per-user min
+    aggregates, each joined to the previous stage's entry time.
+
+    100 TB: every aggregate and join is keyed on user_id, so one
+    partitioning serves the whole chain; per-stage state is a single
+    timestamp per user. The final five-number summary collapses through
+    a global aggregate (one row out)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        r6(
+            F.col("n_click_after_view").cast("double") / F.col("n_view")
+        ).alias("view_to_click"),
+        r6(
+            F.col("n_purchase_after_click").cast("double")
+            / F.col("n_click_after_view")
+        ).alias("click_to_purchase"),
+    )
