@@ -351,3 +351,94 @@ def q20_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "q11_revenue_concentration",
+    tags=("join", "aggregate", "subquery", "classic"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS supp_rev
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey AS s_suppkey,
+           {sql_r2("supp_rev")} AS supplier_revenue
+    FROM rev
+    WHERE supp_rev > (SELECT 0.0055e0 * SUM(supp_rev) FROM rev)
+    """,
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: revenue concentration instead of the
+    absent partsupp stock value): suppliers whose revenue exceeds a fixed
+    fraction of GLOBAL revenue — the group-vs-global-scalar HAVING
+    pattern. The per-supplier aggregate feeds both sides; the global sum
+    comes back as a one-row broadcast, so the fact table is scanned and
+    shuffled exactly once.
+
+    100 TB: aggregate on l_suppkey (map-side combinable), then a scalar
+    broadcast compare — no second fact pass. The unrounded supp_rev is
+    compared (both engines aggregate the same doubles); output rounding
+    happens after the filter."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "supp_rev"
+            )
+        )
+    )
+    total = rev.agg((F.sum("supp_rev") * 0.0055).alias("cut"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("supp_rev") > F.col("cut"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            r2(F.col("supp_rev")).alias("supplier_revenue"),
+        )
+    )
+
+
+@register(
+    "q12_late_shipment",
+    tags=("join", "aggregate", "conditional", "classic"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate columns, so
+    lateness = shipped more than 60 days after the order date): per
+    order-priority, late vs on-time line counts — the join + dual
+    conditional-count pattern. orders⋈lineitem co-shuffles on orderkey;
+    the aggregate keys on the 5-value priority."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_lines"),
+            F.sum(F.when(~late, 1).otherwise(0)).cast("long").alias("ontime_lines"),
+        )
+    )

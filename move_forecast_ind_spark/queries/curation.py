@@ -839,3 +839,55 @@ def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_click_after_view")
         ).alias("click_to_purchase"),
     )
+
+
+# --- Recursive CTE: sessionization by session-root propagation --------------
+
+# ONE SQL text, executed verbatim by BOTH engines (Spark 4's WITH RECURSIVE
+# and DuckDB's agree on this dialect subset) — the strongest possible
+# parity statement for the recursive surface.
+_RECURSIVE_SESSION_SQL = """
+WITH RECURSIVE prevs AS (
+  SELECT event_id, user_id, ts,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 10 MINUTES
+              THEN 1 ELSE 0 END AS chained
+  FROM events
+),
+r AS (
+  SELECT event_id, event_id AS session_root FROM prevs WHERE chained = 0
+  UNION ALL
+  SELECT p.event_id, r.session_root
+  FROM prevs p JOIN r ON p.prev_id = r.event_id
+  WHERE p.chained = 1
+)
+SELECT event_id, session_root FROM r
+"""
+
+
+@register(
+    "sql_recursive_session_roots",
+    tags=("curation", "sql", "recursive", "events"),
+    oracle=_RECURSIVE_SESSION_SQL,
+)
+def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE sessionization: each event reaches its session ROOT
+    by following previous-event edges while the inter-event gap stays
+    within 10 minutes — `WITH RECURSIVE` root propagation (new SQL
+    surface in Spark 4.x), run from the IDENTICAL SQL string the DuckDB
+    oracle executes. Iteration count is the longest session's length
+    (4 on the fixture), not the table size.
+
+    100 TB: each recursion step is one equi-join of the frontier against
+    the (user-partitioned) edge table — the frontier shrinks as sessions
+    close, and session length bounds the depth. For pathological chains
+    the window-running-sum formulation (st_session_stats) stays the
+    recommended shape; this operator covers the recursive SQL surface
+    itself."""
+    tune(spark)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_RECURSIVE_SESSION_SQL)
