@@ -891,3 +891,179 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_RECURSIVE_SESSION_SQL)
+
+
+# --- Forward-fill imputation ------------------------------------------------
+
+
+@register(
+    "f_fill_forward",
+    tags=("curation", "window", "events"),
+    oracle="""
+    WITH holed AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(event_id % 7 = 0 AS BOOLEAN) AS was_null,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS value_filled
+    FROM holed
+    """,
+)
+def f_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (last observation carried forward): null
+    measurements (synthesized deterministically — every 7th event) take
+    the user's most recent non-null value in event-time order; a user's
+    leading nulls stay null. The standard time-series gap repair, as one
+    IGNORE-NULLS running window — no self-join, no UDF.
+
+    100 TB: one shuffle on user_id; the window state is a single scalar
+    per user (the last non-null seen), streamed in ts order."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    holed = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return holed.select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 7 == 0).alias("was_null"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+# --- Fuzzy token matching (deletion-neighborhood blocking) ------------------
+
+
+def _deletion_variants_spark(tok):
+    """tok + every 1-deletion of tok, as an array column (FastSS/SymSpell
+    blocking: two strings at edit distance ≤ 1 always share a variant)."""
+    return F.array_union(
+        F.array(tok),
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.concat(
+                tok.substr(F.lit(1), i - 1),
+                tok.substr(i + 1, F.length(tok)),
+            ),
+        ),
+    )
+
+
+@register(
+    "j_fuzzy_token_match",
+    tags=("curation", "join", "fuzzy"),
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS clean
+      FROM documents
+    ),
+    dirty AS (
+      SELECT DISTINCT
+             CASE
+               WHEN doc_id % 3 = 0
+                 THEN substr(tok, 1, length(tok) - 1)          -- drop last char
+               WHEN doc_id % 3 = 1
+                 THEN tok || substr(tok, length(tok), 1)       -- double last char
+               ELSE tok                                        -- unchanged
+             END AS dirty
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+')[1] AS tok
+        FROM documents
+      ) WHERE tok IS NOT NULL AND length(tok) >= 2
+    ),
+    dv AS (
+      SELECT dirty, v AS variant FROM dirty, LATERAL (
+        SELECT unnest(list_distinct(
+          list_append(
+            list_transform(
+              generate_series(1, length(dirty)),
+              i -> substr(dirty, 1, i - 1) || substr(dirty, i + 1)
+            ),
+            dirty
+          )
+        )) AS v
+      ) t
+    ),
+    cv AS (
+      SELECT clean, v AS variant FROM vocab, LATERAL (
+        SELECT unnest(list_distinct(
+          list_append(
+            list_transform(
+              generate_series(1, length(clean)),
+              i -> substr(clean, 1, i - 1) || substr(clean, i + 1)
+            ),
+            clean
+          )
+        )) AS v
+      ) t
+    )
+    SELECT DISTINCT d.dirty, c.clean,
+           CAST(levenshtein(d.dirty, c.clean) AS INT) AS distance
+    FROM dv d JOIN cv c USING (variant)
+    WHERE levenshtein(d.dirty, c.clean) <= 1
+    """,
+)
+def j_fuzzy_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via deletion-neighborhood blocking (the
+    FastSS/SymSpell entity-resolution shape): a deterministically
+    "dirtied" token stream (dropped / doubled last character by doc_id)
+    is resolved against the clean vocabulary by equi-joining 1-deletion
+    variant sets and verifying true edit distance ≤ 1 on the candidates.
+    Never an all-pairs distance computation.
+
+    100 TB: both sides explode to (len+1) variants per string — linear
+    blow-up — and the join is a plain string equi-join; `levenshtein`
+    runs only on blocked candidates. This is how spelling-variant
+    entity resolution scales (candidate count ∝ true matches, as with
+    LSH for documents)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("clean")
+    ).distinct()
+    first_tok = F.element_at(tokens(F.col("text")), 1)
+    dirty = (
+        docs.select("doc_id", first_tok.alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.length("tok") >= 2))
+        .select(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.expr("substr(tok, 1, length(tok) - 1)"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.col("tok"), F.expr("substr(tok, length(tok), 1)")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("dirty")
+        )
+        .distinct()
+    )
+    dv = dirty.select(
+        "dirty",
+        F.explode(_deletion_variants_spark(F.col("dirty"))).alias("variant"),
+    )
+    cv = vocab.select(
+        "clean",
+        F.explode(_deletion_variants_spark(F.col("clean"))).alias("variant"),
+    )
+    cand = dv.join(F.broadcast(cv), on="variant").select("dirty", "clean").distinct()
+    dist = F.levenshtein("dirty", "clean")
+    return cand.filter(dist <= 1).select(
+        "dirty", "clean", dist.cast("int").alias("distance")
+    )
