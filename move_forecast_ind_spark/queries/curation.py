@@ -1067,3 +1067,81 @@ def j_fuzzy_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 1).select(
         "dirty", "clean", dist.cast("int").alias("distance")
     )
+
+
+# --- Rolling z-score anomaly detection --------------------------------------
+
+
+@register(
+    "events_anomaly_zscore",
+    tags=("curation", "window", "events"),
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(value) OVER win AS n_win,
+             SUM(value)   OVER win AS s1,
+             SUM(value * value) OVER win AS s2
+      FROM events
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    ),
+    z AS (
+      SELECT event_id, user_id, CAST(n_win AS INT) AS n_win,
+             CASE WHEN n_win >= 5
+                   AND (s2 - s1 * s1 / n_win) / (n_win - 1) > 1e-18
+               THEN (value - s1 / n_win)
+                    / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))
+             END AS z
+      FROM w
+    )
+    SELECT event_id, user_id, n_win,
+           FLOOR(z * 1e6 + 0.5) / 1e6 AS z,
+           COALESCE(abs(z) > 3e0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each measurement scored against
+    its user's PRECEDING-20-event mean/stddev (frame excludes the current
+    row — no self-leakage), flagged when |z| > 3. The observability
+    staple, as three frame sums (count, sum, sum of squares) over one
+    window — the stddev is derived arithmetically rather than calling a
+    second aggregate pass.
+
+    100 TB: one shuffle on user_id; frame state is three scalars. The
+    guard (n ≥ 5, variance > 0) makes cold-start and constant-signal
+    users emit null scores instead of garbage."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n_win = F.count("value").over(win)
+    s1 = F.sum("value").over(win)
+    s2 = F.sum(F.col("value") * F.col("value")).over(win)
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n_win.cast("int").alias("n_win"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_win")) / (
+        F.col("n_win") - 1
+    )
+    z = F.when(
+        (F.col("n_win") >= 5) & (var > 1e-18),
+        (F.col("value") - F.col("s1") / F.col("n_win")) / F.sqrt(var),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "n_win",
+        r6(z).alias("z"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
