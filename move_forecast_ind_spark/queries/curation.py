@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import r6, sql_r6
+from ..functions.rounding import r2, r6, sql_r6
 from ..functions.text import fingerprint, shingles_from_tokens, tokens
 from ..session import tune
 from ..sources import load_table
@@ -1144,4 +1144,47 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_win",
         r6(z).alias("z"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# --- VARIANT semi-structured surface (Spark 4) ------------------------------
+
+
+@register(
+    "f_variant_json_shred",
+    tags=("curation", "json", "variant", "events"),
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT)
+             AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(SUM(value) * 1e2 + 0.5) / 1e2 AS total_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def f_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` turns the raw `events.props` payload into a VARIANT
+    column (parsed ONCE into a binary-encoded tree), ``try_variant_get``
+    extracts the typed field, and the query aggregates on the shredded
+    value — the modern engine path for JSON columns, replacing
+    re-parsing `get_json_object` per extraction. The per-event k value
+    buckets into deciles with event counts and value sums.
+
+    100 TB: parse is a map stage; VARIANT's binary encoding makes
+    repeated field extraction O(tree-walk) instead of O(re-parse), which
+    is the practical difference on wide telemetry payloads. One
+    low-cardinality aggregate shuffle."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r2(F.sum("value")).alias("total_value"),
+        )
     )
