@@ -1188,3 +1188,120 @@ def f_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("total_value"),
         )
     )
+
+
+# --- Count-min sketch frequency estimation ----------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+
+
+@register(
+    "a_count_min_freq",
+    tags=("curation", "aggregate", "sketch"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT tok, j,
+             CAST(('0x' || substr(md5(tok || '#' || j), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS bucket
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j
+      ) s
+    ),
+    cms AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pos GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n FROM tok GROUP BY 1
+    ),
+    est AS (
+      SELECT t.tok, MIN(c.cnt) AS cms_est
+      FROM (SELECT DISTINCT tok FROM tok) t, LATERAL (
+        SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j
+      ) s
+      JOIN cms c
+        ON c.j = s.j
+       AND c.bucket = CAST(('0x' || substr(md5(t.tok || '#' || s.j), 1, 8))
+                           AS BIGINT) % {_CMS_W}
+      GROUP BY 1
+    )
+    SELECT truth.tok, truth.true_n, est.cms_est,
+           est.cms_est - truth.true_n AS overcount
+    FROM truth JOIN est USING (tok)
+    """,
+)
+def a_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, built portably AS DATA (the
+    companion to dedup_bloom_prefilter's bitmap): the token stream folds
+    into a {_CMS_D}×{_CMS_W} counter matrix with one map-side-combinable
+    aggregate; a frequency query takes the MIN over the {_CMS_D} hashed
+    counters. Emitted next to the exact counts, so the sketch's one-sided
+    error (cms_est ≥ true_n, always) is data the oracle verifies exactly
+    — every hash and counter is deterministic md5 arithmetic in both
+    engines.
+
+    This completes the classic sketch family: HLL (cardinality),
+    top-k, percentile (quantiles), MinHash/SimHash (similarity), Bloom
+    (membership), and CMS (frequency).
+
+    100 TB: the sketch is {_CMS_D * _CMS_W} counters regardless of corpus
+    size — mergeable across partitions/days by element-wise sum; the
+    estimate join touches a broadcast 1024-row table."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def bucket(tok_col, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(tok_col, F.lit(f"#{j}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    pos = tok.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(F.col("tok"), j).alias("bucket")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "p.j", "p.bucket")
+    cms = pos.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(F.col("tok"), j).alias("bucket")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "p.j", "p.bucket")
+    est = (
+        probes.join(F.broadcast(cms), on=["j", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return truth.join(est, on="tok").select(
+        "tok",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+    )

@@ -186,3 +186,11 @@ def test_audio_features_no_shuffle(spark):
     plan = _plan(REGISTRY["mm_audio_features"].fn(spark, SF_SMALL))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_cms_never_undercounts(spark):
+    """Count-min's one-sided guarantee: estimate >= true count, per token."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["a_count_min_freq"].fn(spark, SF_SMALL).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
