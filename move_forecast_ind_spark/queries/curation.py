@@ -1305,3 +1305,101 @@ def a_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_n")).alias("overcount"),
     )
+
+
+# --- Late round-4 SQL-surface completions -----------------------------------
+
+
+@register(
+    "o_pagination",
+    tags=("sort", "limit", "classic"),
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 20
+    """,
+)
+def o_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination (page 2 of the customer balance ranking):
+    ORDER BY … LIMIT 20 OFFSET 20 through the DataFrame ``offset`` API
+    (Spark 3.4+). Deterministic tie-break on the key makes the page
+    stable. Note the scale caveat this query exists to document: OFFSET
+    pagination materializes offset+limit rows per partition — for deep
+    pages use keyset pagination (WHERE key > last_seen ORDER BY key)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .offset(20)
+        .limit(20)
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name,
+       l.n_suppliers,
+       l.max_acctbal
+FROM nation n,
+LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         MAX(s_acctbal) AS max_acctbal
+  FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+) l
+"""
+
+
+@register(
+    "sub_lateral_correlated",
+    tags=("subquery", "lateral", "join"),
+    oracle=_LATERAL_SQL,
+)
+def sub_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.2+ SQL surface): per nation,
+    an inner aggregate over ITS suppliers runs as a lateral derived
+    table — the identical SQL text executes on both engines. Catalyst
+    decorrelates this into the aggregate-then-join plan (the same shape
+    J4 hand-builds), so the loop-like syntax costs one shuffle, not
+    N subqueries."""
+    tune(spark)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["nation", "supplier"])
+    return spark.sql(_LATERAL_SQL)
+
+
+_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       FLOOR(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) * 1e2 + 0.5) / 1e2 AS rolling_1h_value,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_1h_events
+FROM events
+"""
+
+
+@register(
+    "w_time_range_frame",
+    tags=("window", "events", "range"),
+    oracle=_TIME_RANGE_SQL,
+)
+def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: each event's trailing-1-hour sum/count for
+    its user — `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`
+    over the timestamp ordering (value-based frames, vs the ROWS frames
+    elsewhere in the registry; ts-peers share a frame by definition).
+    The identical SQL text executes on both engines.
+
+    100 TB: one user_id shuffle; frame state is a sliding aggregate the
+    executor maintains in ts order — never the hour's row buffer for
+    sum/count (Spark keeps the frame bound by the range condition)."""
+    tune(spark)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TIME_RANGE_SQL)
