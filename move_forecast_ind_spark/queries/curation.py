@@ -1403,3 +1403,31 @@ def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_TIME_RANGE_SQL)
+
+
+# --- Arrow-native decode variant --------------------------------------------
+
+
+@register(
+    "mm_decode_arrow",
+    tags=("curation", "multimodal", "arrow"),
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS INT)         AS width,
+           CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+           'png'                                AS format
+    FROM documents
+    """,
+)
+def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `mapInArrow` twin of mm_decode_real: genuine PNG payloads
+    decoded by parsing the actual bytes, but through Spark's Arrow-native
+    batch API (raw RecordBatches, no pandas row materialization) — the
+    right UDF tier for binary-heavy multimodal columns. Same closed-form
+    dimensions, so the oracle value-checks the decode."""
+    tune(spark)
+    from ..multimodal import decode_media_arrow, synthesize_png_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(docs, "doc_id")
+    return decode_media_arrow(media).select("doc_id", "width", "height", "format")
