@@ -67,7 +67,7 @@ _POS_BITS = 20
 )
 def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span-level exact dedup: split every document into
-    {_CHUNK_W}-word chunks, keep each distinct chunk's FIRST corpus
+    10-word chunks, keep each distinct chunk's FIRST corpus
     occurrence (ordered by doc_id, then position), report per-doc
     kept/dropped counts.
 

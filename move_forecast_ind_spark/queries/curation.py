@@ -162,7 +162,7 @@ _EVAL_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set (chosen
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
-    {_DECON_K}-gram with the held-out eval split (doc_id % {_EVAL_MOD} == 0
+    8-gram with the held-out eval split (doc_id % 13 == 0
     stands in for the benchmark corpus). Emits each contaminated train doc
     with its count of distinct shared grams — the remove-or-downweight
     signal.
@@ -269,8 +269,8 @@ def _bloom_words_sql() -> str:
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup with a SQL-native Bloom-filter prefilter: the
-    base corpus's fingerprint set is compressed into a {_BLOOM_BITS}-bit
-    Bloom bitmap ({_BLOOM_K} md5-derived hash positions per key, bitmap
+    base corpus's fingerprint set is compressed into a 16384-bit
+    Bloom bitmap (3 md5-derived hash positions per key, bitmap
     stored as 512 32-bit words via a `bit_or` aggregate), the incoming
     batch probes the BROADCAST bitmap, and only bloom-POSITIVE candidates
     pay the exact fingerprint semi-join. Emits every incoming doc with
@@ -399,7 +399,7 @@ _CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
 def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words linear classifier inference — the fastText-
     style quality-filter shape used by production corpus pipelines: token
-    → hash bucket (md5-prefix mod {_CLS_BUCKETS}), bucket → fixed weight
+    → hash bucket (md5-prefix mod 1024), bucket → fixed weight
     (Knuth multiplicative mix, closed-form so both engines derive the
     identical weight table WITHOUT shipping one), document score = mean
     token weight, squashed through a logistic to a keep-probability.
@@ -1238,8 +1238,8 @@ _CMS_W = 256  # counters per row
 def a_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation, built portably AS DATA (the
     companion to dedup_bloom_prefilter's bitmap): the token stream folds
-    into a {_CMS_D}×{_CMS_W} counter matrix with one map-side-combinable
-    aggregate; a frequency query takes the MIN over the {_CMS_D} hashed
+    into a 4x256 counter matrix with one map-side-combinable
+    aggregate; a frequency query takes the MIN over the 4 hashed
     counters. Emitted next to the exact counts, so the sketch's one-sided
     error (cms_est ≥ true_n, always) is data the oracle verifies exactly
     — every hash and counter is deterministic md5 arithmetic in both
@@ -1249,7 +1249,7 @@ def a_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k, percentile (quantiles), MinHash/SimHash (similarity), Bloom
     (membership), and CMS (frequency).
 
-    100 TB: the sketch is {_CMS_D * _CMS_W} counters regardless of corpus
+    100 TB: the sketch is 1024 counters regardless of corpus
     size — mergeable across partitions/days by element-wise sum; the
     estimate join touches a broadcast 1024-row table."""
     tune(spark)
