@@ -1431,3 +1431,122 @@ def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_png_media(docs, "doc_id")
     return decode_media_arrow(media).select("doc_id", "width", "height", "format")
+
+
+# --- Cohort retention --------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("curation", "events", "aggregate", "cohort"),
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                  AS INT) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    as active in each subsequent week offset — the product-analytics
+    staple. Three stages: per-user first-touch aggregate, distinct
+    (user, week-offset) activity, and the cohort×offset count.
+
+    100 TB: the first-touch aggregate and the distinct both key on
+    user_id (one partitioning serves both); the final matrix is
+    weeks×offsets — tiny from any event volume. Week arithmetic uses
+    date_trunc + integer day-diff so both engines agree exactly."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+# --- ANSI-safe (try_*) arithmetic and parsing --------------------------------
+
+
+@register(
+    "f_try_arithmetic",
+    tags=("functions", "ansi", "classic"),
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CASE WHEN CAST(l_quantity AS DOUBLE) - 25e0 = 0e0 THEN NULL
+                  ELSE l_extendedprice / (CAST(l_quantity AS DOUBLE) - 25e0)
+             END AS safe_ratio,
+             TRY_CAST(
+               CASE WHEN l_linenumber % 3 = 0
+                    THEN 'x' || CAST(l_orderkey AS VARCHAR)
+                    ELSE CAST(l_orderkey AS VARCHAR) END
+               AS BIGINT) AS parsed
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(safe_ratio) AS BIGINT) AS n_divisible,
+           CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparseable,
+           FLOOR(AVG(safe_ratio) * 1e4 + 0.5) / 1e4 AS avg_safe_ratio
+    FROM t GROUP BY 1
+    """,
+)
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic and parsing: ``try_divide`` nulls instead of
+    raising on zero denominators, ``try_cast`` nulls on malformed
+    numerics (a deterministically corrupted key string stands in for
+    dirty input) — the error-tolerant expression tier a production
+    pipeline uses so one bad row cannot kill a 100 TB job. Null-skipping
+    aggregate semantics (COUNT(col), AVG over the divisible subset) are
+    part of what the oracle checks."""
+    tune(spark)
+    from ..functions.rounding import r4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    denom = F.col("l_quantity").cast("double") - 25.0
+    dirty = F.when(
+        F.col("l_linenumber") % 3 == 0,
+        F.concat(F.lit("x"), F.col("l_orderkey").cast("string")),
+    ).otherwise(F.col("l_orderkey").cast("string"))
+    t = li.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_extendedprice"), denom).alias("safe_ratio"),
+        dirty.try_cast("bigint").alias("parsed"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("safe_ratio").alias("n_divisible"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unparseable"),
+        r4(F.avg("safe_ratio")).alias("avg_safe_ratio"),
+    )
