@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import r2, r6, sql_r6
+from ..functions.rounding import r2, r4, r6, sql_r6
 from ..functions.text import fingerprint, shingles_from_tokens, tokens
 from ..session import tune
 from ..sources import load_table
@@ -1549,4 +1549,122 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unparseable"),
         r4(F.avg("safe_ratio")).alias("avg_safe_ratio"),
+    )
+
+
+# --- Character-entropy quality signal ----------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    tags=("curation", "text", "quality"),
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars
+      WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(n) AS total FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           FLOOR(
+             -SUM((CAST(f.n AS DOUBLE) / t.total)
+                  * ln(CAST(f.n AS DOUBLE) / t.total)) / ln(2e0)
+             * 1e4 + 0.5) / 1e4 AS entropy_bits
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    compression-quality signal corpus filters use (low entropy flags
+    repeated-character spam, high entropy flags random noise or binary
+    junk): per-doc character histogram → -Σ p·log2(p).
+
+    100 TB: the histogram aggregate keys on (doc_id, char) — map-side
+    combinable, alphabet-bounded per doc — and the entropy fold is a
+    second small aggregate on doc_id. No UDF, no vocabulary state."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        freq.join(tot, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            r4(-F.sum(p * F.log(p)) / F.log(F.lit(2.0))).alias("entropy_bits"),
+        )
+    )
+
+
+# --- Event-type Markov transitions -------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    tags=("curation", "events", "window", "aggregate"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT prev_type, SUM(n) AS total FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.event_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           FLOOR(CAST(p.n AS DOUBLE) / o.total * 1e6 + 0.5) / 1e6
+             AS transition_prob
+    FROM pairs p JOIN outdeg o USING (prev_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | type) with transition counts — the
+    behavioral-model / anomaly-baseline staple. LAG pairs each event
+    with its predecessor, the pair counts aggregate, and each row
+    normalizes by its source state's out-degree.
+
+    100 TB: the LAG window shuffles on user_id once; the transition
+    matrix is |types|² rows from any volume, so the normalization join
+    is against a broadcast-sized aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(outdeg), on="prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            r6(F.col("n").cast("double") / F.col("total")).alias(
+                "transition_prob"
+            ),
+        )
     )
