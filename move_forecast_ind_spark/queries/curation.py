@@ -1668,3 +1668,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Embedding Gram (covariance) matrix --------------------------------------
+
+
+@register(
+    "emb_gram_matrix",
+    tags=("curation", "embedding", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS vi
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) s
+    ),
+    f AS (
+      SELECT vec_id, i AS dim_j, CAST(embedding[i] AS DOUBLE) AS vj
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) s
+    )
+    SELECT e.dim_i, f.dim_j,
+           FLOOR(SUM(e.vi * f.vj) * 1e4 + 0.5) / 1e4 AS gram
+    FROM e JOIN f USING (vec_id)
+    WHERE e.dim_i <= f.dim_j
+    GROUP BY 1, 2
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram / covariance matrix of the embedding corpus (upper triangle):
+    G[i,j] = Σ over vectors of v_i·v_j — the input to PCA whitening /
+    SVD dimensionality reduction, which is how embedding pipelines shrink
+    vectors before ANN. Computed as a d²-bounded aggregate: each vector
+    emits its upper-triangle outer product IN-ROW (one Generate over the
+    index pairs), and the shuffle carries at most d(d+1)/2 keys —
+    2 080 for d=64 — regardless of corpus size; MLlib's RowMatrix
+    computeGramianMatrix uses exactly this reduction.
+
+    The driver-side eigen-solve on the 64×64 result is intentionally out
+    of scope here (numpy on 4 KB is not a distributed concern); the
+    distributed part — this aggregate — is the whole cost at 100 TB."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    n = F.size("v")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(i, n),
+                lambda j: F.struct(
+                    i.alias("dim_i"),
+                    j.alias("dim_j"),
+                    (F.element_at("v", i) * F.element_at("v", j)).alias("prod"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(v.alias("v"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.dim_i").alias("dim_i"), F.col("p.dim_j").alias("dim_j"))
+        .agg(r4(F.sum("p.prod")).alias("gram"))
+    )
