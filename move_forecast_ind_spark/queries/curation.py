@@ -1,19 +1,25 @@
-"""Data-curation operators for LLM training pipelines (round-4 widening).
+"""Data-curation + advanced-surface operators (round-4 widening).
 
-Six first-class capabilities a 100 TB corpus pipeline needs beyond the
-dedup/similarity/text families in :mod:`northstar` and :mod:`corpus`:
+First-class capabilities a 100 TB corpus/analytics pipeline needs beyond
+the dedup/similarity/text families in :mod:`northstar` and :mod:`corpus`:
 
-- PII redaction (regex scrub + per-category counts);
-- benchmark decontamination (8-gram overlap against a held-out eval split);
-- Bloom-filter prefiltered incremental dedup (the bloom bitmap built IN
-  SQL as 32-bit words — portable, broadcastable, no driver-side filter
-  object);
-- hashed bag-of-words linear classifier inference (fastText-shaped quality
-  scoring, entirely JVM-side);
-- embedding scalar quantization (per-dimension min/max int8 codes +
-  reconstruction error — the storage-compression step before ANN);
-- SCD2 interval compaction over an event stream (type-2 slowly-changing
-  history: run-length collapse + validity intervals).
+- PII redaction; 8-gram benchmark decontamination; Bloom-prefiltered
+  incremental dedup (bitmap built IN SQL as 32-bit words — portable,
+  broadcastable); hashed bag-of-words classifier inference; quality-
+  weighted deterministic resampling; character-entropy quality scoring;
+- embedding scalar quantization (int8 + reconstruction MSE) and the
+  Gram/covariance matrix (PCA precursor, d²-bounded aggregate);
+- event analytics: SCD2 interval compaction, ordered funnel conversion,
+  cohort retention, rolling z-score anomaly flags, Markov transition
+  matrix, forward-fill imputation, event-time RANGE frames;
+- modern SQL/engine surface: recursive CTE sessionization and a
+  correlated LATERAL aggregate (both from the IDENTICAL SQL text the
+  DuckDB oracle runs), VARIANT JSON shredding, try_* ANSI-safe
+  expressions, LIMIT/OFFSET pagination;
+- sketches and fuzzy matching: count-min frequency estimation as
+  portable SQL data, FastSS deletion-neighborhood fuzzy token joins;
+- real audio multimodal: PCM16 WAV synth → byte-level parse → integer-
+  exact features; plus the `mapInArrow` image-decode variant.
 
 Reference parity: the reference (satya-dataengineer/move-forecast-IND) has
 none of this surface; these implement the LLM-data-pipeline mandate. All
