@@ -124,6 +124,32 @@ _DRIVER_FRONT: tuple[str, ...] = (
 )
 
 
+# Driver-sample history: which round(s) each query appeared in the driver's
+# first-50 sample. Rounds 1-3 come verbatim from the recorded
+# CORRECTNESS_r{N}.json keys (_sample_history.py, 98 distinct names —
+# matching the judge's count); round 4's sample is exactly `_DRIVER_FRONT`
+# above. Next round: append this round's front to the history module, then
+# rebuild `_DRIVER_FRONT` from `suggest_next_front()` — the never-sampled
+# backlog can no longer be forgotten (VERDICT r3 item #3).
+from ._sample_history import SAMPLED_ROUNDS as _SAMPLED_ROUNDS
+
+for _n in _DRIVER_FRONT:
+    _SAMPLED_ROUNDS[_n] = _SAMPLED_ROUNDS.get(_n, ()) + ("r4",)
+
+
+def suggest_next_front(max_size: int = 50) -> list[str]:
+    """Rotation helper for the NEXT round's `_DRIVER_FRONT`: every
+    registered query that has no recorded driver sample yet (insertion
+    order), topped up with the longest-unsampled rest. Call from a
+    scratch session when preparing the next round; paste the result into
+    `_DRIVER_FRONT` and append the outgoing front to `_SAMPLED_ROUNDS`.
+    Purely advisory — never changes the live ordering by itself."""
+    never = [n for n in REGISTRY if n not in _SAMPLED_ROUNDS and n not in _DRIVER_FRONT]
+    rest = [n for n in REGISTRY if n not in never]
+    rest.sort(key=lambda n: _SAMPLED_ROUNDS.get(n, ()))
+    return (never + rest)[:max_size]
+
+
 def _ordered_specs() -> list[QuerySpec]:
     front = [REGISTRY[n] for n in _DRIVER_FRONT if n in REGISTRY]
     seen = set(n for n in _DRIVER_FRONT if n in REGISTRY)
