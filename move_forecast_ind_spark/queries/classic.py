@@ -75,7 +75,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -126,7 +126,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASIA-region customers, by order year — the canonical conditional
     aggregate (share = SUM(CASE)/SUM) computed in ONE pass, no self-join.
 
-    100 TB: part/supplier/nation/region broadcast; the customer→nation→
+    100 TB: nation/region (bounded dims) are hint-broadcast; part and
+    supplier carry NO hint — Spark auto-broadcasts them while they fit
+    and falls back to shuffle joins at full scale. The customer→nation→
     region chain prunes customers to one region before the fact join."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -146,11 +148,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -182,17 +184,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: the fixture has no partsupp, so profit is
     gross revenue): revenue on 'red' parts by supplier nation × ship year.
-    The LIKE-filtered part dimension broadcasts, so the fact scan joins
-    map-side and only the (nation, year) aggregate shuffles — ~25 × 7
-    result rows from any corpus size."""
+    The LIKE-filtered part slice and supplier carry no broadcast hint
+    (auto-broadcast while small, shuffle join at full scale); nation is
+    hint-broadcast. Only the (nation, year) aggregate shuffles to a
+    ~25 × 7-row result from any corpus size."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -290,7 +293,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("avg_pk"))
+        .join(per_part, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity").cast("double") < 0.5 * F.col("avg_qty"))
         .agg(r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -386,7 +389,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

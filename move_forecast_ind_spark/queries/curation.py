@@ -1068,7 +1068,9 @@ def j_fuzzy_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean",
         F.explode(_deletion_variants_spark(F.col("clean"))).alias("variant"),
     )
-    cand = dv.join(F.broadcast(cv), on="variant").select("dirty", "clean").distinct()
+    # no broadcast hint: the vocabulary side is corpus-dependent — let
+    # Spark pick broadcast when it fits (it does at fixture scale).
+    cand = dv.join(cv, on="variant").select("dirty", "clean").distinct()
     dist = F.levenshtein("dirty", "clean")
     return cand.filter(dist <= 1).select(
         "dirty", "clean", dist.cast("int").alias("distance")
