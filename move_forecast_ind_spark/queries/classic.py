@@ -250,8 +250,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
+    # top is the tiny side — no hint on supplier (huge at scale); Spark
+    # broadcasts whichever side fits.
     return (
-        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        top.join(s, top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

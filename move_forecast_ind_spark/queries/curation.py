@@ -349,10 +349,14 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows are dup-free by the no-false-negative property and never touch
     # the fingerprint index (at scale that index is disk-resident and
     # shuffled; the bitmap spared these rows that cost).
+    # No broadcast hint on the fingerprint index: at 100 TB it is the
+    # big side — the join keys on fp with the TINY candidate set driving,
+    # so the shuffle moves candidates, not the index (Spark auto-
+    # broadcasts the index at fixture scale anyway).
     base_set = base.select("fp").distinct().withColumn("in_base", F.lit(1))
     verified = (
         flagged.filter(F.col("bloom_candidate") == 1)
-        .join(F.broadcast(base_set), on="fp", how="left")
+        .join(base_set, on="fp", how="left")
         .select(
             "doc_id",
             "fp",
