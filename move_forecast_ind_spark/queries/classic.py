@@ -330,9 +330,10 @@ def q20_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING aggregate builds the qualifying supplier set, and supplier is
     LEFT SEMI joined against it — no row multiplication anywhere.
 
-    100 TB: the filtered part keys broadcast into the fact scan; the
-    aggregate shuffles on a compound key; the final semi join broadcasts
-    the (small) qualifying-supplier set."""
+    100 TB: the name-filtered part keys carry no hint (auto-broadcast
+    while the slice fits; co-shuffled key join beyond); the aggregate
+    shuffles on a compound key; the final semi join broadcasts the
+    (threshold-bounded) qualifying-supplier set."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
@@ -344,7 +345,7 @@ def q20_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     qualifying = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("double")).alias("qty"))
         .filter(F.col("qty") > 40.0)
