@@ -1744,3 +1744,87 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.dim_i").alias("dim_i"), F.col("p.dim_j").alias("dim_j"))
         .agg(r4(F.sum("p.prod")).alias("gram"))
     )
+
+
+# --- PMI collocation mining --------------------------------------------------
+
+
+@register(
+    "text_pmi_collocations",
+    tags=("curation", "text", "aggregate"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+      ) s
+      WHERE len(w) >= 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM bg),
+    uni1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    uni2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+    SELECT p.w1, p.w2,
+           CAST(p.c12 AS BIGINT) AS n_cooccur,
+           FLOOR(ln((p.c12 * n.total) / (u1.c1 * u2.c2)) * 1e6 + 0.5) / 1e6
+             AS pmi
+    FROM pair p
+    JOIN uni1 u1 USING (w1)
+    JOIN uni2 u2 USING (w2)
+    CROSS JOIN n
+    WHERE p.c12 >= 5
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    token bigrams: PMI = ln(P(w1,w2) / (P(w1)·P(w2))), reported for
+    pairs seen ≥ 5 times — the classic corpus-linguistics signal for
+    multiword expressions (and, in data curation, for detecting
+    templated/boilerplate phrasing).
+
+    100 TB: one bigram Generate, three map-combinable count aggregates;
+    the margin tables are vocabulary-sized, joined back without hints
+    (auto-broadcast while they fit — vocabulary margins can exceed the
+    broadcast budget on open-domain corpora)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_t = F.size("w")
+    bigrams = (
+        docs.select(toks.alias("w"))
+        .filter(n_t >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    uni1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pmi = F.log(
+        (F.col("c12") * F.col("total")) / (F.col("c1") * F.col("c2"))
+    )
+    return (
+        pair.filter(F.col("c12") >= 5)
+        .join(uni1, on="w1")
+        .join(uni2, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_cooccur"),
+            r6(pmi).alias("pmi"),
+        )
+    )
