@@ -1828,3 +1828,98 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(pmi).alias("pmi"),
         )
     )
+
+
+# --- Bigram LM quality scoring -----------------------------------------------
+
+
+@register(
+    "corpus_bigram_lm_score",
+    tags=("curation", "corpus", "text", "ml"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+      ) s
+      WHERE len(w) >= 2
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+    ),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT b.doc_id,
+             ln((m.c12 + 5e-1) / (u.c1 + 5e-1 * v.v)) AS lp
+      FROM bg b
+      JOIN c12 m USING (w1, w2)
+      JOIN c1 u USING (w1)
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(AVG(lp) * 1e4 + 0.5) / 1e4 AS avg_logprob,
+           FLOOR(exp(-AVG(lp)) * 1e2 + 0.5) / 1e2 AS perplexity
+    FROM scored GROUP BY 1
+    """,
+)
+def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring with add-k smoothing (the
+    KenLM-shaped upgrade of corpus_unigram_lm_score): the corpus itself
+    is the LM — P(w2|w1) = (c12+0.5)/(c1+0.5·V) — and every document is
+    scored by its average bigram log-probability and perplexity. The
+    CCNet recipe at the next model order: documents whose phrasing is
+    atypical for the corpus score high-perplexity.
+
+    100 TB: bigram Generate + two count aggregates build the model; the
+    scoring joins key on (w1[,w2]) — margin/bigram tables are unhinted
+    (auto-broadcast while they fit; co-shuffled joins on open-domain
+    vocabularies)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_t = F.size("w")
+    bg = (
+        docs.select("doc_id", toks.alias("w"))
+        .filter(n_t >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    lp = F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        bg.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r4(F.avg(lp)).alias("avg_logprob"),
+            r2(F.exp(-F.avg(lp))).alias("perplexity"),
+        )
+    )
