@@ -1923,3 +1923,39 @@ def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.exp(-F.avg(lp))).alias("perplexity"),
         )
     )
+
+
+# --- Correlation / covariance aggregates -------------------------------------
+
+
+@register(
+    "a_corr_covar",
+    tags=("aggregate", "statistics", "classic"),
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(corr(CAST(l_quantity AS DOUBLE), l_extendedprice)
+                 * 1e6 + 0.5) / 1e6 AS qty_price_corr,
+           FLOOR(covar_samp(CAST(l_quantity AS DOUBLE), l_extendedprice)
+                 * 1e2 + 0.5) / 1e2 AS qty_price_covar,
+           FLOOR(covar_pop(CAST(l_quantity AS DOUBLE), l_discount)
+                 * 1e6 + 0.5) / 1e6 AS qty_discount_covar_pop
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — Pearson correlation, sample and
+    population covariance — per return-flag group: the relationship-
+    profiling surface (is quantity priced linearly? does discount track
+    volume?) that complements the univariate moments in
+    a_stats_moments. Single-pass grouped aggregation; both engines use
+    the standard one-pass co-moment recurrences, with outputs rounded on
+    both sides against aggregation-order ulp."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr(q, F.col("l_extendedprice"))).alias("qty_price_corr"),
+        r2(F.covar_samp(q, F.col("l_extendedprice"))).alias("qty_price_covar"),
+        r6(F.covar_pop(q, F.col("l_discount"))).alias("qty_discount_covar_pop"),
+    )
