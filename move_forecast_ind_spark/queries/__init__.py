@@ -20,6 +20,7 @@ for _mod in (
     "corpus",
     "classic",
     "curation",
+    "analytics",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -1,0 +1,801 @@
+"""Time-series, sequence-mining, and data-quality operators (round-4 widening).
+
+Capabilities a production analytics engine layers over the event stream and
+the relational lake, beyond the reference's surface (the reference —
+satya-dataengineer/move-forecast-IND — has no time-series resampling, data-
+quality auditing, or spatial joins; these implement the engine-completeness
+mandate):
+
+- time-series: gap-filled daily resampling onto a dense calendar grid,
+  10-lag EWMA smoothing, OHLC candle bars, inter-arrival distributions,
+  rolling least-squares trend slopes;
+- sequence mining: top-k event trigrams, gaps-and-islands activity streaks;
+- data quality: referential-integrity orphan audit, key-uniqueness audit,
+  declarative constraint (domain/range/cross-table) violation counts —
+  the Great-Expectations/Delta-constraints staple as plain aggregates;
+- spatial: grid-bucketed point-in-rectangle join (the scale-safe spatial
+  equi-join that replaces an all-pairs cross product).
+
+All hot paths are built-in column expressions inside whole-stage codegen;
+every double that reaches the output is rounded through
+``functions.rounding`` on BOTH engines so aggregation-order ulp noise can't
+flip the oracle's value hash.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import r2, r6, sql_r2, sql_r6
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# --- time-series: dense-grid resampling -------------------------------------
+
+
+@register(
+    "ts_resample_gapfill",
+    tags=("timeseries", "events", "gapfill"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n_events,
+             {sql_r2('sum(value)')} AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type,
+             b.lo + CAST(unnest(generate_series(0, b.hi - b.lo)) AS INTEGER)
+               AS day
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    )
+    SELECT g.event_type, g.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(d.sum_value, 0e0) AS sum_value
+    FROM grid g LEFT JOIN daily d USING (event_type, day)
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream to a DENSE daily grid per event type: days
+    with no events appear with explicit zeros instead of silently missing —
+    the prerequisite for any downstream forecasting / moving-average pass
+    (a rolling window over a sparse axis silently shrinks its denominator).
+
+    Spark-first: one grouped aggregate for the sparse dailies, a 1-row
+    min/max bounds aggregate cross-joined onto the distinct type dimension,
+    `sequence()`+`explode` for the calendar axis, then a left join that
+    broadcasts the aggregated dailies (grid and dailies are both
+    dimension-sized: types × days). At 100 TB the only full-data pass is
+    the daily aggregate — one shuffle with map-side partials; the grid is
+    O(types × days) regardless of fact volume."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = ev.groupBy("event_type", day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "lo",
+            F.explode(F.sequence(F.lit(0), F.datediff("hi", "lo"))).alias("off"),
+        )
+        .select("event_type", F.date_add("lo", F.col("off")).alias("day"))
+    )
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# --- time-series: EWMA smoothing --------------------------------------------
+
+_EWMA_DECAY = 0.6  # (1 - alpha) for alpha = 0.4
+_EWMA_LAGS = 10  # truncation horizon: 0.6^10 ≈ 0.006 residual weight
+
+
+def _ewma_sql() -> str:
+    # Weight literals are emitted via repr(decay**j) so BOTH engines parse
+    # the exact same IEEE double — power(0.6, j) could differ in the last
+    # ulp from Python's compile-time product.
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER w, 0e0) * {0.6 ** j!r}"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {0.6 ** j!r} ELSE 0e0 END"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+    SELECT event_id, user_id, value,
+           {sql_r6(f'({num}) / ({den})')} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_EWMA_LAGS - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "ts_ewma_smooth",
+    tags=("timeseries", "events", "window"),
+    oracle=_ewma_sql(),
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's measurement
+    stream (alpha = 0.4), truncated at 10 lags (residual weight < 1%) and
+    re-normalized over the weights actually present so the series start is
+    unbiased instead of damped toward zero.
+
+    The recursive EWMA definition is not window-expressible, but the
+    truncated form is a fixed linear combination of ``lag(value, j)`` —
+    ten lag terms inside ONE window spec, which Spark evaluates in a single
+    pass over each partition (one shuffle on user_id, no UDF, no loop).
+    Weight literals are emitted via ``repr`` so both engines parse
+    bit-identical doubles."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_LAGS):
+        lj = F.lag("value", j).over(w) if j else F.col("value")
+        wt = _EWMA_DECAY**j
+        num = num + F.coalesce(lj, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id", "user_id", "value", r6(num / den).alias("ewma")
+    )
+
+
+# --- time-series: OHLC bars -------------------------------------------------
+
+
+@register(
+    "ts_ohlc_daily",
+    tags=("timeseries", "events", "aggregate"),
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, day,
+           min_by(value, rn) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max_by(value, rn) AS close,
+           count(*) AS n_events,
+           {sql_r2('sum(value)')} AS volume
+    FROM seq GROUP BY event_type, day
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per (event_type, day): open/close are the first/last
+    measurement in event-time order (event_id tiebreak makes the order — and
+    therefore min_by/max_by — total), high/low/volume are plain extrema and
+    sums. The financial-downsampling staple, expressed as one window pass
+    for the within-day sequence number plus one grouped aggregate.
+
+    100 TB: the window and the aggregate share the same (event_type, day)
+    partitioning, so Catalyst plans ONE exchange; frame state is a counter
+    and six scalars."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return seq.groupBy("event_type", "day").agg(
+        F.min_by("value", "rn").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "rn").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("volume"),
+    )
+
+
+# --- time-series: inter-arrival distribution --------------------------------
+
+
+@register(
+    "ts_interarrival_stats",
+    tags=("timeseries", "events", "percentile"),
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           {sql_r2('avg(gap_s)')} AS avg_gap_s,
+           {sql_r2('quantile_cont(gap_s, 0.5)')} AS p50_gap_s,
+           {sql_r2('quantile_cont(gap_s, 0.95)')} AS p95_gap_s,
+           {sql_r2('max(gap_s)')} AS max_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: mean / median / p95 /
+    max gap between consecutive events, the first thing an on-call engineer
+    asks of a pipeline's event stream ("did ingestion stall?").
+
+    Gaps come from one LAG over the event-time order (epoch microseconds are
+    exact in doubles, so both engines compute identical gap values); the
+    percentiles are EXACT linear-interpolated (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — same formula), which the r2 rounding then makes
+    hash-stable. 100 TB: one shuffle on event_type for the window; the exact
+    percentile holds a per-group value buffer, so at extreme cardinality
+    swap in approx_percentile (the sketch twin already registered as
+    ``a_approx_percentile``)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1e6
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        r2(F.avg("gap_s")).alias("avg_gap_s"),
+        r2(F.expr("percentile(gap_s, 0.5)")).alias("p50_gap_s"),
+        r2(F.expr("percentile(gap_s, 0.95)")).alias("p95_gap_s"),
+        r2(F.max("gap_s")).alias("max_gap_s"),
+    )
+
+
+# --- sequence mining: top event trigrams ------------------------------------
+
+
+@register(
+    "events_top_sequences",
+    tags=("events", "sequence", "window"),
+    oracle="""
+    WITH tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS seq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT seq, count(*) AS n_occurrences
+    FROM tri WHERE seq IS NOT NULL
+    GROUP BY seq
+    ORDER BY n_occurrences DESC, seq
+    LIMIT 10
+    """,
+)
+def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 within-user event-type trigrams (A>B>C), the sequential-
+    pattern-mining primitive behind funnel discovery and next-action
+    models. Two LEADs over the per-user event-time order build the
+    trigram in place (no self-joins — the classic SQL formulation joins
+    the stream to itself twice); partition bounds make sequences stop at
+    user boundaries. Count ties break lexicographically so the top-10 cut
+    is deterministic. 100 TB: one shuffle on user_id, then a trigram-
+    cardinality aggregate (≤ |types|³ keys) and a tiny TakeOrdered."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("seq"),
+        F.lead("event_type", 2).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        tri.groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "seq")
+        .limit(10)
+    )
+
+
+# --- gaps and islands: activity streaks -------------------------------------
+
+
+@register(
+    "w_gaps_islands",
+    tags=("window", "events", "streaks"),
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor, count(*) AS streak
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(streak) AS BIGINT) AS n_active_days,
+           count(*) AS n_islands,
+           CAST(max(streak) AS BIGINT) AS max_streak_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-day activity streaks. The
+    classic anchor trick — ``day - row_number()`` is constant within a run
+    of consecutive days — turns streak detection into two grouped
+    aggregates around one window, with no self-join and no iteration.
+    Output: active days, number of islands, and the longest streak per
+    user. 100 TB: everything after the DISTINCT is user-cardinality;
+    the distinct, the window, and both aggregates all partition by
+    user_id, so Catalyst plans a single exchange."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    anchored = days.select(
+        "user_id",
+        F.date_sub(
+            "day",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+        ).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak").alias("max_streak_days"),
+    )
+
+
+# --- rolling least-squares trend slope --------------------------------------
+
+
+@register(
+    "w_rolling_slope",
+    tags=("window", "events", "regression"),
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    frames AS (
+      SELECT event_id, user_id,
+             count(*) OVER w AS n_win,
+             CAST(sum(rn) OVER w AS DOUBLE) AS sx,
+             sum(value) OVER w AS sy,
+             sum(rn * value) OVER w AS sxy,
+             CAST(sum(rn * rn) OVER w AS DOUBLE) AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n_win AS INT) AS n_win,
+           CASE WHEN n_win >= 5 THEN
+             {sql_r6('(n_win * sxy - sx * sy) / (n_win * sxx - sx * sx)')}
+           END AS slope
+    FROM frames
+    """,
+)
+def w_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend slope: each measurement's 10-event local
+    trend, regressing value against the within-user sequence number. The
+    trend-detection primitive behind "is this metric drifting?" alerts.
+
+    Instead of calling an engine-specific ``regr_slope`` window aggregate,
+    the slope is derived from four frame sums (Σx, Σy, Σxy, Σx²) — x is the
+    integer row number, so three of the four sums are integer-exact and the
+    formula evaluates bit-identically on both engines. Cold-start rows
+    (fewer than 5 points) emit NULL instead of a garbage slope. 100 TB: one
+    shuffle on user_id; both windows share the same partitioning + ordering,
+    so Catalyst plans them in a single Window node."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-9, 0)
+    frames = seq.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("rn").over(w).cast("double").alias("sx"),
+        F.sum("value").over(w).alias("sy"),
+        F.sum(F.col("rn") * F.col("value")).over(w).alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(w).cast("double").alias("sxx"),
+    )
+    n = F.col("n_win")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return frames.select(
+        "event_id",
+        "user_id",
+        n.cast("int").alias("n_win"),
+        F.when(n >= 5, r6(slope)).alias("slope"),
+    )
+
+
+# --- data quality: referential integrity ------------------------------------
+
+_REL_CHECKS = (
+    # (name, child table, child key cols, parent table, parent key cols)
+    ("lineitem->orders", "lineitem", ("l_orderkey",), "orders", ("o_orderkey",)),
+    ("lineitem->part", "lineitem", ("l_partkey",), "part", ("p_partkey",)),
+    ("lineitem->supplier", "lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)),
+    ("orders->customer", "orders", ("o_custkey",), "customer", ("c_custkey",)),
+    ("events->customer", "events", ("user_id",), "customer", ("c_custkey",)),
+)
+
+
+def _rel_oracle() -> str:
+    parts = []
+    for name, child, ckeys, parent, pkeys in _REL_CHECKS:
+        on = " AND ".join(f"c.{a} = p.{b}" for a, b in zip(ckeys, pkeys))
+        pk = ", ".join(pkeys)
+        parts.append(
+            f"""
+            SELECT '{name}' AS relationship,
+                   count(*) AS n_rows,
+                   count(*) FILTER (WHERE p.{pkeys[0]} IS NULL) AS n_orphans
+            FROM {child} c
+            LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON {on}
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_referential_orphans",
+    tags=("dq", "join", "audit"),
+    oracle=_rel_oracle(),
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every declared foreign-key
+    relationship in the lake, how many child rows point at a parent that
+    does not exist. The first gate of any ingest pipeline — silent orphans
+    turn downstream inner joins into silent row loss.
+
+    Each relationship is one left join against the parent's distinct key
+    set plus a two-counter aggregate; the five audits union into a single
+    5-row report, so the whole check is one job. No broadcast hints: at
+    100 TB the parent key sets are not dimension-sized, and AQE picks
+    broadcast exactly when a parent fits."""
+    tune(spark)
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in ("lineitem", "orders", "part", "supplier", "customer",
+                        "events")}
+    reports = []
+    for name, child, ckeys, parent, pkeys in _REL_CHECKS:
+        p = (
+            tables[parent]
+            .select(*[F.col(b).alias(a) for a, b in zip(ckeys, pkeys)])
+            .distinct()
+            .withColumn("_present", F.lit(1))
+        )
+        joined = tables[child].select(*ckeys).join(p, list(ckeys), "left")
+        reports.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("_present").isNull(), 1)).alias(
+                    "n_orphans"
+                ),
+            ).select(
+                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+    return reduce(DataFrame.unionByName, reports)
+
+
+# --- data quality: key uniqueness -------------------------------------------
+
+_KEY_CHECKS = (
+    ("orders.o_orderkey", "orders", ("o_orderkey",)),
+    ("customer.c_custkey", "customer", ("c_custkey",)),
+    ("part.p_partkey", "part", ("p_partkey",)),
+    ("supplier.s_suppkey", "supplier", ("s_suppkey",)),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ("l_orderkey", "l_linenumber")),
+    ("events.event_id", "events", ("event_id",)),
+    ("documents.doc_id", "documents", ("doc_id",)),
+    ("embeddings.vec_id", "embeddings", ("vec_id",)),
+)
+
+
+def _uniq_oracle() -> str:
+    parts = []
+    for name, table, keys in _KEY_CHECKS:
+        kl = ", ".join(keys)
+        parts.append(
+            f"""
+            SELECT '{name}' AS key_name,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows,
+                   CAST(max(c) AS BIGINT) AS max_multiplicity
+            FROM (SELECT count(*) AS c FROM {table} GROUP BY {kl})
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_uniqueness_audit",
+    tags=("dq", "aggregate", "audit"),
+    oracle=_uniq_oracle(),
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit: for every declared primary/natural key, the row
+    count, distinct-key count, duplicate-row count, and worst per-key
+    multiplicity. (The fixture's lineitem intentionally carries duplicate
+    (l_orderkey, l_linenumber) rows, so this audit reports real findings,
+    not a wall of zeros.)
+
+    Per key: a grouped count followed by a 1-row summary aggregate — the
+    duplicate count falls out as Σc − |keys| with no distinct-count pass.
+    100 TB: each audit is one map-side-partial shuffle on its key; the
+    eight audits are independent jobs unioned into an 8-row report."""
+    tune(spark)
+    reports = []
+    for name, table, keys in _KEY_CHECKS:
+        per = (
+            load_table(spark, sf_dir, table)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        reports.append(
+            per.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_multiplicity"),
+            ).select(
+                F.lit(name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+                "max_multiplicity",
+            )
+        )
+    return reduce(DataFrame.unionByName, reports)
+
+
+# --- data quality: declarative constraints ----------------------------------
+
+# (rule name, table, SQL predicate that is TRUE when the row VIOLATES).
+# NULLs count as violations (coalesce) — a constraint a row can dodge by
+# being NULL isn't a constraint.
+_ROW_RULES = (
+    ("lineitem.quantity_in_1_50", "lineitem",
+     "NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)"),
+    ("lineitem.discount_in_0_0.1", "lineitem",
+     "NOT COALESCE(l_discount BETWEEN 0e0 AND 0.1e0, FALSE)"),
+    ("orders.status_in_domain", "orders",
+     "NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)"),
+    ("documents.n_chars_matches_text", "documents",
+     "NOT COALESCE(n_chars = length(text), FALSE)"),
+    ("documents.lang_in_domain", "documents",
+     "NOT COALESCE(lang IN ('en', 'de', 'fr', 'es', 'zh'), FALSE)"),
+    ("events.value_positive", "events",
+     "NOT COALESCE(value > 0e0, FALSE)"),
+)
+
+_SHIP_RULE_PRED = (
+    "l_shipdate < o_orderdate OR l_shipdate > o_orderdate + INTERVAL '400' DAY"
+)
+
+
+def _rules_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{name}' AS rule,
+               count(*) AS n_checked,
+               count(*) FILTER (WHERE {pred}) AS n_violations
+        FROM {table}
+        """
+        for name, table, pred in _ROW_RULES
+    ]
+    parts.append(
+        f"""
+        SELECT 'lineitem.ship_within_400d_of_order' AS rule,
+               count(*) AS n_checked,
+               count(*) FILTER (WHERE {_SHIP_RULE_PRED}) AS n_violations
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """
+    )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_constraint_violations",
+    tags=("dq", "aggregate", "audit"),
+    oracle=_rules_oracle(),
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraints (the Delta CHECK / Great
+    Expectations staple) evaluated as plain aggregates: range rules, domain
+    rules, an internal-consistency rule, and one cross-table temporal rule
+    (line items must ship within [order date, +400 days] — the fixture
+    violates this en masse, so the report carries real signal).
+
+    Each rule is a predicate counted in one pass over its table; the
+    cross-table rule joins lineitem to orders on the order key first. NULL
+    never satisfies a constraint (explicit COALESCE). 100 TB: single-table
+    rules over the same table share one scan each; the report is seven
+    rows."""
+    tune(spark)
+    reports = []
+    for name, table, pred in _ROW_RULES:
+        df = load_table(spark, sf_dir, table)
+        reports.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.count(F.when(F.expr(pred), 1)).alias("n_violations"),
+            ).select(F.lit(name).alias("rule"), "n_checked", "n_violations")
+        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    reports.append(
+        joined.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.expr(_SHIP_RULE_PRED), 1)).alias("n_violations"),
+        ).select(
+            F.lit("lineitem.ship_within_400d_of_order").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return reduce(DataFrame.unionByName, reports)
+
+
+# --- spatial: grid-bucketed point-in-rectangle join -------------------------
+
+_CELL = 10  # grid cell edge; rectangles are 15x15 so each covers ≤ 9 cells
+
+
+@register(
+    "j_grid_spatial_join",
+    tags=("join", "spatial", "grid"),
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 37 % 1000) / 10.0 AS x,
+             (event_id * 91 % 1000) / 10.0 AS y
+      FROM events
+    ),
+    rects AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey * 7 % 80 AS DOUBLE) AS x0,
+             CAST(n_nationkey * 13 % 80 AS DOUBLE) AS y0
+      FROM nation
+    ),
+    hits AS (
+      SELECT r.n_nationkey, count(*) AS n_points
+      FROM pts p JOIN rects r
+        ON p.x >= r.x0 AND p.x < r.x0 + 15 AND p.y >= r.y0 AND p.y < r.y0 + 15
+      GROUP BY r.n_nationkey
+    )
+    SELECT r.n_nationkey, r.x0, r.y0,
+           CAST(COALESCE(h.n_points, 0) AS BIGINT) AS n_points
+    FROM rects r LEFT JOIN hits h USING (n_nationkey)
+    """,
+)
+def j_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join: count the points inside each query
+    rectangle. Points are synthesized deterministically from event ids,
+    rectangles (15×15, half-open) from nation keys — the operator under
+    test is the JOIN STRATEGY: instead of the naive points × rectangles
+    cross product, rectangles explode to the ≤9 grid cells they overlap
+    and each point computes its single containing cell, turning the
+    spatial predicate into a cell equi-join plus an exact refine filter.
+    Each point lives in exactly one cell, so a (point, rect) pair can
+    match at most once — no post-join dedup.
+
+    100 TB: the point side never shuffles wide — it maps to (cell, point)
+    and joins against the broadcast cell-exploded rectangle dimension;
+    the oracle's cross-product formulation is the semantics, not the
+    plan. Cell size trades replication (rect copies) against refine
+    selectivity, the standard grid-file knob."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 91 % 1000) / 10.0).alias("y"),
+    ).select(
+        "event_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _CELL).cast("int").alias("cx"),
+        F.floor(F.col("y") / _CELL).cast("int").alias("cy"),
+    )
+    rects = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 7 % 80).cast("double").alias("x0"),
+        (F.col("n_nationkey") * 13 % 80).cast("double").alias("y0"),
+    )
+    cells = (
+        rects.select(
+            "n_nationkey",
+            "x0",
+            "y0",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x0") / _CELL).cast("int"),
+                    F.floor((F.col("x0") + 15) / _CELL).cast("int"),
+                )
+            ).alias("cx"),
+        )
+        .select(
+            "n_nationkey",
+            "x0",
+            "y0",
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y0") / _CELL).cast("int"),
+                    F.floor((F.col("y0") + 15) / _CELL).cast("int"),
+                )
+            ).alias("cy"),
+        )
+    )
+    hits = (
+        pts.join(F.broadcast(cells), ["cx", "cy"])
+        .filter(
+            (F.col("x") >= F.col("x0"))
+            & (F.col("x") < F.col("x0") + 15)
+            & (F.col("y") >= F.col("y0"))
+            & (F.col("y") < F.col("y0") + 15)
+        )
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return rects.join(F.broadcast(hits), ["n_nationkey"], "left").select(
+        "n_nationkey",
+        "x0",
+        "y0",
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+    )
