@@ -799,3 +799,323 @@ def j_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y0",
         F.coalesce("n_points", F.lit(0)).alias("n_points"),
     )
+
+
+# --- URL canonicalization + dedup -------------------------------------------
+
+_URL_HOSTPATH = r"^([a-zA-Z]+://[^/]+)(.*)$"
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    tags=("corpus", "dedup", "url"),
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example.COM/' || lang
+               || '/article/' || CAST(doc_id % 83 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                    THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(stripped, '{_URL_HOSTPATH}', 1))
+                 || regexp_extract(stripped, '{_URL_HOSTPATH}', 2),
+               '://www\\.', '://') AS canon_url
+      FROM (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(url, '#.*$', ''), '\\?.*$', '')
+                 AS stripped
+        FROM urls
+      )
+    )
+    SELECT canon_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_variants
+    FROM canon GROUP BY canon_url
+    """,
+)
+def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup — the FIRST pass of every web
+    corpus pipeline (Common-Crawl-style dedup starts at the URL, before any
+    content hashing). URLs are synthesized deterministically from fixture
+    columns with realistic mess (mixed-case scheme/host, www prefix,
+    tracking query params, fragments) and a syndication-style shared
+    article id (mod-83) so distinct docs really do collapse to one
+    canonical URL; canonicalization lowercases ONLY the
+    scheme+host (paths are case-sensitive per RFC 3986), strips query +
+    fragment, and drops the www prefix. Documents sharing a canonical URL
+    collapse to the min-doc_id keeper.
+
+    100 TB: pure map expressions (two regexp_replace, two regexp_extract)
+    into one grouped aggregate on the canonical key — one shuffle."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM/"),
+        F.col("lang"), F.lit("/article/"),
+        (F.col("doc_id") % 83).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(url, r"#.*$", ""), r"\?.*$", ""
+    )
+    canon = F.regexp_replace(
+        F.concat(
+            F.lower(F.regexp_extract(stripped, _URL_HOSTPATH, 1)),
+            F.regexp_extract(stripped, _URL_HOSTPATH, 2),
+        ),
+        r"://www\.",
+        "://",
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+# --- weighted median --------------------------------------------------------
+
+
+@register(
+    "a_weighted_median",
+    tags=("aggregate", "percentile", "lineitem"),
+    oracle=f"""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           {sql_r2('min(l_extendedprice)')} AS weighted_median_price,
+           {sql_r2('min(tw)')} AS total_weight
+    FROM cum
+    WHERE cw >= tw / 2e0
+    GROUP BY l_returnflag
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median extended price per return
+    flag) — an aggregate NEITHER engine ships natively, built portably from
+    a running-weight window: the weighted median is the first value whose
+    cumulative weight crosses half the group total. The window order is made
+    total (price, then primary key) so the cumulative sums are deterministic
+    on both engines; quantities are small integers in doubles, so the
+    running sums are exact.
+
+    100 TB: one shuffle on the group key; both window specs share the same
+    partitioning so Catalyst plans one sort. For extreme groups, swap in the
+    approx-percentile sketch twin."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cw"),
+        F.sum("l_quantity").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            r2(F.min("l_extendedprice")).alias("weighted_median_price"),
+            r2(F.min("tw")).alias("total_weight"),
+        )
+    )
+
+
+# --- portable mode (most-frequent value with explicit tie-break) ------------
+
+
+@register(
+    "a_mode_per_group",
+    tags=("aggregate", "mode", "orders"),
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_occurrences
+    FROM ranked WHERE rk = 1
+    """,
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with an EXPLICIT tie-break (count desc, then value
+    asc). Both engines ship a native ``mode()`` whose tie behavior is
+    unspecified/implementation-defined — a hash-order landmine for any
+    pipeline that feeds the mode into a join key — so the portable
+    formulation is a grouped count plus a row_number cut, which pins the
+    answer on every engine. 100 TB: the count aggregate shuffles on the
+    (group, value) pair; the window runs on group-cardinality rows."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_orderstatus").orderBy(
+                F.desc("n"), "o_orderpriority"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("mode_priority"),
+        F.col("n").alias("n_occurrences"),
+    )
+
+
+# --- incremental view maintenance: mergeable aggregate states ---------------
+
+_IVM_SPLIT = "DATE '2024-06-01'"  # base/delta ingestion boundary
+
+
+@register(
+    "s_incremental_agg_merge",
+    tags=("sink", "ivm", "aggregate"),
+    oracle=f"""
+    SELECT CAST(month(o_orderdate) AS INT) AS month,
+           count(*) AS n_orders,
+           {sql_r2('sum(o_totalprice)')} AS sum_total
+    FROM orders GROUP BY 1
+    """,
+)
+def s_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a monthly revenue rollup: the
+    already-materialized BASE aggregate (orders before the ingestion
+    boundary) merges with the fresh DELTA batch's partial aggregate by
+    combining mergeable states — counts add, sums add — instead of
+    rescanning history. The oracle is the full recompute over all rows;
+    hash-equality of merge vs recompute IS the IVM correctness statement.
+
+    100 TB: this is THE pattern that replaces the reference's nightly full
+    re-aggregation (reference precompute_percentages.py recomputes every
+    combination from scratch) — each ingestion batch shuffles only its own
+    rows, and the merge is group-cardinality work. SUM/COUNT/MIN/MAX merge
+    losslessly; AVG ships as (sum, count); medians need a sketch."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.month("o_orderdate").cast("int").alias("month")
+    split = F.expr(_IVM_SPLIT)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_total"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            r2(F.sum("sum_total")).alias("sum_total"),
+        )
+    )
+
+
+# --- matryoshka-style embedding prefix energy -------------------------------
+
+_PREFIX_KS = (8, 16, 32, 64)
+
+
+def _prefix_energy_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT label, {k} AS k,
+               list_sum(list_transform(embedding[1:{k}],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               / list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS frac
+        FROM embeddings
+        """
+        for k in _PREFIX_KS
+    )
+    return f"""
+    SELECT label, k, {sql_r6('avg(frac)')} AS avg_energy_frac
+    FROM ({branches}) GROUP BY label, k
+    """
+
+
+@register(
+    "emb_prefix_energy",
+    tags=("embedding", "matryoshka", "aggregate"),
+    oracle=_prefix_energy_oracle(),
+)
+def emb_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation profile: what fraction of each
+    embedding's energy (squared L2 mass) survives truncation to the first
+    k ∈ {8, 16, 32, 64} dimensions, averaged per label. The measurement
+    that decides how far a matryoshka-trained embedding column can be
+    truncated for cheap ANN prefiltering before full-dimension re-ranking.
+
+    One pass: per row, four prefix sums of squares over the array (pure
+    `slice`+`transform`+`aggregate` column expressions — no explode, no
+    UDF), then a grouped average per (label, k). Elements are cast
+    float→double BEFORE squaring on both engines so the arithmetic
+    matches. 100 TB: map-side work plus a (labels × 4)-key aggregate."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ssq(col):  # sum of squares in double, left-to-right fold
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+
+    full = ssq(F.col("embedding"))
+    rows = emb.select(
+        "label",
+        *[
+            (ssq(F.slice("embedding", 1, k)) / full).alias(f"frac_{k}")
+            for k in _PREFIX_KS
+        ],
+    )
+    unioned = reduce(
+        DataFrame.unionByName,
+        [
+            rows.select(
+                "label",
+                F.lit(k).alias("k"),
+                F.col(f"frac_{k}").alias("frac"),
+            )
+            for k in _PREFIX_KS
+        ],
+    )
+    return unioned.groupBy("label", "k").agg(
+        r6(F.avg("frac")).alias("avg_energy_frac")
+    )
