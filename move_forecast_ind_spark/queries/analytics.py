@@ -1119,3 +1119,168 @@ def emb_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unioned.groupBy("label", "k").agg(
         r6(F.avg("frac")).alias("avg_energy_frac")
     )
+
+
+# --- PCA: dominant principal component via integer-exact power iteration ----
+
+_PCA_D = 64  # embedding dimensionality (fixture contract)
+_PCA_ITERS = 12
+_PCA_SCALE = 1_000_000  # fixed-point grid for the iteration state
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration as chained CTEs. The iteration state is
+    INTEGER fixed-point (×1e6): integer sums are order-independent, so both
+    engines walk bit-identical vectors — the only doubles are the covariance
+    quantization (grid absorbs engine sum-order noise) and the per-iteration
+    normalize, which is a single IEEE divide+floor both engines round
+    identically."""
+    d, s = _PCA_D, _PCA_SCALE
+    parts = [
+        f"""
+    WITH mu AS MATERIALIZED (
+      SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings CROSS JOIN range(1, {d + 1}) r(i) GROUP BY i
+    ),
+    xx AS MATERIALIZED (
+      SELECT i, j,
+             sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))
+               / count(*) AS xx
+      FROM embeddings
+      CROSS JOIN range(1, {d + 1}) r1(i) CROSS JOIN range(1, {d + 1}) r2(j)
+      GROUP BY i, j
+    ),
+    cq AS MATERIALIZED (
+      SELECT xx.i, xx.j,
+             CAST(FLOOR((xx.xx - a.m * b.m) * 1e6 + 0.5) AS BIGINT) AS c
+      FROM xx JOIN mu a ON xx.i = a.i JOIN mu b ON xx.j = b.i
+    ),
+    v0 AS (
+      SELECT i, CASE WHEN i = 1 THEN {s} ELSE 0 END AS v
+      FROM range(1, {d + 1}) r(i)
+    )"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f""",
+    w{t} AS MATERIALIZED (
+      SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+      FROM cq c JOIN v{t - 1} v ON c.j = v.i GROUP BY c.i
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT w.i,
+             CAST(FLOOR(CAST(w.w AS DOUBLE)
+               / (SELECT max(abs(w)) FROM w{t}) * 1e6 + 0.5) AS BIGINT) AS v
+      FROM w{t} w
+    )"""
+        )
+    vT = f"v{_PCA_ITERS}"
+    parts.append(
+        f""",
+    sgn AS (
+      SELECT CASE WHEN (
+        SELECT v FROM {vT} WHERE i = (
+          SELECT min(i) FROM {vT} WHERE abs(v) = (SELECT max(abs(v)) FROM {vT})
+        )) < 0 THEN -1 ELSE 1 END AS sg
+    ),
+    axis AS (
+      SELECT v.i, sgn.sg * v.v / 1e6 AS w FROM {vT} v CROSS JOIN sgn
+    )
+    SELECT e.vec_id, e.label,
+           FLOOR(sum(CAST(e.embedding[r.i] AS DOUBLE) * axis.w) * 1e6 + 0.5)
+             / 1e6 AS pc1_proj
+    FROM embeddings e
+    CROSS JOIN range(1, {d + 1}) r(i)
+    JOIN axis ON axis.i = r.i
+    GROUP BY e.vec_id, e.label"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_pca_power_iteration",
+    tags=("ml", "embedding", "iterative"),
+    oracle=_pca_oracle(),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the dominant principal component, with the
+    eigenvector found by POWER ITERATION — the iterative algorithm the
+    oracle can only express by unrolling twelve chained CTEs. Every vector
+    scores against the corpus's main axis of variation (outlier screening,
+    1-D visualization, whitening's first step).
+
+    Determinism across engines is the hard part, solved in fixed-point:
+    the covariance matrix is quantized to a 1e-6 integer grid (absorbing
+    double sum-order noise), and the iteration state stays INTEGER —
+    integer matmuls are order-independent, and the per-round normalize is
+    one IEEE divide+floor both engines round identically. Sign fixes to
+    the first maximal component. The distributed work is the covariance
+    aggregate (in-row outer products, d²-bounded keys — same reduction as
+    ``emb_gram_matrix``) and the final projection map; the 64×64
+    fixed-point eigen-iteration itself runs driver-side on 4 KB of state,
+    the same bounded "fit locally, apply distributed" doctrine as
+    ``plans/training.py`` (reference pretrain_models.py fits per-branch
+    models the same way)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d, s = _PCA_D, _PCA_SCALE
+    v = F.col("embedding").cast("array<double>")
+    # One pass for the d² second moments (full matrix, in-row outer
+    # products), one narrow pass for the d means.
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.lit(d)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at("v", i) * F.element_at("v", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    xx_rows = (
+        emb.select(v.alias("v"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg((F.sum("p.p") / F.count(F.lit(1))).alias("xx"))
+        .collect()
+    )
+    mu_rows = (
+        emb.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = {r["pos"] + 1: r["m"] for r in mu_rows}
+    import math
+
+    cq = {
+        (r["i"], r["j"]): int(
+            math.floor((r["xx"] - mu[r["i"]] * mu[r["j"]]) * 1e6 + 0.5)
+        )
+        for r in xx_rows
+    }
+    vec = [s if i == 1 else 0 for i in range(1, d + 1)]
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(cq[(i, j)] * vec[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        m = max(abs(x) for x in w)
+        vec = [int(math.floor(x / m * 1e6 + 0.5)) for x in w]
+    peak = max(abs(x) for x in vec)
+    first_peak = next(x for x in vec if abs(x) == peak)
+    sg = -1 if first_peak < 0 else 1
+    axis = [sg * x / 1e6 for x in vec]
+    proj = F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(a) for a in axis]),
+            lambda x, a: x * a,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", "label", r6(proj).alias("pc1_proj"))
