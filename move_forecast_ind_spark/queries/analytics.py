@@ -199,16 +199,19 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     and six scalars."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    seq = ev.select(
+    # project `day` BEFORE the window so the window's partition key and the
+    # aggregate's group key are the same attribute — otherwise Catalyst
+    # treats cast(ts as date) in the window spec as a fresh expression and
+    # plans a second exchange
+    base = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    )
+    seq = base.select(
         "event_type",
-        F.to_date("ts").alias("day"),
+        "day",
         "value",
         F.row_number()
-        .over(
-            Window.partitionBy("event_type", F.to_date("ts")).orderBy(
-                "ts", "event_id"
-            )
-        )
+        .over(Window.partitionBy("event_type", "day").orderBy("ts", "event_id"))
         .alias("rn"),
     )
     return seq.groupBy("event_type", "day").agg(

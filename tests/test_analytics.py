@@ -1,0 +1,182 @@
+"""Plan-shape and semantic tests for the analytics module (time-series,
+sequence mining, data quality, spatial join, fixed-point PCA).
+
+Correctness vs DuckDB is covered by the parametrized oracle suite
+(test_oracle.py); these pin the SCALE-relevant plan shapes and the
+operator-specific invariants an oracle diff can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gapfill_grid_is_dense_and_broadcast(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    df = REGISTRY["ts_resample_gapfill"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    # the dailies join the grid via broadcast, never a sort-merge shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + 1
+    # dense grid: every type covers the identical full day span
+    assert len(set(by_type.values())) == 1
+    assert any(r["n_events"] == 0 for r in rows) or all(
+        r["n_events"] > 0 for r in rows
+    )
+
+
+def test_ewma_single_window_pass(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ts_ewma_smooth"].fn(spark, SF_SMALL))
+    # ten lag terms must share ONE window spec → exactly one Window node,
+    # one shuffle on user_id
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_ohlc_window_and_agg_share_partitioning(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ts_ohlc_daily"].fn(spark, SF_SMALL))
+    # the row_number window and the grouped aggregate both key on
+    # (event_type, day): Catalyst must plan a single exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_gaps_islands_monotone_invariants(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["w_gaps_islands"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_streak_days"] <= r["n_active_days"]
+        assert r["n_islands"] >= 1
+        # islands partition the active days
+        assert r["n_islands"] <= r["n_active_days"]
+
+
+def test_spatial_join_no_cartesian(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    df = REGISTRY["j_grid_spatial_join"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every rectangle reports, including empty ones
+    assert df.count() == 25
+
+
+def test_spatial_join_counts_match_bruteforce(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    got = {
+        r["n_nationkey"]: r["n_points"]
+        for r in REGISTRY["j_grid_spatial_join"].fn(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select("event_id").collect()
+    nat = load_table(spark, SF_SMALL, "nation").select("n_nationkey").collect()
+    for n in nat:
+        k = n["n_nationkey"]
+        x0, y0 = float(k * 7 % 80), float(k * 13 % 80)
+        want = sum(
+            1
+            for e in ev
+            if x0 <= (e["event_id"] * 37 % 1000) / 10.0 < x0 + 15
+            and y0 <= (e["event_id"] * 91 % 1000) / 10.0 < y0 + 15
+        )
+        assert got[k] == want
+
+
+def test_dq_audits_report_known_fixture_defects(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    uniq = {
+        r["key_name"]: r
+        for r in REGISTRY["dq_uniqueness_audit"].fn(spark, SF_SMALL).collect()
+    }
+    # fixture contract: lineitem's natural key is intentionally non-unique
+    li = uniq["lineitem.(l_orderkey,l_linenumber)"]
+    assert li["n_dup_rows"] > 0 and li["max_multiplicity"] >= 2
+    # single-column surrogate keys stay unique
+    assert uniq["orders.o_orderkey"]["n_dup_rows"] == 0
+    assert uniq["events.event_id"]["n_dup_rows"] == 0
+
+    rules = {
+        r["rule"]: r
+        for r in REGISTRY["dq_constraint_violations"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert rules["lineitem.quantity_in_1_50"]["n_violations"] == 0
+    # the temporal rule carries real signal on this fixture
+    ship = rules["lineitem.ship_within_400d_of_order"]
+    assert 0 < ship["n_violations"] < ship["n_checked"]
+
+    orph = {
+        r["relationship"]: r["n_orphans"]
+        for r in REGISTRY["dq_referential_orphans"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert orph["lineitem->orders"] == 0
+
+
+def test_url_dedup_collapses_real_variants(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_url_canonical_dedup"].fn(spark, SF_SMALL).collect()
+    assert any(r["n_variants"] > 1 for r in rows)
+    for r in rows:
+        u = r["canon_url"]
+        assert "?" not in u and "#" not in u
+        assert "://www." not in u
+        assert u.startswith("https://")
+
+
+def test_pca_projection_captures_leading_variance(spark):
+    """The power-iterated axis must beat any single raw coordinate:
+    variance of the PC1 projection >= variance along every raw dim."""
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    proj = [
+        r["pc1_proj"]
+        for r in REGISTRY["ml_pca_power_iteration"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+    n = len(proj)
+    mean = sum(proj) / n
+    var_pc1 = sum((p - mean) ** 2 for p in proj) / n
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    dim_vars = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.var_pop("col").alias("v"))
+        .agg(F.max("v").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert var_pc1 >= dim_vars * 0.999  # quantization slack
+
+
+def test_ivm_merge_plan_has_partial_aggregates(spark):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["s_incremental_agg_merge"].fn(spark, SF_SMALL))
+    # base/delta partials + the merge aggregate
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
