@@ -1287,3 +1287,204 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return emb.select("vec_id", "label", r6(proj).alias("pc1_proj"))
+
+
+# --- running distinct: daily new vs cumulative unique users -----------------
+
+
+@register(
+    "w_cumulative_distinct_users",
+    tags=("window", "events", "distinct"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS day, count(*) AS n_new_users
+      FROM firsts GROUP BY first_day
+    ),
+    active AS (
+      SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1
+    )
+    SELECT a.day,
+           CAST(COALESCE(d.n_new_users, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(COALESCE(d.n_new_users, 0))
+                  OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_unique_users,
+           a.n_active
+    FROM active a LEFT JOIN daily_new d ON a.day = d.day
+    """,
+)
+def w_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning audience curve: per day, how many users are
+    seen for the FIRST time, the cumulative distinct-user count, and the
+    plain daily actives. A running COUNT(DISTINCT) window is not a legal
+    window aggregate on either engine — the portable (and scale-correct)
+    formulation marks each user's first day with a min-aggregate, counts
+    first-days per day, and turns the running distinct into a running SUM
+    over day-cardinality rows.
+
+    100 TB: two shuffles on user_id/day for the aggregates; the window
+    runs over ~days rows on a single partition, which is exactly where a
+    day-grain cumulative curve belongs."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    active = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    joined = active.join(F.broadcast(daily_new), ["day"], "left").select(
+        "day",
+        F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+        "n_active",
+    )
+    cum = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(cum).alias("cum_unique_users"),
+        "n_active",
+    )
+
+
+# --- data quality: join-key skew diagnostics --------------------------------
+
+_SKEW_KEYS = (
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("documents.lang", "documents", "lang"),
+)
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for name, table, col in _SKEW_KEYS:
+        parts.append(
+            f"""
+            SELECT '{name}' AS key_name,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_key_rows,
+                   {sql_r2('max(c) / (sum(c) / count(*))')} AS skew_factor
+            FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_skew_report",
+    tags=("dq", "skew", "audit"),
+    oracle=_skew_oracle(),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: for each key a pipeline shuffles on, the
+    heaviest key's row count and its ratio to the mean key load. A skew
+    factor ≫ 1 on a planned join/aggregation key is the 100 TB early
+    warning that says "salt this key or let AQE split it" BEFORE the
+    straggler task appears — the measurement side of the salting operator
+    in ``operators/skew.py``.
+
+    Per key: one grouped count, then a 1-row summary; the four audits
+    union into the report. Skew factor = max / (Σ/|keys|), computed
+    identically on both engines and r2-rounded."""
+    tune(spark)
+    reports = []
+    for name, table, col in _SKEW_KEYS:
+        per = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        reports.append(
+            per.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+            ).select(
+                F.lit(name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                r2(
+                    F.col("max_key_rows")
+                    / (F.col("n_rows") / F.col("n_keys"))
+                ).alias("skew_factor"),
+            )
+        )
+    return reduce(DataFrame.unionByName, reports)
+
+
+# --- embedding QA: intra-class pairwise cosine ------------------------------
+
+
+@register(
+    "emb_intra_class_cosine",
+    tags=("embedding", "similarity", "aggregate"),
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.label,
+           count(*) AS n_pairs,
+           {sql_r6('avg(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))')}
+             AS avg_cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def emb_intra_class_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class cohesion: the average pairwise cosine
+    similarity WITHIN each label. The embedding-QA measurement that
+    catches a broken encoder (cohesion ≈ 0) or a collapsed one
+    (cohesion ≈ 1) before any model trains on the vectors.
+
+    The pair space is BLOCKED by label — a self-join on the label key plus
+    a vec_id< cut — so the cost is Σ|class|²/2, never corpus², and the
+    join shuffles on the label key only. Vectors cast float→double before
+    any arithmetic on both engines; norms are computed once per row, not
+    per pair. At 100 TB-scale class sizes, subsample per class first
+    (``corpus_stratified_sample``) — the blocked-pair bound is the
+    documented contract."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = emb.select(
+        "vec_id", "label", v.alias("v"), F.sqrt(dot_self).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        (dot_ab / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+    )
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6(F.avg("cos")).alias("avg_cosine"),
+    )
