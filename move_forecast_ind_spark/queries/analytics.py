@@ -1488,3 +1488,227 @@ def emb_intra_class_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         r6(F.avg("cos")).alias("avg_cosine"),
     )
+
+
+# --- equi-width numeric histogram -------------------------------------------
+
+_HIST_BINS = 20
+
+
+@register(
+    "a_numeric_histogram",
+    tags=("aggregate", "histogram", "events"),
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {_HIST_BINS}.0))
+                     AS INT), {_HIST_BINS - 1}) AS bin
+      FROM events CROSS JOIN b
+    )
+    SELECT bin,
+           CAST(lo + bin * ((hi - lo) / {_HIST_BINS}.0) AS DOUBLE) AS bin_lo,
+           CAST(lo + (bin + 1) * ((hi - lo) / {_HIST_BINS}.0) AS DOUBLE)
+             AS bin_hi,
+           count(*) AS n
+    FROM binned CROSS JOIN b
+    GROUP BY bin, lo, hi
+    """,
+)
+def a_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the measurement distribution (20 bins over
+    the observed [min, max], top bin closed) — the profiling primitive
+    behind optimizer statistics and data-drift monitors. Two passes: a
+    1-row bounds aggregate broadcast onto the scan, then a binning
+    aggregate keyed on ≤ 20 integers. The bin edges are derived with the
+    identical floor arithmetic on both engines, so bucket boundaries are
+    bit-stable. 100 TB: bounds pass + one tiny-key shuffle; for a single
+    pass, swap the exact bounds for fixed domain knowledge."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(_HIST_BINS)
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        (F.col("lo") + F.col("bin") * width).cast("double").alias("bin_lo"),
+        (F.col("lo") + (F.col("bin") + 1) * width).cast("double").alias("bin_hi"),
+        "n",
+    )
+
+
+# --- k-means (Lloyd's) with fixed-point centroids ---------------------------
+
+_KM_K = 8
+_KM_ITERS = 5
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as chained materialized CTEs. Centroids
+    are quantized to a 1e-6 integer grid after every update (absorbing
+    engine sum-order noise in the means); assignments break distance ties
+    by centroid id. Distances use the same x·x − 2x·c + c·c expansion the
+    Spark side computes."""
+    k, d = _KM_K, _PCA_D
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    xx AS MATERIALIZED (
+      SELECT vec_id, list_dot_product(v, v) AS xx FROM e
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(v, x -> CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS c
+      FROM e ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+    d{t} AS (
+      SELECT e.vec_id, c.cid,
+             xx.xx - 2 * list_dot_product(e.v,
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6))
+             + list_dot_product(
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6),
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6)) AS dist
+      FROM e CROSS JOIN c{t - 1} c JOIN xx ON e.vec_id = xx.vec_id
+    ),
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rk
+        FROM d{t}
+      ) WHERE rk = 1
+    ),
+    u{t} AS MATERIALIZED (
+      SELECT a.cid,
+             list(CAST(FLOOR(m * 1e6 + 0.5) AS BIGINT) ORDER BY i) AS c
+      FROM (
+        SELECT a.cid, r.i, avg(e.v[r.i]) AS m
+        FROM a{t} a JOIN e ON a.vec_id = e.vec_id
+        CROSS JOIN range(1, {d + 1}) r(i)
+        GROUP BY a.cid, r.i
+      ) AS a
+      GROUP BY a.cid
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(u.c, p.c) AS c
+      FROM c{t - 1} p LEFT JOIN u{t} u ON p.cid = u.cid
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT e.vec_id, e.label, a.cid AS cluster_id
+    FROM e JOIN a{_KM_ITERS} a ON e.vec_id = a.vec_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_kmeans_fixed_point",
+    tags=("ml", "embedding", "iterative"),
+    oracle=_kmeans_oracle(),
+)
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 5 iterations) with CROSS-ENGINE-DETERMINISTIC
+    state — the quantizer behind IVF ANN indexes and semantic-dedup
+    bucketing, here specified tightly enough that an independent engine
+    reproduces the exact assignment vector. Init is the k lowest-vec_id
+    embeddings; after every mean update the centroids snap to a 1e-6
+    fixed-point grid (absorbing sum-order noise), distance ties break by
+    centroid id, and empty clusters carry their previous centroid.
+
+    Spark-first topology per iteration: assignment is a MAP stage (the k
+    centroids ride along as literal arrays — the x·x − 2x·c + c·c
+    expansion reuses a per-row self-dot), the update is one (cluster, dim)
+    aggregate, and only the k×d quantized centroid table (4 KB) ever
+    reaches the driver — the same bounded fit-locally doctrine as
+    ``plans/training.py`` and ``ml_pca_power_iteration``. The MLlib-backed
+    IVF quantizer (``operators/similarity.py``) remains the library path;
+    this is the engine-native, oracle-checkable one. 100 TB: 5 scans + 5
+    tiny-key shuffles, no all-pairs anything."""
+    tune(spark)
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", "label", v.alias("v"))
+    init = e.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [
+        [int(math.floor(x * 1e6 + 0.5)) for x in r["v"]] for r in init
+    ]
+
+    def dot(col_a, lits):
+        return F.aggregate(
+            F.zip_with(col_a, F.array(*[F.lit(x) for x in lits]),
+                       lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    self_dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(frame):
+        cds = [[y / 1e6 for y in c] for c in cents]
+        dists = F.array(
+            *[
+                F.col("xx") - 2 * dot(F.col("v"), cd)
+                + F.lit(sum(y * y for y in cd))
+                for cd in cds
+            ]
+        )
+        # array_position returns the FIRST index of the min → ties break
+        # by centroid id, matching the oracle's (dist, cid) row_number
+        return frame.withColumn("xx", self_dot).select(
+            "vec_id",
+            "label",
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+        )
+
+    # _KM_ITERS assignment rounds = _KM_ITERS - 1 mean updates; the final
+    # assignment (returned) reuses the last updated centroids, mirroring
+    # the oracle's a{T} (which assigns against c{T-1})
+    for _ in range(_KM_ITERS - 1):
+        upd = (
+            assign(e)
+            .select("cluster_id", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_c.setdefault(r["cluster_id"], {})[r["i"]] = r["m"]
+        cents = [
+            [
+                int(math.floor(by_c[j][i] * 1e6 + 0.5))
+                for i in range(len(cents[j]))
+            ]
+            if j in by_c
+            else cents[j]
+            for j in range(_KM_K)
+        ]
+    return assign(e).select("vec_id", "label", "cluster_id")
