@@ -1712,3 +1712,254 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_KM_K)
         ]
     return assign(e).select("vec_id", "label", "cluster_id")
+
+
+# --- BM25 keyword search ----------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS MATERIALIZED (
+      SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+    ),
+    q(term) AS (VALUES {terms}),
+    tf AS (
+      SELECT t.doc_id, t.tok AS term, count(*) AS tf
+      FROM toks t JOIN q ON t.tok = q.term
+      GROUP BY t.doc_id, t.tok
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1e0)
+               * tf.tf / (tf.tf + {_BM25_K1} * (1e0 - {_BM25_B}
+                   + {_BM25_B} * dl.dl / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, {sql_r6('score')} AS score
+    FROM scored
+    ORDER BY {sql_r6('score')} DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "text_bm25_topk",
+    tags=("text", "search", "ranking"),
+    oracle=_bm25_oracle(),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking (Robertson k1=1.2, b=0.75) for a fixed
+    keyword query — the lexical-search primitive RAG retrieval stacks
+    pair with the embedding ANN operators already registered. Scores are
+    r6-rounded BEFORE the top-10 cut and tie-break on doc_id, so the
+    ranking boundary is deterministic on both engines.
+
+    Spark-first: explode tokens, semi-filter to the query terms (the term
+    dimension is a literal IN list — no join against a terms table
+    needed), aggregate tf per (doc, term), then broadcast the tiny df and
+    corpus-stats frames onto the scoring join. 100 TB: one shuffle for
+    tf, one for document length; everything else is broadcast-sized. A
+    standing query set would precompute the inverted tf index once
+    (``s_incremental_agg_merge`` shows the maintenance pattern)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") / denom).alias("score"))
+        .select("doc_id", r6(F.col("score")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+# --- two-feature OLS per group (normal equations, closed form) --------------
+
+
+@register(
+    "ml_ols_two_feature",
+    tags=("ml", "regression", "aggregate"),
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(l_quantity) AS sx, sum(l_discount) AS sz,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_discount * l_discount) AS szz,
+             sum(l_quantity * l_discount) AS sxz,
+             sum(l_quantity * l_extendedprice) AS sxy,
+             sum(l_discount * l_extendedprice) AS szy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l_returnflag, n,
+             sxx - sx * sx / n AS cxx,
+             szz - sz * sz / n AS czz,
+             sxz - sx * sz / n AS cxz,
+             sxy - sx * sy / n AS cxy,
+             szy - sz * sy / n AS czy,
+             sx / n AS mx, sz / n AS mz, sy / n AS my
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {sql_r6('(cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz)')}
+             AS beta_quantity,
+           {sql_r6('(czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz)')}
+             AS beta_discount,
+           {sql_r6('my - (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) * mx'
+                   ' - (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) * mz')}
+             AS intercept
+    FROM c
+    """,
+)
+def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares per group — price regressed on
+    quantity and discount per return flag — solved in CLOSED FORM from one
+    aggregation pass: nine sufficient-statistic sums per group, then
+    Cramer's rule on the 2×2 centered normal equations. The multi-feature
+    step up from the single-feature ``ml_linreg_forecast``, still with no
+    solver library, no iteration, and no second data pass.
+
+    Both engines evaluate the identical rational expressions over the
+    same sums, with r6 rounding absorbing sum-order ulps. 100 TB: one
+    map-side-partial shuffle per group key; the solve is per-group scalar
+    arithmetic. The d-feature generalization keeps the pattern (d²
+    sums/group) until d is large enough for MLlib's distributed solver."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x, z, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(z).alias("sz"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(z * z).alias("szz"),
+        F.sum(x * z).alias("sxz"), F.sum(x * y).alias("sxy"),
+        F.sum(z * y).alias("szy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    det = cxx * czz - cxz * cxz
+    bq = (cxy * czz - czy * cxz) / det
+    bd = (czy * cxx - cxy * cxz) / det
+    mx, mz, my = F.col("sx") / n, F.col("sz") / n, F.col("sy") / n
+    return m.select(
+        "l_returnflag",
+        n.alias("n"),
+        r6(bq).alias("beta_quantity"),
+        r6(bd).alias("beta_discount"),
+        r6(my - bq * mx - bd * mz).alias("intercept"),
+    )
+
+
+# --- bot-likeness scoring over the event stream -----------------------------
+
+
+@register(
+    "events_bot_score",
+    tags=("events", "quality", "aggregate"),
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(gap_s) AS n_gaps,
+             avg(gap_s) AS mean_gap,
+             CASE WHEN count(gap_s) >= 2 THEN
+               sqrt((sum(gap_s * gap_s) - sum(gap_s) * sum(gap_s)
+                       / count(gap_s)) / (count(gap_s) - 1))
+             END AS sd_gap
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           {sql_r2('mean_gap')} AS mean_gap_s,
+           {sql_r6('sd_gap / mean_gap')} AS gap_cv,
+           COALESCE(n_gaps >= 20 AND sd_gap / mean_gap < 0.3e0, FALSE)
+             AS is_bot_like
+    FROM per_user
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness screening: users whose inter-event gaps are too
+    REGULAR (coefficient of variation < 0.3 across ≥ 20 gaps) — human
+    traffic is bursty, schedulers are metronomes. The abuse-filtering
+    cousin of ``ts_interarrival_stats``, reduced to one LAG window and a
+    per-user aggregate; the stddev derives from the three running sums
+    rather than a second pass. NULL-guarded so sparse users emit null CV
+    and FALSE, never a spurious flag. 100 TB: one shuffle on user_id
+    shared by the window and the aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1e6
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    n = F.col("n_gaps")
+    sd = F.when(
+        n >= 2,
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)),
+    )
+    cv = sd / F.col("mean_gap")
+    return per_user.select(
+        "user_id",
+        n.alias("n_gaps"),
+        r2(F.col("mean_gap")).alias("mean_gap_s"),
+        r6(cv).alias("gap_cv"),
+        F.coalesce((n >= 20) & (cv < 0.3), F.lit(False)).alias("is_bot_like"),
+    )
