@@ -947,7 +947,8 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse_image_header — PNG/BMP/GIF/JPEG). Dimensions are a pure function
     of doc_id, so the oracle hash-checks the decoded values — proving the
     decode read the real header, not metadata carried alongside. (Full
-    pixel rasterization remains gated on PIL: decode_image_real.)"""
+    pixel rasterization is covered by mm_pixel_stats — stdlib
+    zlib-inflate + unfiltering, no image library needed.)"""
     tune(spark)
     from ..multimodal import decode_media_real, synthesize_png_media
 
