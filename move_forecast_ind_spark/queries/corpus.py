@@ -1006,3 +1006,100 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ))
     )
+
+
+@register(
+    "corpus_dsir_importance",
+    tags=("corpus", "curation", "sampling"),
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % 512 AS bucket
+      FROM tok
+    ),
+    tgt AS (SELECT bucket, COUNT(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+    src AS (SELECT bucket, COUNT(*) AS c FROM b WHERE lang <> 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(c) FROM tgt) AS nt,
+                   (SELECT SUM(c) FROM src) AS ns),
+    w AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(  ln((COALESCE(t.c, 0) + 1.0) / (tot.nt + 512))
+                 - ln((COALESCE(s.c, 0) + 1.0) / (tot.ns + 512))) AS lw
+      FROM b
+      CROSS JOIN tot
+      LEFT JOIN tgt t USING (bucket)
+      LEFT JOIN src s USING (bucket)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(lw * 1e6 + 0.5) / 1e6 AS log_importance
+    FROM w
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of a TARGET unigram distribution (here the
+    'en' slice, standing in for the high-quality target domain) over the
+    SOURCE distribution (the rest of the crawl), with features hashed
+    into 512 buckets exactly as the paper does — the weights that drive
+    importance resampling of a raw crawl toward the target domain.
+    Scale: both distributions reduce to 512-row frames (broadcast; the
+    hashed-feature trick is precisely what makes DSIR tractable at
+    web scale), and the token stream is aggregated map-side; resampling
+    itself is corpus_quality_resample's keep-prob pattern with
+    exp(log_importance) as the weight."""
+    from ..functions.text import tokens
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+            % 512
+        ).alias("bucket"),
+    )
+    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    src = b.filter(F.col("lang") != "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        src.agg(F.sum("cs").alias("ns"))
+    )
+    scored = (
+        b.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(src), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(512))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ns") + F.lit(512))
+                )
+            ).alias("lw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("lw") * 1e6 + F.lit(0.5)) / 1e6).alias("log_importance"),
+    )

@@ -2001,3 +2001,95 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats_real(media).select(
         "doc_id", "n_pixels", "pixel_sum", "pixel_min", "pixel_max"
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+
+
+@register(
+    "a_kmv_distinct",
+    tags=("curation", "aggregate", "sketch"),
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type, CAST(MAX(rk) AS INT) AS k_used,
+             MAX(h) AS kth_min_hash
+      FROM ranked WHERE rk <= 64 GROUP BY 1
+    ),
+    exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+              FROM h GROUP BY 1)
+    SELECT s.event_type,
+           e.exact_distinct,
+           s.k_used,
+           s.kth_min_hash,
+           CASE WHEN s.k_used < 64 THEN CAST(s.k_used AS BIGINT)
+                ELSE CAST(FLOOR((s.k_used - 1) * 1152921504606846976.0
+                                / s.kth_min_hash + 0.5) AS BIGINT)
+           END AS kmv_estimate
+    FROM sk s JOIN exact e USING (event_type)
+    """,
+)
+def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch, k = 64: the
+    classic mergeable cardinality estimator (Bar-Yossef et al. 2002;
+    Beyer et al. 2007) built as portable SQL data — estimate =
+    (k−1)·2⁶⁰ / h₍ₖ₎ over 60-bit md5 hashes — and when a group holds
+    fewer than k distinct values the sketch contains them ALL, so it
+    reports the exact count (the standard small-cardinality exactness of
+    bottom-k sketches) — next to the exact distinct for error
+    inspection. Complements the opaque-binary
+    HLL/theta tier (a_hll_sketch_distinct): a KMV synopsis is just k
+    BIGINTs per group, so it unions (sketch merge = bottom-k of the
+    union) and intersects (Jaccard over the combined bottom-k) in plain
+    SQL on any engine. Scale: one distinct shuffle + one bounded window;
+    the sketch itself is O(k) per group."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    ranked = h.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    exact = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    sk = (
+        ranked.filter(F.col("rk") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.max("rk").cast("int").alias("k_used"),
+            F.max("h").alias("kth_min_hash"),
+        )
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "k_used",
+        "kth_min_hash",
+        F.when(F.col("k_used") < 64, F.col("k_used").cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("k_used") - 1)
+                * F.lit(1152921504606846976.0)
+                / F.col("kth_min_hash")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("kmv_estimate"),
+    )

@@ -275,3 +275,118 @@ def svc_forecast_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, models, pct, reqs,
         today=dt.date(1999, 6, 1), max_date=dt.date(1999, 7, 31),
     )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    tags=("ml", "text", "classifier"),
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+    test  AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
+    ct AS (SELECT lang, tok, COUNT(*) AS c FROM train GROUP BY 1, 2),
+    nl AS (SELECT lang, SUM(c) AS n_l FROM ct GROUP BY 1),
+    v  AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+    pr AS (
+      SELECT lang,
+             ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / MIN(t.n)) AS prior_ln
+      FROM train, (SELECT COUNT(DISTINCT doc_id) AS n FROM train) t
+      GROUP BY lang
+    ),
+    tf AS (
+      SELECT doc_id, lang AS actual_lang, tok, COUNT(*) AS tf
+      FROM test GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.actual_lang, nl.lang,
+             MIN(pr.prior_ln)
+               + SUM(tf.tf * ln((COALESCE(ct.c, 0) + 1.0) / (nl.n_l + v.v)))
+               AS score
+      FROM tf
+      CROSS JOIN v
+      CROSS JOIN nl
+      JOIN pr ON pr.lang = nl.lang
+      LEFT JOIN ct ON ct.lang = nl.lang AND ct.tok = tf.tok
+      GROUP BY tf.doc_id, tf.actual_lang, nl.lang
+    )
+    SELECT doc_id, actual_lang, lang AS predicted_lang,
+           CAST(actual_lang = lang AS INT) AS is_correct
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY FLOOR(score * 1e6 + 0.5) DESC, lang
+    ) = 1
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, trained and scored
+    entirely in SQL aggregates: 80/20 split by doc_id, Laplace-smoothed
+    class-conditional token log-probs, argmax posterior per held-out doc
+    (rounded score + lang tie-break for cross-engine determinism). The
+    supervised counterpart of the heuristic text_langid — the standard
+    fastText-era baseline a corpus pipeline runs at ingest. Scale: the
+    model is a (lang × vocab) count frame — model-sized, broadcast here,
+    a shuffle join on tok at web scale; the corpus-scale work is two
+    token aggregations, both map-side combinable. No Python in the plan."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    train = tok.filter(F.col("doc_id") % 10 < 8)
+    test = tok.filter(F.col("doc_id") % 10 >= 8)
+
+    ct = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    nl = ct.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    v = train.agg(F.countDistinct("tok").alias("v"))
+    n_docs = train.agg(F.countDistinct("doc_id").alias("n"))
+    pr = (
+        train.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("lang", F.log(F.col("d").cast("double") / F.col("n")).alias("prior_ln"))
+    )
+
+    tf = test.groupBy(
+        "doc_id", F.col("lang").alias("actual_lang"), "tok"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+
+    classes = nl.join(pr, "lang").crossJoin(F.broadcast(v))
+    scored = (
+        tf.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(ct), ["lang", "tok"], "left")
+        .groupBy("doc_id", "actual_lang", "lang")
+        .agg(
+            (
+                F.min("prior_ln")
+                + F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_l") + F.col("v"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).desc(), F.col("lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("lang").alias("predicted_lang"),
+            (F.col("actual_lang") == F.col("lang")).cast("int").alias("is_correct"),
+        )
+    )

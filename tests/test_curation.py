@@ -194,3 +194,69 @@ def test_cms_never_undercounts(spark):
 
     rows = REGISTRY["a_count_min_freq"].fn(spark, SF_SMALL).collect()
     assert rows and all(r.overcount >= 0 for r in rows)
+
+
+# --- round-4 session-5 additions: KMV / NB / DSIR / pixel stats -------------
+
+
+def test_kmv_small_groups_are_exact(spark):
+    """At sf0.001 every event_type has < 64 distinct users, so the sketch
+    holds the whole set and must report the exact count."""
+    from move_forecast_ind_spark.queries.curation import a_kmv_distinct
+
+    rows = a_kmv_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.k_used < 64
+        assert r.kmv_estimate == r.exact_distinct
+
+
+def test_kmv_estimate_error_bounded(spark):
+    """At sf0.01 (150 distinct per type > k) the estimator branch runs;
+    KMV with k=64 has se ≈ 1/√(k−1) ≈ 12.6%, so 50% is a ≳3σ fence."""
+    from move_forecast_ind_spark.queries.curation import a_kmv_distinct
+
+    for r in a_kmv_distinct(spark, "/root/testdata/sf0.01").collect():
+        assert r.k_used == 64
+        assert abs(r.kmv_estimate / r.exact_distinct - 1.0) <= 0.5
+
+
+def test_naive_bayes_beats_chance(spark):
+    """5 balanced-ish classes → uniform chance = 0.2; the fixture's lang
+    signal is a few marker stopwords in shared word salad, so demand
+    clearly-above-chance, not high accuracy (measured 0.40 at sf0.01)."""
+    from move_forecast_ind_spark.queries.ml import ml_naive_bayes_langid
+
+    rows = ml_naive_bayes_langid(spark, "/root/testdata/sf0.01").collect()
+    acc = sum(r.is_correct for r in rows) / len(rows)
+    assert len(rows) == 100  # exactly the 20% held-out docs
+    assert acc >= 0.30
+
+
+def test_dsir_separates_target_domain(spark):
+    """Mean log-importance of target-domain ('en') docs must exceed the
+    source mean — the property importance resampling relies on
+    (measured gap ≈ 0.37 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.corpus import corpus_dsir_importance
+    from move_forecast_ind_spark.sources import load_table
+
+    w = corpus_dsir_importance(spark, "/root/testdata/sf0.01")
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    means = dict(
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_importance").alias("m"))
+        .collect()
+    )
+    assert means[True] > means[False]
+
+
+def test_pixel_stats_no_shuffle(spark):
+    """The rasterize path is two chained mapInPandas stages — synthesize
+    then decode — with no exchange between them."""
+    from move_forecast_ind_spark.queries.curation import mm_pixel_stats
+
+    plan = mm_pixel_stats(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
