@@ -312,3 +312,64 @@ def test_stateful_user_gaps_equivalence(spark, event_stream_factory):
         for r in st_stateful_user_gaps(spark, SF_SMALL).collect()
     }
     assert final == batch
+
+
+def test_transform_with_state_gated_cleanly(spark, event_stream_factory):
+    """Spark 4's transformWithStateInPandas needs google.protobuf (the TWS
+    Python runner's state-server protocol), absent in this container: the
+    operator must refuse with a clear capability error BEFORE starting a
+    stream, not crash mid-query. If protobuf appears, the full stream
+    must drain and agree with the last-3-per-user batch computation."""
+    from move_forecast_ind_spark.streaming.transform_state import (
+        recent_events_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            recent_events_state(event_stream_factory())
+        return
+    out = _drain(recent_events_state(event_stream_factory()), "t_tws", "update")
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_recent"),
+            F.array_join(
+                F.reverse(F.collect_list("event_type")), ","
+            ).alias("recent_types"),
+        )
+    )
+    cols = ["user_id", "n_recent"]
+    assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_transform_with_state_fold_logic():
+    """The processor's fold is pure — drive it directly across simulated
+    micro-batches and check the bounded, (ts, event_id)-ordered result."""
+    from move_forecast_ind_spark.streaming.transform_state import fold_recent
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+
+    items = fold_recent([], batch([(100, 1, "view"), (50, 2, "click")]))
+    assert [t for _, _, t in items] == ["click", "view"]
+    # second micro-batch: newer events push out the oldest; ties break on id
+    items = fold_recent(items, batch([(200, 3, "purchase"), (100, 0, "signup")]))
+    assert [t for _, _, t in items] == ["signup", "view", "purchase"]
+    assert len(items) == 3
+    # state carries across an empty batch unchanged
+    assert fold_recent(items, batch([])) == items
