@@ -1963,3 +1963,282 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(cv).alias("gap_cv"),
         F.coalesce((n >= 20) & (cv < 0.3), F.lit(False)).alias("is_bot_like"),
     )
+
+
+# --- time-series: additive seasonal decomposition (STL-style) ---------------
+
+
+@register(
+    "ts_stl_decompose",
+    tags=("timeseries", "events", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, n,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN AVG(CAST(n AS DOUBLE)) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT *, CAST(dayofweek(day) AS INT) AS dow, n - trend AS detr FROM tr
+    ),
+    seas0 AS (
+      SELECT dow, AVG(detr) AS s0 FROM dt WHERE detr IS NOT NULL GROUP BY 1
+    ),
+    seas AS (
+      SELECT dow, s0 - (SELECT AVG(s0) FROM seas0) AS seasonal FROM seas0
+    )
+    SELECT d.day, d.n,
+           FLOOR(d.trend * 1e4 + 0.5) / 1e4 AS trend,
+           FLOOR(s.seasonal * 1e4 + 0.5) / 1e4 AS seasonal,
+           FLOOR((d.n - d.trend - s.seasonal) * 1e4 + 0.5) / 1e4 AS resid
+    FROM dt d JOIN seas s USING (dow)
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the daily event-count
+    series, the moving-average flavor of STL (Cleveland et al. 1990):
+    trend = centered 7-day moving average (full windows only), seasonal =
+    mean day-of-week effect of the detrended series recentered to zero,
+    residual = remainder. The classic pre-forecast diagnostic — the
+    reference's Prophet models fit exactly trend+weekly-seasonality
+    (reference pretrain_models.py:22-29); this exposes those components
+    as a query. Scale: the series is one row per (grain) — aggregation
+    shuffles the events once, then windows run over the tiny series
+    frame; the seasonal frame is 7 rows, broadcast back."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.avg(F.col("n").cast("double")).over(w)
+        ).alias("trend"),
+    )
+    dt = tr.withColumn("dow", F.dayofweek("day")).withColumn(
+        "detr", F.col("n") - F.col("trend")
+    )
+    seas0 = dt.filter(F.col("detr").isNotNull()).groupBy("dow").agg(
+        F.avg("detr").alias("s0")
+    )
+    grand = seas0.agg(F.avg("s0").alias("g"))
+    seas = seas0.crossJoin(F.broadcast(grand)).select(
+        "dow", (F.col("s0") - F.col("g")).alias("seasonal")
+    )
+    out = dt.join(F.broadcast(seas), "dow")
+    r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return out.select(
+        "day",
+        "n",
+        r4_(F.col("trend")).alias("trend"),
+        r4_(F.col("seasonal")).alias("seasonal"),
+        r4_(F.col("n") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    )
+
+
+# --- data quality: Benford first-digit audit --------------------------------
+
+
+@register(
+    "dq_benford_score",
+    tags=("dq", "aggregate", "statistics"),
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY 1
+    )
+    SELECT digit, n,
+           FLOOR(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS observed_p,
+           FLOOR(log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford_p,
+           FLOOR((CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit))
+                 * 1e6 + 0.5) / 1e6 AS deviation
+    FROM obs
+    """,
+)
+def dq_benford_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the price column: observed
+    leading-digit frequencies vs the log10(1+1/d) law, per digit with the
+    signed deviation — the standard forensic screen for fabricated or
+    truncated numeric columns (TPC-H's uniform synthetic prices deviate
+    strongly and visibly, which is itself the point: the audit detects
+    non-natural generation). One map-side aggregate to 9 rows."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        li.filter(F.col("l_extendedprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    law = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return obs.select(
+        "digit",
+        "n",
+        r6_(p).alias("observed_p"),
+        r6_(law).alias("benford_p"),
+        r6_(p - law).alias("deviation"),
+    )
+
+
+# --- corpus: tokenizer fertility by language --------------------------------
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    tags=("corpus", "text", "aggregate"),
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+             AS subword_tokens,
+           FLOOR(CAST(SUM(len(regexp_extract_all(lower(text),
+                             '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+                 / SUM(len(string_split_regex(trim(text), '\s+')))
+                 * 1e4 + 0.5) / 1e4 AS fertility
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword-ish tokens per whitespace
+    word under the BPE-style pre-tokenizer regex (letter runs / digit
+    runs / single punctuation). Fertility is the standard measure of how
+    expensive a language is for a given tokenizer (tokens per word ≈
+    compute per word) and drives per-language mixture budgeting next to
+    corpus_mix_weighted. Pure map-side counting into a 5-row frame — no
+    token explosion, the regexes count in place."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    sub = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(sub).cast("long").alias("subword_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "subword_tokens",
+        (
+            F.floor(
+                F.col("subword_tokens").cast("double")
+                / F.col("ws_tokens")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("fertility"),
+    )
+
+
+# --- events: RFM scoring -----------------------------------------------------
+
+
+@register(
+    "events_rfm_scores",
+    tags=("events", "analytics", "window"),
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    base AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(CAST(ts AS DATE)), MIN(mx.max_day))
+                  AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             FLOOR(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN value END), 0) * 1e2 + 0.5) / 1e2
+               AS monetary
+      FROM events, mx GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+    FROM base
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring over the
+    event log: days since last activity, event count, purchase-value
+    total, each quintile-ranked 1-5 (higher = better; recency ranks
+    descending so the most recent users score 5). Ties broken by user_id
+    so NTILE is cross-engine deterministic. The canonical segmentation
+    feature set for retention/LTV models. Scale: one shuffle to the
+    per-user frame; the NTILE windows are global but run over one row
+    per user — for web-scale user counts swap for percent_rank bucketing
+    per partition-range (documented trade; the fixture frame is tiny)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    base = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.min("max_day"), F.max(F.col("ts").cast("date")))
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            (
+                F.floor(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("event_type") == "purchase", F.col("value")
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                    * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("monetary"),
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
