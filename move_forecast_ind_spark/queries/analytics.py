@@ -2242,3 +2242,243 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+# --- robust statistics: median absolute deviation ---------------------------
+
+
+@register(
+    "a_mad_robust",
+    tags=("aggregate", "statistics", "robust"),
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           FLOOR(MIN(m.med) * 1e4 + 0.5) / 1e4 AS median_price,
+           FLOOR(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5)
+                 * 1e4 + 0.5) / 1e4 AS mad_price,
+           FLOOR(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) * 1.4826
+                 * 1e4 + 0.5) / 1e4 AS robust_sigma
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimate (and its 1.4826·MAD normal-consistent sigma) that outlier
+    fences should use instead of stddev when the column is heavy-tailed.
+    Two passes by construction (the second pass needs the first's
+    median); the per-group median frame is tiny and broadcast back.
+    Exact interpolated medians (Spark percentile == quantile_cont) so
+    both engines agree bit-for-bit after rounding."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            r4_(F.min("med")).alias("median_price"),
+            r4_(
+                F.expr("percentile(ABS(l_extendedprice - med), 0.5)")
+            ).alias("mad_price"),
+            r4_(
+                F.expr("percentile(ABS(l_extendedprice - med), 0.5)") * 1.4826
+            ).alias("robust_sigma"),
+        )
+    )
+
+
+# --- corpus statistics: Zipf's-law fit --------------------------------------
+
+
+@register(
+    "text_zipf_slope",
+    tags=("text", "corpus", "statistics"),
+    oracle=r"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           FLOOR(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS zipf_slope,
+           FLOOR(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS fit_r2
+    FROM r
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) plus R² — natural text sits near slope −1,
+    so the fitted slope is a one-number corpus-health signal (word salad,
+    boilerplate floods, and template spam all bend it). Rank ties broken
+    by token for cross-engine determinism. Scale: one token-count
+    shuffle; the regression inputs are one row per vocabulary TYPE
+    (vanishing vs the corpus), reduced by the built-in regr_* aggregates
+    — the global rank window runs over the type frame only (at web scale
+    cap to the top-k types by count first; slope over the head is the
+    standard practice anyway)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+    )
+    lnc = F.log(F.col("c").cast("double"))
+    lnr = F.log(F.col("rank").cast("double"))
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        r6_(F.regr_slope(lnc, lnr)).alias("zipf_slope"),
+        r6_(F.regr_r2(lnc, lnr)).alias("fit_r2"),
+    )
+
+
+# --- streaming semantics in batch: watermark late-arrival audit -------------
+
+
+@register(
+    "events_late_arrival_audit",
+    tags=("events", "streaming", "window"),
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS max_seen
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           FLOOR(CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 10 MINUTE
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1e4 + 0.5) / 1e4 AS late_share
+    FROM arr
+    GROUP BY 1
+    """,
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit, batch-replayed: an event is LATE under a
+    10-minute watermark exactly when its event time is older than
+    (max event time seen so far in ARRIVAL order − 10 min) — the precise
+    drop rule Structured Streaming applies. Replaying the rule over the
+    log (arrival order = event_id) quantifies, per type, how much data a
+    given delay would discard BEFORE anyone picks the watermark for the
+    st_* streams. Scale note: the running max is a global arrival-order
+    scan (single partition) — correct for auditing one log; at 100 TB
+    audit per ingestion shard/hour and aggregate the shares, since
+    watermarks advance per-partition upstream anyway."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("max_seen")
+    )
+    late = (
+        F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 10 MINUTE")
+    ).cast("long")
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        (
+            F.floor(
+                F.sum(late).cast("double") / F.count(F.lit(1)) * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("late_share"),
+    )
+
+
+# --- attribution: last-touch revenue ----------------------------------------
+
+
+@register(
+    "events_attribution_last_touch",
+    tags=("events", "analytics", "window"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('view','click')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS src_type,
+             last_value(CASE WHEN event_type IN ('view','click')
+                             THEN ts END IGNORE NULLS) OVER w AS src_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN src_ts >= ts - INTERVAL 7 DAY THEN src_type END,
+                    'direct') AS attributed_to,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           FLOOR(SUM(value) * 1e2 + 0.5) / 1e2 AS revenue
+    FROM o
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding view/click within a 7-day lookback, else
+    'direct' — revenue and purchase counts by attributed channel. One
+    IGNORE-NULLS running window per user carries (source type, source
+    time) as two scalars; no self-join, no as-of join materialization.
+    Scale: single shuffle on user_id, window state is O(1) per user."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_src = F.col("event_type").isin("view", "click")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_src, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("src_type"),
+        F.last(F.when(is_src, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("src_ts"),
+    )
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(
+                F.when(
+                    F.col("src_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+                    F.col("src_type"),
+                ),
+                F.lit("direct"),
+            ).alias("attributed_to")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (F.floor(F.sum("value") * 1e2 + F.lit(0.5)) / 1e2).alias("revenue"),
+        )
+    )
