@@ -2482,3 +2482,194 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.floor(F.sum("value") * 1e2 + F.lit(0.5)) / 1e2).alias("revenue"),
         )
     )
+
+
+# --- two-sample inference: Welch's t-test -----------------------------------
+
+
+@register(
+    "a_welch_ttest",
+    tags=("aggregate", "statistics", "inference"),
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END
+               AS grp,
+             l_extendedprice AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS m,
+             var_samp(x) AS v
+      FROM g GROUP BY 1
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+             a.v / a.n + b.v / b.n AS se2,
+             a.v / a.n AS sa, b.v / b.n AS sb
+      FROM s a JOIN s b ON a.grp = 'returned' AND b.grp = 'kept'
+    )
+    SELECT n_a, n_b,
+           FLOOR(m_a * 1e4 + 0.5) / 1e4 AS mean_a,
+           FLOOR(m_b * 1e4 + 0.5) / 1e4 AS mean_b,
+           FLOOR((m_a - m_b) / sqrt(se2) * 1e6 + 0.5) / 1e6 AS t_stat,
+           FLOOR(se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
+                 * 1e4 + 0.5) / 1e4 AS welch_df
+    FROM w
+    """,
+)
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (returned vs kept line
+    items on price): group means, t statistic, and Welch–Satterthwaite
+    degrees of freedom — the A/B-test primitive, computed from one
+    grouped pass of count/mean/variance (all map-side combinable) and a
+    2-row join. Spark's var_samp matches quantile-free one-pass
+    co-moments on both engines; outputs rounded against sum-order ulp."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("kept")
+        .alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    a = s.filter(F.col("grp") == "returned").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = s.filter(F.col("grp") == "kept").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    w = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "m_a",
+        "m_b",
+        (F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")).alias("se2"),
+        (F.col("v_a") / F.col("n_a")).alias("sa"),
+        (F.col("v_b") / F.col("n_b")).alias("sb"),
+    )
+    r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return w.select(
+        "n_a",
+        "n_b",
+        r4_(F.col("m_a")).alias("mean_a"),
+        r4_(F.col("m_b")).alias("mean_b"),
+        r6_((F.col("m_a") - F.col("m_b")) / F.sqrt(F.col("se2"))).alias("t_stat"),
+        r4_(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                F.col("sa") * F.col("sa") / (F.col("n_a") - 1)
+                + F.col("sb") * F.col("sb") / (F.col("n_b") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+# --- drift monitoring: population stability index ---------------------------
+
+
+@register(
+    "dq_drift_psi",
+    tags=("dq", "statistics", "drift"),
+    oracle="""
+    WITH half AS (
+      SELECT value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'base' ELSE 'current' END AS period
+      FROM events
+    ),
+    edges AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM half WHERE period = 'base'
+    ),
+    binned AS (
+      SELECT period,
+             LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0))
+                                 AS INT), 0), 9) AS bin
+      FROM half CROSS JOIN edges
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (period = 'base') AS BIGINT) AS n_base,
+             CAST(COUNT(*) FILTER (period = 'current') AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts
+    )
+    SELECT bin, n_base, n_cur,
+           FLOOR((CAST(n_cur AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb)
+                 * ln((CAST(n_cur AS DOUBLE) / tc + 1e-6)
+                      / (CAST(n_base AS DOUBLE) / tb + 1e-6))
+                 * 1e6 + 0.5) / 1e6 AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half-month
+    of the event log: decile-binned (bins fixed from the BASE period —
+    the production convention, so current-period outliers clamp into the
+    edge bins) with per-bin PSI terms; Σ terms > 0.2 is the standard
+    retrain alarm. The drift monitor every deployed model needs next to
+    dq_skew_report's pipeline health view. One scan + a 1-row bounds
+    broadcast + a ≤10-key aggregate; epsilon-smoothed log ratio keeps
+    empty bins finite on both engines identically."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.select(
+        "value",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "base"
+        )
+        .otherwise("current")
+        .alias("period"),
+    )
+    edges = half.filter(F.col("period") == "base").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    binned = half.crossJoin(F.broadcast(edges)).select(
+        "period",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("period") == "current", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    pb = F.col("n_base").cast("double") / F.col("tb")
+    pc = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_base",
+            "n_cur",
+            (
+                F.floor(
+                    (pc - pb)
+                    * F.log((pc + F.lit(1e-6)) / (pb + F.lit(1e-6)))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("psi_term"),
+        )
+    )

@@ -99,3 +99,39 @@ def test_wav_round_trip_property(rate: int, frames: int, ch: int, seed: int):
     # sample formula round-trips through the int16 little-endian encoding
     for i in (0, len(x) - 1):
         assert int(x[i]) == ((seed * 31 + i * 7919) % 65536) - 32768
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31),
+    st.sampled_from(["none", "cycle"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_round_trip_property(w, h, seed, mode):
+    """make_png → decode_png_pixels inverts to the closed-form raster for
+    ARBITRARY (width, height, seed, filter-mode) — pins the unfiltering
+    inverses (Sub/Up/Average/Paeth) across shapes the fixture queries
+    never hit (wide, tall, large seeds)."""
+    import numpy as np
+
+    from move_forecast_ind_spark.multimodal import decode_png_pixels, make_png
+
+    got = decode_png_pixels(make_png(w, h, seed, filter_mode=mode))
+    assert got is not None and got.shape == (h, w)
+    expect = np.fromfunction(
+        lambda y, x: (x + y + seed) % 256, (h, w), dtype=np.int64
+    ).astype(np.uint8)
+    assert (got == expect).all()
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_png_decoder_never_raises_on_junk(payload):
+    """Corpus hygiene: the rasterizer returns None on arbitrary junk —
+    including junk that starts with a valid PNG signature — never
+    raises."""
+    from move_forecast_ind_spark.multimodal import decode_png_pixels
+
+    assert decode_png_pixels(payload) is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + payload) is None
