@@ -2673,3 +2673,255 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+# --- concentration: Gini coefficient ----------------------------------------
+
+
+@register(
+    "a_gini_concentration",
+    tags=("aggregate", "statistics", "window"),
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS tot
+      FROM x
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+           FLOOR(MIN(tot) * 1e2 + 0.5) / 1e2 AS total_revenue,
+           FLOOR((2.0 * SUM(rk * rev) / (MIN(n) * MIN(tot))
+                  - (MIN(n) + 1.0) / MIN(n)) * 1e6 + 0.5) / 1e6 AS gini
+    FROM r
+    """,
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the exact
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    revenues — the one-number inequality metric for 'how concentrated is
+    the business' (and, in corpus work, how concentrated token mass or
+    source contribution is). Tie-invariant: permuting equal revenues
+    leaves Σ(i·xᵢ) unchanged, so the tie-break only pins engine order.
+    Scale: per-customer aggregate, then a single global rank window over
+    one row per customer — for web-scale swap the exact rank for the
+    binned Lorenz approximation."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    r = x.select(
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        (F.floor(F.min("tot") * 1e2 + F.lit(0.5)) / 1e2).alias("total_revenue"),
+        (
+            F.floor(
+                (
+                    2.0 * F.sum(F.col("rk") * F.col("rev"))
+                    / (F.min("n") * F.min("tot"))
+                    - (F.min("n") + 1.0) / F.min("n")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("gini"),
+    )
+
+
+# --- survival analysis: Kaplan-Meier churn curve ----------------------------
+
+
+@register(
+    "ml_survival_km",
+    tags=("ml", "statistics", "events", "window"),
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS tp,
+             (SELECT MAX(epoch_us(ts)) FROM events) AS te
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id,
+             (COALESCE(tp, te) - t0) // 3600000000 AS dur,
+             CAST(tp IS NOT NULL AS INT) AS observed
+      FROM u
+    ),
+    t AS (
+      SELECT dur, CAST(SUM(observed) AS BIGINT) AS d
+      FROM d GROUP BY 1 HAVING SUM(observed) > 0
+    ),
+    risk AS (
+      SELECT t.dur, t.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE d.dur >= t.dur)
+               AS n_risk
+      FROM t
+    )
+    SELECT dur AS duration_hours, n_risk, d AS n_converted,
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER w = 1 THEN 0.0
+                ELSE FLOOR(exp(SUM(CASE WHEN d < n_risk
+                                        THEN ln(1.0 - CAST(d AS DOUBLE)
+                                                / n_risk) ELSE 0 END)
+                               OVER w) * 1e6 + 0.5) / 1e6
+           END AS survival
+    FROM risk
+    WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def ml_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-event curve for hours from a user's first
+    event to their first PURCHASE, right-censored at log end for users
+    who never convert — S(t) = Π(1 − dᵤ/nᵤ) computed as exp of a running
+    sum of logs (the product-free form both engines evaluate
+    identically, rounded at 1e-6; durations in integer-µs arithmetic).
+    The censoring-aware conversion analysis that naive 'avg time to
+    purchase' biases when the observation window truncates. The
+    fixture's uniform event mix converts nearly every user (few censored
+    rows); the estimator handles censoring wherever it occurs. Scale:
+    one shuffle to per-user rows, then windows over one row per distinct
+    duration — vanishing vs the log."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    logend = ev.agg(F.max(us).alias("te"))
+    u = (
+        ev.crossJoin(F.broadcast(logend))
+        .groupBy("user_id")
+        .agg(
+            F.min(us).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("tp"),
+            F.min("te").alias("te"),
+        )
+    )
+    d = u.select(
+        "user_id",
+        F.floor(
+            (F.coalesce(F.col("tp"), F.col("te")) - F.col("t0"))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("observed"),
+    )
+    t = (
+        d.groupBy("dur")
+        .agg(F.sum("observed").cast("long").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    sizes = d.groupBy("dur").agg(F.count(F.lit(1)).alias("c"))
+    # n_risk(t) = Σ c over durations >= t: a running sum over the tiny
+    # distinct-duration frame, descending
+    risk_w = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = sizes.select(
+        "dur", F.sum("c").over(risk_w).cast("long").alias("n_risk")
+    )
+    risk = t.join(at_risk, "dur")
+    km_w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    # terminal point: when d == n_risk the factor is 0 (survival hits 0
+    # exactly) — keep it out of the log and pin 0.0 from there on
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(km_w)
+    lnsum = F.sum(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(km_w)
+    return risk.select(
+        F.col("dur").alias("duration_hours"),
+        "n_risk",
+        F.col("d").alias("n_converted"),
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.floor(F.exp(lnsum) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("survival"),
+    )
+
+
+# --- changepoint detection: CUSUM -------------------------------------------
+
+
+@register(
+    "ts_changepoint_cusum",
+    tags=("timeseries", "events", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT AVG(CAST(n AS DOUBLE)) AS mu FROM daily),
+    s AS (
+      SELECT day, n,
+             SUM(n - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily CROSS JOIN m
+    ),
+    mx AS (SELECT MAX(ABS(cusum)) AS peak FROM s),
+    flagged AS (
+      SELECT s.day, s.n, s.cusum,
+             ABS(s.cusum) = mx.peak AS at_peak
+      FROM s CROSS JOIN mx
+    )
+    SELECT day, n,
+           FLOOR(cusum * 1e4 + 0.5) / 1e4 AS cusum,
+           CAST(at_peak AND day = (SELECT MIN(day) FROM flagged WHERE at_peak)
+                AS BOOLEAN) AS is_changepoint
+    FROM flagged
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series: the
+    running sum of deviations from the global mean peaks (in absolute
+    value) at the most likely level-shift point — the classic
+    distribution-free changepoint locator, and the discrete analog of
+    the changepoint machinery inside the reference's Prophet models
+    (pretrain_models.py's changepoint_prior_scale). Earliest peak day
+    wins ties deterministically. Scale: one shuffle to the daily frame;
+    every window runs over one row per day."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"))
+    s = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.sum(F.col("n") - F.col("mu"))
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cusum"),
+    )
+    mx = s.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    flagged = s.crossJoin(F.broadcast(mx)).withColumn(
+        "at_peak", F.abs(F.col("cusum")) == F.col("peak")
+    )
+    first_peak = flagged.filter(F.col("at_peak")).agg(
+        F.min("day").alias("cp_day")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first_peak))
+        .select(
+            "day",
+            "n",
+            (F.floor(F.col("cusum") * 1e4 + F.lit(0.5)) / 1e4).alias("cusum"),
+            (F.col("at_peak") & (F.col("day") == F.col("cp_day")))
+            .cast("boolean")
+            .alias("is_changepoint"),
+        )
+    )
