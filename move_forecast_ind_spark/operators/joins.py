@@ -21,9 +21,13 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for each left row, attach the right row with the
-    largest ``right_ts <= left_ts`` within the same ``on`` keys.
+    largest ``right_ts <= left_ts`` within the same ``on`` keys
+    (``direction="backward"``, the default) or the smallest
+    ``right_ts >= left_ts`` (``direction="forward"`` — the lead-time /
+    next-reading variant pandas calls merge_asof(direction='forward')).
 
     Implementation is the scalable union+window pattern, NOT a per-group
     ``pd.merge_asof``: tag both sides, union, sort within key by (ts, side)
@@ -62,10 +66,15 @@ def asof_join(
     ).select(*tagged_l.columns)  # align column order for unionByName safety
 
     unioned = tagged_l.unionByName(tagged_r)
-    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so ties match.
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so ties
+    # match in BOTH directions; forward is the same carry-last traversal
+    # over a descending timeline (no second code path to keep correct).
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

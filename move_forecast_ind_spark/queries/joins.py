@@ -334,3 +334,49 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # J4: the percentage-ratio join lives in queries/pipeline.py (pct_etl).
+
+
+@register(
+    "j_asof_join_forward",
+    tags=("join", "asof"),
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts)  AS purchase_us,
+           epoch_us(c.ts)  AS next_click_us,
+           c.value         AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def j_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (nearest right_ts >= left_ts): what did the
+    user click next after each purchase — the lead-time direction
+    pandas calls merge_asof(direction='forward') and DuckDB expresses as
+    ASOF JOIN with a <= condition. Same union+window topology as the
+    backward join (operators.joins.asof_join(direction='forward')): the
+    carry-last traversal just walks a descending timeline, so both
+    directions share one shuffle shape and one code path."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("ts_asof").alias("next_click_us"),
+        F.col("value_asof").alias("next_click_value"),
+    )
