@@ -1103,3 +1103,67 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.floor(F.col("lw") * 1e6 + F.lit(0.5)) / 1e6).alias("log_importance"),
     )
+
+
+@register(
+    "corpus_bpe_merge_candidates",
+    tags=("corpus", "text", "tokenizer"),
+    oracle=r"""
+    WITH wf AS (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+             substr(w, CAST(i AS INT) + 1, 1) AS right_sym,
+             c
+      FROM wf, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+      WHERE len(w) >= 2
+    )
+    SELECT left_sym, right_sym,
+           CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE tokenizer TRAINING: adjacent-symbol pair counts
+    over the character-initialized vocabulary, weighted by word frequency
+    — the exact statistic byte-pair encoding maximizes at every merge
+    step (Sennrich et al. 2016). Top-20 merge candidates with
+    deterministic tie-breaks. Later merge rounds iterate this same
+    aggregate over the re-segmented vocabulary (the ml_kmeans /
+    ml_pca_power_iteration driver-loop doctrine: per-round state is the
+    merge table, frame-sized). Scale: the pair stream is one row per
+    (word-type, position) — proportional to the VOCABULARY, not the
+    corpus; the corpus-scale work is the word-frequency aggregate, which
+    is map-side combinable."""
+    tune(spark)
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(
+        F.expr("substring(w, i, 1)").alias("left_sym"),
+        F.expr("substring(w, i + 1, 1)").alias("right_sym"),
+        "c",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )

@@ -390,3 +390,58 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("actual_lang") == F.col("lang")).cast("int").alias("is_correct"),
         )
     )
+
+
+@register(
+    "ml_seasonal_naive_forecast",
+    tags=("ml", "timeseries", "forecast"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    e AS (SELECT MAX(day) AS endd FROM daily),
+    dowm AS (
+      SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,  -- align to Spark's 1=Sun..7=Sat
+             AVG(CAST(n AS DOUBLE)) AS m
+      FROM daily GROUP BY 1
+    ),
+    future AS (
+      SELECT endd + CAST(i AS INT) AS day,
+             CAST(dayofweek(endd + CAST(i AS INT)) + 1 AS INT) AS dow
+      FROM e, LATERAL (SELECT unnest(generate_series(1, 7)) AS i) t
+    )
+    SELECT f.day, f.dow,
+           FLOOR(d.m * 1e4 + 0.5) / 1e4 AS forecast
+    FROM future f JOIN dowm d USING (dow)
+    """,
+)
+def ml_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast of the next 7 days of event volume: each
+    future day predicts the historical mean of its weekday — the
+    canonical baseline any Prophet-class model (the reference's entire
+    product, pretrain_models.py:22-29) must beat before its complexity
+    is justified, and the natural yardstick next to ml_linreg_forecast /
+    ml_forecast_fourier. One shuffle to the daily frame; the weekday
+    means (7 rows) broadcast onto a generated future axis."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    endd = daily.agg(F.max("day").alias("endd"))
+    dowm = daily.groupBy(F.dayofweek("day").cast("int").alias("dow")).agg(
+        F.avg(F.col("n").cast("double")).alias("m")
+    )
+    future = endd.select(
+        F.explode(
+            F.sequence(
+                F.date_add(F.col("endd"), 1), F.date_add(F.col("endd"), 7)
+            )
+        ).alias("day")
+    ).select("day", F.dayofweek("day").cast("int").alias("dow"))
+    return future.join(F.broadcast(dowm), "dow").select(
+        "day",
+        "dow",
+        (F.floor(F.col("m") * 1e4 + F.lit(0.5)) / 1e4).alias("forecast"),
+    )
