@@ -2925,3 +2925,129 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_changepoint"),
         )
     )
+
+
+# --- product analytics: rolling active users (DAU / WAU) --------------------
+
+
+@register(
+    "events_dau_wau",
+    tags=("events", "analytics", "distinct"),
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM activity),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY 1
+    ),
+    contrib AS (
+      SELECT DISTINCT a.user_id, a.day + CAST(i AS INT) AS wday
+      FROM activity a,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t
+    ),
+    wau AS (
+      SELECT c.wday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c CROSS JOIN span s
+      WHERE c.wday BETWEEN s.lo AND s.hi
+      GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           FLOOR(CAST(d.dau AS DOUBLE) / w.wau * 1e4 + 0.5) / 1e4
+             AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users: DAU, trailing-7-day WAU, and the DAU/WAU
+    stickiness ratio — the product-health triple. Rolling COUNT DISTINCT
+    has no windowed form, so WAU uses the textbook scale-out: each
+    (user, active-day) row CONTRIBUTES to the 7 window-days it falls in
+    (a bounded 7× explode of the deduped activity frame, NOT of the raw
+    log), then one distinct aggregate keyed by day. Scale: activity is
+    one row per (user, day); the explode multiplies by the fixed window
+    length only, and both aggregates are map-side combinable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    span = activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dau = activity.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = activity.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("wday"))
+    wau = (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("wday").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (
+            F.floor(
+                F.col("dau").cast("double") / F.col("wau") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("stickiness"),
+    )
+
+
+# --- robust statistics: trimmed mean ----------------------------------------
+
+
+@register(
+    "a_trimmed_mean",
+    tags=("aggregate", "statistics", "robust"),
+    oracle="""
+    WITH fences AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           FLOOR(AVG(l.l_extendedprice) * 1e4 + 0.5) / 1e4
+             AS trimmed_mean,
+           FLOOR(MIN(f.lo) * 1e4 + 0.5) / 1e4 AS fence_lo,
+           FLOOR(MIN(f.hi) * 1e4 + 0.5) / 1e4 AS fence_hi
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    WHERE l.l_extendedprice >= f.lo AND l.l_extendedprice <= f.hi
+    GROUP BY 1
+    """,
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group: average over the inner 90% (exact
+    interpolated percentile fences, inclusive) — the robust location
+    estimate that survives fat tails and sensor spikes, next to
+    a_mad_robust's dispersion. Two passes: a per-group fence frame
+    (tiny, broadcast) then one filtered aggregate."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") <= F.col("hi"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            r4_(F.avg("l_extendedprice")).alias("trimmed_mean"),
+            r4_(F.min("lo")).alias("fence_lo"),
+            r4_(F.min("hi")).alias("fence_hi"),
+        )
+    )
