@@ -1620,36 +1620,23 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
-@register(
-    "ml_kmeans_fixed_point",
-    tags=("ml", "embedding", "iterative"),
-    oracle=_kmeans_oracle(),
-)
-def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (k=8, 5 iterations) with CROSS-ENGINE-DETERMINISTIC
-    state — the quantizer behind IVF ANN indexes and semantic-dedup
-    bucketing, here specified tightly enough that an independent engine
-    reproduces the exact assignment vector. Init is the k lowest-vec_id
-    embeddings; after every mean update the centroids snap to a 1e-6
-    fixed-point grid (absorbing sum-order noise), distance ties break by
-    centroid id, and empty clusters carry their previous centroid.
-
-    Spark-first topology per iteration: assignment is a MAP stage (the k
-    centroids ride along as literal arrays — the x·x − 2x·c + c·c
-    expansion reuses a per-row self-dot), the update is one (cluster, dim)
-    aggregate, and only the k×d quantized centroid table (4 KB) ever
-    reaches the driver — the same bounded fit-locally doctrine as
-    ``plans/training.py`` and ``ml_pca_power_iteration``. The MLlib-backed
-    IVF quantizer (``operators/similarity.py``) remains the library path;
-    this is the engine-native, oracle-checkable one. 100 TB: 5 scans + 5
-    tiny-key shuffles, no all-pairs anything."""
-    tune(spark)
+def lloyd_assign(e, k: int, iters: int):
+    """Cross-engine-deterministic Lloyd's k-means assignment over any
+    (vec_id, v: array<double>) frame — the shared engine behind
+    ml_kmeans_fixed_point and corpus_semdedup. Contract (mirrored by the
+    unrolled-CTE oracles): init = the k lowest-vec_id vectors; after
+    every mean update centroids snap to a 1e-6 fixed-point grid
+    (absorbing sum-order noise); distance ties break by centroid id;
+    empty clusters carry their previous centroid; ``iters`` assignment
+    rounds = ``iters − 1`` mean updates (the returned assignment uses
+    the last updated centroids). Per iteration: assignment is a MAP
+    stage (centroids ride along as literals via the x·x − 2x·c + c·c
+    expansion), the update is one (cluster, dim) aggregate, and only the
+    k×d quantized centroid table reaches the driver."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    e = emb.select("vec_id", "label", v.alias("v"))
-    init = e.orderBy("vec_id").limit(_KM_K).collect()
+    e = e.select("vec_id", "v")
+    init = e.orderBy("vec_id").limit(k).collect()
     cents = [
         [int(math.floor(x * 1e6 + 0.5)) for x in r["v"]] for r in init
     ]
@@ -1681,17 +1668,13 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         # by centroid id, matching the oracle's (dist, cid) row_number
         return frame.withColumn("xx", self_dot).select(
             "vec_id",
-            "label",
             "v",
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cluster_id"),
         )
 
-    # _KM_ITERS assignment rounds = _KM_ITERS - 1 mean updates; the final
-    # assignment (returned) reuses the last updated centroids, mirroring
-    # the oracle's a{T} (which assigns against c{T-1})
-    for _ in range(_KM_ITERS - 1):
+    for _ in range(iters - 1):
         upd = (
             assign(e)
             .select("cluster_id", F.posexplode("v").alias("i", "x"))
@@ -1709,9 +1692,34 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             if j in by_c
             else cents[j]
-            for j in range(_KM_K)
+            for j in range(k)
         ]
-    return assign(e).select("vec_id", "label", "cluster_id")
+    return assign(e)
+
+
+@register(
+    "ml_kmeans_fixed_point",
+    tags=("ml", "embedding", "iterative"),
+    oracle=_kmeans_oracle(),
+)
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 5 iterations) with CROSS-ENGINE-DETERMINISTIC
+    state — the quantizer behind IVF ANN indexes and semantic-dedup
+    bucketing, here specified tightly enough that an independent engine
+    reproduces the exact assignment vector (the contract lives in
+    ``lloyd_assign``, shared with corpus_semdedup). The MLlib-backed IVF
+    quantizer (``operators/similarity.py``) remains the library path;
+    this is the engine-native, oracle-checkable one. 100 TB: ``iters``
+    scans + tiny-key shuffles, no all-pairs anything."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    asg = lloyd_assign(e, _KM_K, _KM_ITERS)
+    return asg.join(e.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "cluster_id"
+    )
 
 
 # --- BM25 keyword search ----------------------------------------------------
@@ -3050,4 +3058,176 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4_(F.min("lo")).alias("fence_lo"),
             r4_(F.min("hi")).alias("fence_hi"),
         )
+    )
+
+
+# --- SemDeDup: semantic dedup via cluster-then-pairwise ---------------------
+
+_SD_K = 8
+_SD_ITERS = 3
+_SD_D = 32
+_SD_T = 0.97
+
+
+def _semdedup_oracle() -> str:
+    """Unrolled replica of corpus_semdedup: hashed-BoW doc vectors →
+    Lloyd's (k=8, 3 iters, same fixed-point contract as _kmeans_oracle)
+    → within-cluster pairwise cosine ≥ threshold → drop higher ids."""
+    k, d, iters, t = _SD_K, _SD_D, _SD_ITERS, _SD_T
+    parts = [
+        rf"""
+    WITH tokb AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % {d}
+               AS b
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok
+            FROM documents)
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM tokb GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, r.range AS b
+      FROM (SELECT DISTINCT doc_id FROM tokb) d CROSS JOIN range({d}) r
+    ),
+    e AS MATERIALIZED (
+      SELECT g.doc_id AS vec_id,
+             list(CAST(COALESCE(bc.c, 0) AS DOUBLE) ORDER BY g.b) AS v
+      FROM grid g LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.b = bc.b
+      GROUP BY 1
+    ),
+    xx AS MATERIALIZED (
+      SELECT vec_id, list_dot_product(v, v) AS xx FROM e
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(v, x -> CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS c
+      FROM e ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for t_i in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{t_i} AS (
+      SELECT e.vec_id, c.cid,
+             xx.xx - 2 * list_dot_product(e.v,
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6))
+             + list_dot_product(
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6),
+               list_transform(c.c, y -> CAST(y AS DOUBLE) / 1e6)) AS dist
+      FROM e CROSS JOIN c{t_i - 1} c JOIN xx ON e.vec_id = xx.vec_id
+    ),
+    a{t_i} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                 AS rk
+        FROM d{t_i}
+      ) WHERE rk = 1
+    ),
+    u{t_i} AS MATERIALIZED (
+      SELECT a.cid,
+             list(CAST(FLOOR(m * 1e6 + 0.5) AS BIGINT) ORDER BY i) AS c
+      FROM (
+        SELECT a.cid, r.i, avg(e.v[r.i]) AS m
+        FROM a{t_i} a JOIN e ON a.vec_id = e.vec_id
+        CROSS JOIN range(1, {d + 1}) r(i)
+        GROUP BY a.cid, r.i
+      ) AS a
+      GROUP BY a.cid
+    ),
+    c{t_i} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(u.c, p.c) AS c
+      FROM c{t_i - 1} p LEFT JOIN u{t_i} u ON p.cid = u.cid
+    )"""
+        )
+    parts.append(
+        f""",
+    asg AS MATERIALIZED (
+      SELECT e.vec_id, a.cid, e.v,
+             sqrt(list_dot_product(e.v, e.v)) AS nv
+      FROM e JOIN a{iters} a ON e.vec_id = a.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= {t}
+    )
+    SELECT n.vec_id AS doc_id, CAST(n.cid AS INT) AS cluster_id,
+           (d.vec_id IS NULL) AS keep
+    FROM asg n LEFT JOIN drops d ON n.vec_id = d.vec_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "corpus_semdedup",
+    tags=("corpus", "dedup", "embedding", "iterative"),
+    oracle=_semdedup_oracle(),
+)
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
+    cluster the corpus with k-means, compare pairs ONLY within each
+    cluster, drop all but the lowest id of every ≥-threshold pair. The
+    document vectors here are 32-bucket hashed bag-of-words counts
+    (deterministic, engine-reproducible; the fixture's word-salad docs
+    share one vocabulary, so the background cosine sits near 0.75 while
+    true near-dups sit ≥ 0.99 — threshold 0.97 splits them cleanly), and
+    clustering is the shared ``lloyd_assign`` fixed-point contract, so a
+    DuckDB replica reproduces the exact keep/drop vector. Cross-cluster
+    near-dup pairs are invisible by design — SemDeDup's quadratic-to-
+    Σ|cluster|² trade; that is what makes it run at web scale where
+    all-pairs cannot. 100 TB: k·iters scan-aggregates for clustering,
+    then pair space blocked per cluster."""
+    tune(spark)
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "vec_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+            % _SD_D
+        ).alias("b"),
+    )
+    sums = b.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, 1).otherwise(0))
+            .cast("double")
+            .alias(f"s{i}")
+            for i in range(_SD_D)
+        ]
+    )
+    e = sums.select(
+        "vec_id", F.array(*[F.col(f"s{i}") for i in range(_SD_D)]).alias("v")
+    )
+    asg = lloyd_assign(e, _SD_K, _SD_ITERS)
+
+    from ..functions.vectors import cosine
+
+    a = asg.select(
+        F.col("vec_id").alias("va"),
+        F.col("cluster_id").alias("ca"),
+        F.col("v").alias("ea"),
+    )
+    bb = asg.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster_id").alias("cb"),
+        F.col("v").alias("eb"),
+    )
+    drops = (
+        a.join(
+            bb,
+            (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")),
+        )
+        .filter(cosine(F.col("ea"), F.col("eb")) >= _SD_T)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return asg.join(drops, "vec_id", "left").select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_id",
+        F.col("dropped").isNull().alias("keep"),
     )

