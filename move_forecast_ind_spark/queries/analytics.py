@@ -3231,3 +3231,167 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("dropped").isNull().alias("keep"),
     )
+
+
+# --- graph centrality: PageRank over the co-activity graph ------------------
+
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-iteration replica: same graph construction, same
+    1e-9 fixed-point quantization per iteration, same dangling-mass
+    teleport redistribution."""
+    d = _PR_DAMP
+    parts = [
+        """
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (
+      SELECT nodes.user_id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    dm{t} AS (
+      SELECT COALESCE(SUM(p.r), 0) AS dm
+      FROM r{t - 1} p LEFT JOIN deg ON p.user_id = deg.src
+      WHERE deg.src IS NULL
+    ),
+    inc{t} AS (
+      SELECT e.dst, SUM(p.r / deg.deg) AS s
+      FROM edges e
+      JOIN r{t - 1} p ON e.src = p.user_id
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{t} AS MATERIALIZED (
+      SELECT nodes.user_id,
+             FLOOR(((1 - {d}) / nn.n
+                    + {d} * (COALESCE(inc{t}.s, 0) + dm{t}.dm / nn.n))
+                   * 1e9 + 0.5) / 1e9 AS r
+      FROM nodes CROSS JOIN nn CROSS JOIN dm{t}
+      LEFT JOIN inc{t} ON inc{t}.dst = nodes.user_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT n.user_id,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS out_degree,
+           r{_PR_ITERS}.r AS pagerank
+    FROM nodes n
+    LEFT JOIN deg ON n.user_id = deg.src
+    JOIN r{_PR_ITERS} ON n.user_id = r{_PR_ITERS}.user_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "events_pagerank",
+    tags=("events", "graph", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the user co-activity graph (users sharing
+    an (event_type, hour) bucket are linked, symmetric, distinct): 8
+    power iterations at damping 0.85 with dangling-rank mass
+    redistributed through the teleport term, ranks snapped to a 1e-9
+    fixed-point grid per iteration so the DuckDB replica walks the
+    bit-identical vector — the same engine-native iterative doctrine as
+    lloyd_assign / ml_pca_power_iteration, extended to graphs. Per
+    iteration: one edge-join shuffle keyed by src, one dst aggregate,
+    and two scalar broadcasts (N, dangling mass); the rank frame is
+    materialized each round (lineage cut — on a cluster, the standard
+    iterate-checkpoint pattern). Pair expansion is blocked per
+    (type, hour) bucket, never all-pairs. Co-occurrence graphs at
+    100 TB: cap bucket width (the hot-bucket fence from jaccard_pairs
+    applies verbatim)."""
+    tune(spark)
+    from ..operators.materialize import materialize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    edges = materialize(
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct(),
+        label="pr_edges",
+    )
+    nodes = materialize(
+        load_table(spark, sf_dir, "events").select("user_id").distinct(),
+        label="pr_nodes",
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = materialize(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        label="pr_deg",
+    )
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "user_id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for t in range(_PR_ITERS):
+        dm = (
+            r.join(deg, r["user_id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        inc = (
+            edges.join(r, edges["src"] == r["user_id"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        r = materialize(
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
+            .join(inc, nodes["user_id"] == inc["dst"], "left")
+            .select(
+                nodes["user_id"],
+                (
+                    F.floor(
+                        (
+                            (1 - _PR_DAMP) / F.col("n")
+                            + _PR_DAMP
+                            * (
+                                F.coalesce(F.col("s"), F.lit(0.0))
+                                + F.col("dm") / F.col("n")
+                            )
+                        )
+                        * 1e9
+                        + F.lit(0.5)
+                    )
+                    / 1e9
+                ).alias("r"),
+            ),
+            label=f"pr_iter{t}",
+        )
+    return (
+        nodes.join(deg, nodes["user_id"] == deg["src"], "left")
+        .join(r, "user_id")
+        .select(
+            "user_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_degree"),
+            F.col("r").alias("pagerank"),
+        )
+    )

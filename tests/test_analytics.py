@@ -204,3 +204,20 @@ def test_semdedup_deterministic(spark):
     a = sorted(map(tuple, corpus_semdedup(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, corpus_semdedup(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+def test_pagerank_is_a_distribution(spark):
+    """PageRank invariants: every rank positive, total mass ≈ 1 (exact up
+    to the per-iteration 1e-9 quantization), and isolated nodes get at
+    least the teleport floor (1-d)/N."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.analytics import events_pagerank
+
+    out = events_pagerank(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    total = sum(r.pagerank for r in rows)
+    n = len(rows)
+    assert abs(total - 1.0) < 1e-5
+    floor = 0.15 / n
+    assert all(r.pagerank >= floor - 1e-9 for r in rows)
