@@ -855,3 +855,49 @@ def q22_anti_with_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1
         """
     )
+
+
+@register(
+    "f_sql_udf",
+    tags=("function", "sql-surface"),
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                WHEN l_extendedprice < 60000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(l_extendedprice) * 1e2 + 0.5) / 1e2 AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE TEMPORARY FUNCTION …
+    RETURN expr`): the band classification runs through a catalog-
+    registered SQL UDF, not an inline expression — the reusable-logic
+    surface DuckDB calls a MACRO and warehouses call SQL UDFs. Because
+    the body is pure SQL, Catalyst inlines it into the plan (no Python,
+    no serialization — unlike external UDFs, these cost nothing at
+    100 TB). The oracle states the same logic inline; hash equality
+    proves the UDF path computes identically."""
+    tune(spark)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 20000 THEN 'low'
+                    WHEN p < 60000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(SUM(l_extendedprice) * 1e2 + 0.5) / 1e2 AS revenue
+        FROM lineitem
+        GROUP BY 1
+        """
+    )
