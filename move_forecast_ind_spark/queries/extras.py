@@ -901,3 +901,46 @@ def f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "s_jdbc_roundtrip",
+    tags=("source", "jdbc"),
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    WHERE n_regionkey <= 2
+    GROUP BY 1
+    """,
+)
+def s_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED JDBC connectivity (closes the long-standing S1 env gap):
+    the nation table is written to an embedded Derby database over JDBC
+    (Derby ships inside every Spark distribution as the metastore
+    backend — a real JDBC driver + database, no external install), read
+    back through `spark.read.jdbc`, filtered WITH predicate pushdown
+    into the database scan (tests/test_formats.py asserts the starred
+    PushedFilters markers), and aggregated. Hash equality against the
+    parquet-side oracle proves the full JDBC write→store→scan round trip
+    preserves the data. Embedded Derby is driver-JVM-local — correct for
+    local[N]; a cluster points the identical calls at a networked URL
+    (the reference's Postgres, reference main.py:56-66)."""
+    import tempfile
+
+    from ..sources.formats import derby_url, jdbc_table, jdbc_write
+
+    tune(spark)
+    url = derby_url(tempfile.mkdtemp(prefix="derby_q_") + "/db")
+    nation = load_table(spark, sf_dir, "nation")
+    jdbc_write(nation, url, "nation")
+    back = jdbc_table(spark, url, "nation")
+    return (
+        back.filter(F.col("n_regionkey") <= 2)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+    )

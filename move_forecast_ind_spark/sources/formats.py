@@ -50,3 +50,35 @@ def jdbc_scan(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Executed JDBC: embedded Derby (ships in Spark's jars/ for the metastore)
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str, create: bool = True) -> str:
+    """JDBC URL for an embedded Derby database at ``db_dir``. Derby ships
+    with every Spark distribution (the Hive-metastore backend), so JDBC
+    connectivity is executable in THIS environment — no external server
+    or extra jar. Embedded Derby lives inside the driver JVM: perfect
+    for local[N] (executors are threads of the same JVM) and for
+    verifying the JDBC code path; on a multi-node cluster the identical
+    reader/writer calls point at a networked URL instead."""
+    return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
+
+
+def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "overwrite") -> None:
+    """Write a frame to a JDBC table (reference precompute_percentages.py
+    executemany-batching analog — Spark batches inserts per partition)."""
+    df.write.jdbc(url, table, mode=mode, properties={"driver": DERBY_DRIVER})
+
+
+def jdbc_table(spark: SparkSession, url: str, table: str) -> DataFrame:
+    """Lazy JDBC table scan. Filters and projections PUSH DOWN into the
+    database (`PushedFilters: [*EqualTo...]` in the plan — the `*` marks
+    source-evaluated predicates), which is the property that matters at
+    scale: the database does the selection, Spark moves only survivors."""
+    return spark.read.jdbc(url, table, properties={"driver": DERBY_DRIVER})
