@@ -145,3 +145,15 @@ def write_percentages(pct: DataFrame, path: str) -> None:
     overwrite ≡ upsert (no MERGE needed without Delta). Partition by branch
     so the serving-side broadcast read prunes per branch."""
     pct.write.mode("overwrite").partitionBy("branch").parquet(path)
+
+
+def write_percentages_jdbc(pct: DataFrame, url: str, table: str = "percentages") -> None:
+    """S5 sink, JDBC backend: the reference's actual topology (the
+    percentage precompute lands in Postgres via executemany batches,
+    reference precompute_percentages.py:142,218-228). Executed here
+    against embedded Derby (sources.formats.derby_url) — overwrite ≡
+    upsert for this derived table exactly as in the parquet sink; Spark
+    batches the inserts per partition."""
+    from ..sources.formats import jdbc_write
+
+    jdbc_write(pct, url, table, mode="overwrite")

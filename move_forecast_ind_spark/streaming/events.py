@@ -291,3 +291,27 @@ def write_foreach_batch_idempotent(stream_df: DataFrame, out_dir: str):
         .foreachBatch(write_batch)
         .start()
     )
+
+
+def write_foreach_batch_jdbc(stream_df: DataFrame, url: str, table: str):
+    """Streaming → JDBC sink (the reference's live architecture: incoming
+    moves land in Postgres — reference main.py:56-66 reads what such a
+    sink writes). foreachBatch appends each micro-batch to the JDBC
+    table; Spark batches inserts per partition (the executemany analog
+    of reference precompute_percentages.py:218-228). Executed for REAL
+    in this environment against embedded Derby (sources.formats) — on a
+    cluster the identical call points at a networked URL. Exactly-once
+    hardening for production: append (batch_id, rows) and dedupe on read,
+    or MERGE keyed by batch id — the parquet twin
+    write_foreach_batch_idempotent shows the overwrite-by-batch variant.
+    Returns the started query; caller drains/stops it."""
+    from ..sources.formats import jdbc_write
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_write(batch_df, url, table, mode="append")
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .start()
+    )

@@ -240,3 +240,33 @@ def test_versioned_sink_time_travel_and_merge(spark, tmpdir):
         V.read_version(spark, path, version=0)
     # retained versions still read
     assert {r.k for r in V.read_version(spark, path, version=1).collect()} == {1, 2, 3, 4}
+
+
+def test_percentages_jdbc_sink_roundtrip(spark):
+    """The percentage table written over JDBC (the reference's Postgres
+    topology, executed against embedded Derby) reads back value-exact,
+    and a second overwrite leaves exactly one copy (overwrite ≡ upsert
+    for a derived table)."""
+    import tempfile
+
+    from move_forecast_ind_spark.plans.percentages import (
+        compute_percentages,
+        write_percentages_jdbc,
+    )
+    from move_forecast_ind_spark.sources.formats import derby_url, jdbc_table
+
+    from move_forecast_ind_spark.sources import load_table
+
+    url = derby_url(tempfile.mkdtemp(prefix="derby_p_") + "/db")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    pct = compute_percentages(
+        li, "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity"
+    ).limit(200)
+    write_percentages_jdbc(pct, url)
+    write_percentages_jdbc(pct, url)  # idempotent overwrite
+    back = jdbc_table(spark, url, "percentages")
+    assert back.count() == pct.count()
+    cols = sorted(back.columns)
+    a = sorted(tuple(r[c] for c in cols) for r in back.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in pct.collect())
+    assert a == b

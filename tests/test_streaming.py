@@ -373,3 +373,28 @@ def test_transform_with_state_fold_logic():
     assert len(items) == 3
     # state carries across an empty batch unchanged
     assert fold_recent(items, batch([])) == items
+
+
+def test_foreach_batch_jdbc_sink(spark, event_stream_factory):
+    """Streaming → JDBC end-to-end against embedded Derby: drain the
+    event stream through foreachBatch JDBC appends, then the database
+    table must hold exactly the source rows (count + per-type counts)."""
+    import tempfile
+
+    from move_forecast_ind_spark.sources import load_table
+    from move_forecast_ind_spark.sources.formats import derby_url, jdbc_table
+    from move_forecast_ind_spark.streaming.events import write_foreach_batch_jdbc
+
+    url = derby_url(tempfile.mkdtemp(prefix="derby_s_") + "/db")
+    st = event_stream_factory().select("event_id", "user_id", "event_type")
+    q = write_foreach_batch_jdbc(st, url, "events_sink")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = jdbc_table(spark, url, "events_sink")
+    src = load_table(spark, SF_SMALL, "events")
+    assert back.count() == src.count()
+    got = {(r.event_type, r.n) for r in back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {(r.event_type, r.n) for r in src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
