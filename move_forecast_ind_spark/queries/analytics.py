@@ -3395,3 +3395,81 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("pagerank"),
         )
     )
+
+
+# --- interval algebra: merge overlapping spans ------------------------------
+
+
+@register(
+    "w_interval_merge",
+    tags=("window", "events", "interval"),
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(FLOOR(value * 6e7) AS BIGINT) AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS INT) AS island_id,
+           MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM islands
+    GROUP BY 1, 2
+    """,
+)
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals (interval union): each event opens a
+    span [ts, ts + value minutes] (integer-µs arithmetic, deterministic);
+    per user, spans that overlap an earlier span's running max end join
+    its island, merged islands report their hull and member count. The
+    reservation/downtime/session-stitching primitive — the interval-
+    algebra sibling of w_gaps_islands (which merges adjacent DAYS, not
+    arbitrary spans). One shuffle on user_id; both windows stream with
+    O(1) state per user (the running max end IS the sweep line)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * 6e7).cast("long")).alias("e_us"),
+    )
+    order_w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        (
+            F.col("s_us")
+            > F.coalesce(prev_max_end, F.lit(-(2**63)))
+        ).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("start_us"),
+        F.max("e_us").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
