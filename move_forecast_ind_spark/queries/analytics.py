@@ -3473,3 +3473,70 @@ def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e_us").alias("end_us"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
     )
+
+
+# --- categorical inference: chi-square independence test --------------------
+
+
+@register(
+    "a_chi_square_independence",
+    tags=("aggregate", "statistics", "inference"),
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           FLOOR(SUM(pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                     / (CAST(row_tot AS DOUBLE) * col_tot / n))
+                 * 1e6 + 0.5) / 1e6 AS chi2
+    FROM margins
+    """,
+)
+def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and day
+    of week: Σ(O−E)²/E over the contingency table with margin-product
+    expected counts — the categorical counterpart of a_welch_ttest (is
+    behavior uniform across weekdays, or does the mix drift?). One
+    shuffle to the ≤35-cell contingency frame; margins are windows over
+    that tiny frame. Engine dayofweek conventions aligned as in
+    ml_seasonal_naive_forecast."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e_cnt = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        (
+            F.floor(
+                F.sum(F.pow(F.col("o") - e_cnt, 2) / e_cnt) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("chi2"),
+    )

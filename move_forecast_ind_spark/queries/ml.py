@@ -445,3 +445,85 @@ def ml_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         (F.floor(F.col("m") * 1e4 + F.lit(0.5)) / 1e4).alias("forecast"),
     )
+
+
+@register(
+    "ml_ar1_forecast",
+    tags=("ml", "timeseries", "forecast"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, y, LAG(y) OVER (ORDER BY day) AS yprev FROM daily
+    ),
+    fit AS (
+      SELECT regr_slope(y, yprev) AS phi,
+             AVG(y) AS mu_y
+      FROM lagged WHERE yprev IS NOT NULL
+    ),
+    last AS (
+      SELECT y AS y_last, day AS last_day FROM daily
+      ORDER BY day DESC LIMIT 1
+    ),
+    horizon AS (SELECT unnest(generate_series(1, 7)) AS h)
+    SELECT CAST(last.last_day + CAST(h.h AS INT) AS DATE) AS day,
+           CAST(h.h AS INT) AS h,
+           FLOOR(fit.phi * 1e6 + 0.5) / 1e6 AS phi,
+           FLOOR((fit.mu_y + pow(fit.phi, h.h) * (last.y_last - fit.mu_y))
+                 * 1e4 + 0.5) / 1e4 AS forecast
+    FROM horizon h CROSS JOIN fit CROSS JOIN last
+    """,
+)
+def ml_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reverting forecast of daily event volume — the entry
+    point of the ARIMA family, fitted in closed form (φ = the OLS slope
+    of yₜ on yₜ₋₁ via the built-in regr_slope aggregate; unconditional
+    mean μ from the same pass) and forecast h steps ahead with the exact
+    recursion-free identity ŷ(T+h) = μ + φʰ(y_T − μ). Complements the
+    trend (ml_linreg), seasonal (ml_seasonal_naive, Fourier), and
+    smoothing (ts_ewma) families with the autoregressive one. Scale:
+    one shuffle to the daily frame; the fit is a 1-row aggregate
+    broadcast onto a generated horizon."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    lagged = daily.select(
+        "day", "y", F.lag("y").over(Window.orderBy("day")).alias("yprev")
+    )
+    fit = lagged.filter(F.col("yprev").isNotNull()).agg(
+        F.regr_slope(F.col("y"), F.col("yprev")).alias("phi"),
+        F.avg("y").alias("mu_y"),
+    )
+    last = daily.orderBy(F.col("day").desc()).limit(1).select(
+        F.col("y").alias("y_last"), F.col("day").alias("last_day")
+    )
+    horizon = daily.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("h")
+    )
+    return (
+        horizon.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(last))
+        .select(
+            F.date_add(F.col("last_day"), F.col("h")).alias("day"),
+            "h",
+            (F.floor(F.col("phi") * 1e6 + F.lit(0.5)) / 1e6).alias("phi"),
+            (
+                F.floor(
+                    (
+                        F.col("mu_y")
+                        + F.pow(F.col("phi"), F.col("h"))
+                        * (F.col("y_last") - F.col("mu_y"))
+                    )
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("forecast"),
+        )
+    )
