@@ -3540,3 +3540,85 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("chi2"),
     )
+
+
+# --- nonparametric inference: two-sample Kolmogorov-Smirnov -----------------
+
+
+@register(
+    "a_ks_two_sample",
+    tags=("aggregate", "statistics", "inference"),
+    oracle="""
+    WITH pts AS (
+      SELECT value, CAST(event_type = 'purchase' AS INT) AS isa
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    nn AS (
+      SELECT CAST(SUM(isa) AS DOUBLE) AS na,
+             CAST(SUM(1 - isa) AS DOUBLE) AS nb
+      FROM pts
+    ),
+    by_v AS (
+      SELECT value, SUM(isa) AS ca, SUM(1 - isa) AS cb
+      FROM pts GROUP BY 1
+    ),
+    ecdf AS (
+      SELECT SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM by_v
+    )
+    SELECT CAST(MIN(nn.na) AS BIGINT) AS n_a,
+           CAST(MIN(nn.nb) AS BIGINT) AS n_b,
+           FLOOR(MAX(ABS(cum_a / nn.na - cum_b / nn.nb)) * 1e6 + 0.5) / 1e6
+             AS ks_d,
+           FLOOR(1.358 * sqrt((MIN(nn.na) + MIN(nn.nb))
+                              / (MIN(nn.na) * MIN(nn.nb))) * 1e6 + 0.5) / 1e6
+             AS crit_05,
+           MAX(ABS(cum_a / nn.na - cum_b / nn.nb))
+             > 1.358 * sqrt((MIN(nn.na) + MIN(nn.nb))
+                            / (MIN(nn.na) * MIN(nn.nb))) AS reject_05
+    FROM ecdf CROSS JOIN nn
+    """,
+)
+def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (purchase vs click values):
+    D = max |ECDF_A − ECDF_B| over the pooled distinct values, with the
+    α=0.05 asymptotic critical value 1.358·√((n_a+n_b)/(n_a·n_b)) and
+    the reject decision — the distribution-free complement of
+    a_welch_ttest (means) and dq_drift_psi (binned drift): KS sees ANY
+    distributional difference, unbinned. Ties handled exactly (ECDFs
+    step at distinct values by their full tied mass). Scale: one
+    aggregate to the distinct-value frame, one ordered window over it —
+    at web scale pre-bin values (the PSI grid) and KS on the binned
+    ECDF, the standard trade."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("isa")
+    )
+    nn = pts.agg(
+        F.sum("isa").cast("double").alias("na"),
+        F.sum(1 - F.col("isa")).cast("double").alias("nb"),
+    )
+    by_v = pts.groupBy("value").agg(
+        F.sum("isa").alias("ca"), F.sum(1 - F.col("isa")).alias("cb")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = by_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    d = F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.min("na") + F.min("nb")) / (F.min("na") * F.min("nb"))
+    )
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        ecdf.crossJoin(F.broadcast(nn))
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            r6_(d).alias("ks_d"),
+            r6_(crit).alias("crit_05"),
+            (d > crit).alias("reject_05"),
+        )
+    )

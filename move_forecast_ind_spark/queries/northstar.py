@@ -955,3 +955,75 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_png_media(docs, "doc_id")
     return decode_media_real(media).select("doc_id", "width", "height", "format")
+
+
+@register(
+    "text_burstiness",
+    tags=("northstar", "text", "statistics"),
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    stats AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             SUM(c) / MIN(nd.n) AS mean_all,
+             (SUM(c * c) / MIN(nd.n))
+               - (SUM(c) / MIN(nd.n)) * (SUM(c) / MIN(nd.n)) AS var_all
+      FROM tf CROSS JOIN nd
+      GROUP BY tok
+    )
+    SELECT tok, df,
+           FLOOR(var_all / mean_all * 1e6 + 0.5) / 1e6 AS burstiness
+    FROM stats
+    ORDER BY var_all / mean_all DESC, tok
+    LIMIT 25
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS (Church & Gale's variance-to-mean / Fano factor,
+    computed over per-document counts with absent-doc zeros included via
+    the moment identities): function words occur evenly (ratio ≈ 1 under
+    Poisson), content/boilerplate tokens clump (ratio ≫ 1) — the
+    corpus-linguistics signal that separates topical terms from glue,
+    complementary to TF-IDF (which sees rarity, not clumping). Top-25
+    with deterministic tie-break. Scale: one (doc, tok) aggregate, then
+    a per-token moment aggregate — both map-side combinable; zeros are
+    never materialized."""
+    tune(spark)
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    stats = (
+        tf.crossJoin(F.broadcast(nd))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            (F.sum("c") / F.min("n")).alias("mean_all"),
+            (
+                F.sum(F.col("c") * F.col("c")) / F.min("n")
+                - (F.sum("c") / F.min("n")) * (F.sum("c") / F.min("n"))
+            ).alias("var_all"),
+        )
+    )
+    ratio = F.col("var_all") / F.col("mean_all")
+    return (
+        stats.select(
+            "tok",
+            "df",
+            (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(25)
+    )
