@@ -3622,3 +3622,159 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d > crit).alias("reject_05"),
         )
     )
+
+
+# --- nonparametric inference: Mann-Whitney U --------------------------------
+
+
+@register(
+    "a_mann_whitney_u",
+    tags=("aggregate", "statistics", "inference"),
+    oracle="""
+    WITH pts AS (
+      SELECT value, CAST(event_type = 'purchase' AS INT) AS isa
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    by_v AS (
+      SELECT value, SUM(isa) AS ca, COUNT(*) AS ct FROM pts GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ca, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM by_v
+    ),
+    agg AS (
+      SELECT SUM(ca * (below + (ct + 1.0) / 2)) AS ranksum_a,
+             SUM(ca) AS na,
+             SUM(ct) - SUM(ca) AS nb,
+             SUM(ct) AS n,
+             SUM(CAST(ct AS DOUBLE) * ct * ct - ct) AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           FLOOR((ranksum_a - na * (na + 1.0) / 2) * 1e4 + 0.5) / 1e4 AS u_a,
+           FLOOR((ranksum_a - na * (na + 1.0) / 2 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie_term / (n * (n - 1.0))))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM agg
+    """,
+)
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs click values) with exact
+    midrank tie handling (average rank per distinct value from the
+    running below-count) and the tie-corrected normal approximation z —
+    the rank-based location test that, with a_welch_ttest (means) and
+    a_ks_two_sample (whole distribution), completes the standard
+    two-sample inference kit. Scale: one distinct-value aggregate + one
+    ordered window over it; every moment is map-side combinable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("isa")
+    )
+    by_v = pts.groupBy("value").agg(
+        F.sum("isa").alias("ca"), F.count(F.lit(1)).alias("ct")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_v.select(
+        "ca", "ct", F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("below")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("ca") * (F.col("below") + (F.col("ct") + 1.0) / 2)).alias(
+            "ranksum_a"
+        ),
+        F.sum("ca").alias("na"),
+        (F.sum("ct") - F.sum("ca")).alias("nb"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("ct").cast("double") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie_term"),
+    )
+    u_a = F.col("ranksum_a") - F.col("na") * (F.col("na") + 1.0) / 2
+    z = (u_a - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.floor(u_a * 1e4 + F.lit(0.5)) / 1e4).alias("u_a"),
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z_score"),
+    )
+
+
+# --- audience overlap matrix -------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    tags=("events", "analytics", "join"),
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM a GROUP BY 1)
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) * 1e4 + 0.5) / 1e4
+             AS jaccard
+    FROM a x
+    JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+    JOIN sizes sa ON sa.event_type = x.event_type
+    JOIN sizes sb ON sb.event_type = y.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every pair of event types, the
+    shared-user count and audience Jaccard — the segmentation view whose
+    sketched twin is a_kmv_distinct (KMV synopses intersect without
+    rescanning; this is the exact reference the sketch trades against).
+    Self-join keyed on user_id (co-grouped, one shuffle); type pairs per
+    user are bounded by the type cardinality, not the log."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_type", "user_id").distinct()
+    sizes = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    x = a.select(F.col("event_type").alias("type_a"), "user_id")
+    y = a.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = x.join(y, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    common = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n", "n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("jaccard"),
+        )
+    )

@@ -1167,3 +1167,65 @@ def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    tags=("corpus", "sampling"),
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_chars) AS t FROM counts),
+    p AS (
+      SELECT lang, n_docs, n_chars,
+             CAST(n_chars AS DOUBLE) / tot.t AS share
+      FROM counts CROSS JOIN tot
+    ),
+    q AS (
+      SELECT lang, n_docs, n_chars, share,
+             pow(share, 0.7) / SUM(pow(share, 0.7)) OVER () AS q
+      FROM p
+    )
+    SELECT lang, n_docs, n_chars,
+           FLOOR(share * 1e6 + 0.5) / 1e6 AS natural_share,
+           FLOOR(q * 1e6 + 0.5) / 1e6 AS sampled_share,
+           FLOOR(q / share * 1e4 + 0.5) / 1e4 AS upsample_factor
+    FROM q
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights, α = 0.7
+    (qₗ ∝ pₗ^α — the exponential-smoothing rule mBERT/XLM-R/mT5 use to
+    lift low-resource languages without drowning the head): per language,
+    the natural byte share, the α-sampled share, and the implied
+    up/down-sampling factor that corpus_mix_weighted would execute.
+    One aggregate to a 5-row frame; windows over it only."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = counts.agg(F.sum("n_chars").alias("t"))
+    p = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_chars").cast("double") / F.col("t")
+    )
+    q = p.withColumn(
+        "q",
+        F.pow(F.col("share"), 0.7)
+        / F.sum(F.pow(F.col("share"), 0.7)).over(Window.partitionBy()),
+    )
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return q.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        r6_(F.col("share")).alias("natural_share"),
+        r6_(F.col("q")).alias("sampled_share"),
+        (F.floor(F.col("q") / F.col("share") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "upsample_factor"
+        ),
+    )
