@@ -944,3 +944,79 @@ def s_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_name"),
         )
     )
+
+
+@register(
+    "s_bitmap_index",
+    tags=("source", "index", "bitmap"),
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT event_type,
+             user_id // 63 AS word_idx,
+             CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS bit
+      FROM events WHERE event_type IN ('purchase', 'click', 'signup')
+    ),
+    words AS (
+      SELECT event_type, word_idx, bit_or(bit) AS w
+      FROM b GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT p.word_idx,
+             p.w AS wp, c.w AS wc,
+             p.w & c.w AS w_and,
+             p.w | c.w AS w_or
+      FROM (SELECT * FROM words WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM words WHERE event_type = 'click') c
+        USING (word_idx)
+    )
+    SELECT CAST(SUM(bit_count(w_and)) AS BIGINT) AS n_both,
+           CAST(SUM(bit_count(w_or)) AS BIGINT) AS n_either_on_shared_words,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_words
+    FROM pc
+    """,
+)
+def s_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: per event type, the audience becomes a
+    packed bitmap (user_id → 63-bit words via a bit_or aggregate — the
+    warehouse bitmap-index layout, same packing as dedup_bloom_prefilter
+    but EXACT, position = identity); intersection and union are then
+    pure bitwise AND/OR + popcount over co-indexed words, no join on
+    users at all. The index answers audience-overlap queries at
+    popcount speed — the structural counterpart of
+    events_audience_overlap (row join) and a_kmv_distinct (sketch).
+    Scale: bitmap size ∝ id-space/8 bytes per type; words shard by
+    word_idx, so the AND/OR is an equi-join on a dense small key."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(F.col("event_type").isin("purchase", "click", "signup"))
+        .select(
+            "event_type",
+            (F.col("user_id") / 63).cast("long").alias("word_idx"),
+            # 63-bit words: bit 63 is the BIGINT sign bit and DuckDB
+            # (correctly) rejects 1<<63 as signed overflow — capping the
+            # shift at 62 keeps the packing portable across engines
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    words = b.groupBy("event_type", "word_idx").agg(
+        F.bit_or("bit").alias("w")
+    )
+    p = words.filter(F.col("event_type") == "purchase").select(
+        "word_idx", F.col("w").alias("wp")
+    )
+    c = words.filter(F.col("event_type") == "click").select(
+        "word_idx", F.col("w").alias("wc")
+    )
+    pc = p.join(c, "word_idx").select(
+        F.col("wp").bitwiseAND(F.col("wc")).alias("w_and"),
+        F.col("wp").bitwiseOR(F.col("wc")).alias("w_or"),
+    )
+    return pc.agg(
+        F.sum(F.bit_count("w_and")).cast("long").alias("n_both"),
+        F.sum(F.bit_count("w_or")).cast("long").alias("n_either_on_shared_words"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+    )
