@@ -3204,24 +3204,31 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asg = lloyd_assign(e, _SD_K, _SD_ITERS)
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
-    a = asg.select(
+    # norms once per DOC, not per pair (the oracle's nv column): the
+    # pair stage then pays one dot product per pair instead of three
+    withn = asg.withColumn("nv", norm(F.col("v")))
+    a = withn.select(
         F.col("vec_id").alias("va"),
         F.col("cluster_id").alias("ca"),
         F.col("v").alias("ea"),
+        F.col("nv").alias("na"),
     )
-    bb = asg.select(
+    bb = withn.select(
         F.col("vec_id").alias("vb"),
         F.col("cluster_id").alias("cb"),
         F.col("v").alias("eb"),
+        F.col("nv").alias("nb"),
     )
     drops = (
         a.join(
             bb,
             (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")),
         )
-        .filter(cosine(F.col("ea"), F.col("eb")) >= _SD_T)
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) >= _SD_T
+        )
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
