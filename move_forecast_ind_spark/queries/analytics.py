@@ -3785,3 +3785,67 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- preference queries: 2-D skyline (Pareto frontier) ----------------------
+
+
+@register(
+    "o_skyline_pareto",
+    tags=("analytics", "window", "preference"),
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS monetary
+      FROM orders GROUP BY 1
+    ),
+    by_x AS (
+      SELECT freq, MAX(monetary) AS maxy FROM pts GROUP BY 1
+    ),
+    lvl AS (
+      SELECT freq, maxy,
+             MAX(maxy) OVER (ORDER BY freq DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS maxy_higher
+      FROM by_x
+    )
+    SELECT p.o_custkey, p.freq, p.monetary
+    FROM pts p JOIN lvl ON p.freq = lvl.freq
+    WHERE (lvl.maxy_higher IS NULL OR p.monetary > lvl.maxy_higher)
+      AND p.monetary >= lvl.maxy
+    """,
+)
+def o_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) over customers scored by order
+    frequency × total spend: the preference-query operator (Börzsönyi et
+    al. 2001) returning every customer not dominated on both axes. NOT
+    the quadratic NOT-EXISTS formulation — the sort-based one: collapse
+    to per-frequency maxima, then a running max over descending
+    frequency marks each level's bar; a point survives iff it clears the
+    bar of all strictly-better frequencies and is its own level's
+    maximum (ties at the frontier corner all survive, per the
+    ≥-all/&gt;-one domination definition). Scale: one per-customer
+    aggregate, one tiny per-level frame with an ordered window — the
+    d>2 generalization block-partitions on a grid, the standard trade."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        (F.floor(F.sum("o_totalprice") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "monetary"
+        ),
+    )
+    by_x = pts.groupBy("freq").agg(F.max("monetary").alias("maxy"))
+    w = Window.orderBy(F.col("freq").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = by_x.withColumn("maxy_higher", F.max("maxy").over(w))
+    return (
+        pts.join(F.broadcast(lvl), "freq")
+        .filter(
+            (F.col("maxy_higher").isNull() | (F.col("monetary") > F.col("maxy_higher")))
+            & (F.col("monetary") >= F.col("maxy"))
+        )
+        .select("o_custkey", "freq", "monetary")
+    )
