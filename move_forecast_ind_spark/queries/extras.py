@@ -1020,3 +1020,65 @@ def s_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("w_or")).cast("long").alias("n_either_on_shared_words"),
         F.count(F.lit(1)).cast("long").alias("n_shared_words"),
     )
+
+
+@register(
+    "f_parse_url",
+    tags=("scalar", "url"),
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://www.example.com/' || lang
+               || '/article/' || CAST(doc_id % 83 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                    THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           'www.example.com' AS host,
+           '/' || lang || '/article/' || CAST(doc_id % 83 AS VARCHAR) AS path,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) END
+             AS query,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) END
+             AS ref_param,
+           CASE WHEN doc_id % 4 = 0 THEN 'sec2' END AS fragment
+    FROM urls JOIN documents USING (doc_id)
+    """,
+)
+def f_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction through Spark's built-in `parse_url`
+    (HOST / PATH / QUERY / QUERY:key / REF) over the same synthesized
+    messy URLs corpus_url_canonical_dedup canonicalizes. The oracle
+    states each component closed-form from the synthesis rule, so hash
+    equality proves parse_url's actual parse agrees with the URL
+    grammar — the structured sibling of the regex canonicalizer. Pure
+    map stage, codegen'd, no Python."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.example.com/"),
+        F.col("lang"),
+        F.lit("/article/"),
+        (F.col("doc_id") % 83).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias(
+            "ref_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+    )
