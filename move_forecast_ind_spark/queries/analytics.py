@@ -3849,3 +3849,116 @@ def o_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "freq", "monetary")
     )
+
+
+# --- econometrics: price elasticity of demand -------------------------------
+
+
+@register(
+    "ml_price_elasticity",
+    tags=("ml", "statistics", "classic"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           FLOOR(regr_slope(ln(CAST(l_quantity AS DOUBLE)),
+                            ln(l_extendedprice / l_quantity))
+                 * 1e6 + 0.5) / 1e6 AS elasticity,
+           FLOOR(regr_r2(ln(CAST(l_quantity AS DOUBLE)),
+                         ln(l_extendedprice / l_quantity))
+                 * 1e6 + 0.5) / 1e6 AS fit_r2
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+    GROUP BY 1
+    """,
+)
+def ml_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per return-flag segment: the log-log
+    regression slope ∂ln(q)/∂ln(p) over (unit price, quantity) pairs —
+    the canonical econometric coefficient (elastic below −1, inelastic
+    above), fitted with the built-in regr_* aggregates in one grouped
+    pass. TPC-H's synthetic independence shows up honestly as slope ≈ 0
+    with tiny R² — the estimator exposes that the generator priced
+    without demand response, which is exactly what the diagnostic is
+    for. Map-side combinable; no windows."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    lnq = F.log(F.col("l_quantity").cast("double"))
+    lnp = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            r6_(F.regr_slope(lnq, lnp)).alias("elasticity"),
+            r6_(F.regr_r2(lnq, lnp)).alias("fit_r2"),
+        )
+    )
+
+
+# --- dedup observability: similarity histogram ------------------------------
+
+
+@register(
+    "dedup_similarity_histogram",
+    tags=("dedup", "corpus", "observability"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jac
+      FROM common
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+    )
+    SELECT LEAST(CAST(FLOOR(jac * 10) AS INT), 9) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(MIN(jac) * 1e4 + 0.5) / 1e4 AS min_jaccard,
+           FLOOR(MAX(jac) * 1e4 + 0.5) / 1e4 AS max_jaccard
+    FROM j GROUP BY 1
+    """,
+)
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-mass histogram of the verified near-dup pairs (0.1-wide
+    Jaccard bands): the observability view that tells an operator where
+    the corpus's duplication lives relative to the 0.5 threshold — mass
+    piled at the boundary means the threshold (and the LSH banding's
+    recall at that threshold) is load-bearing; mass at 0.9+ means dedup
+    decisions are insensitive to it. Runs the exact verifier (same plan
+    as dedup_ngram_jaccard) and reduces to ≤10 band rows — at 100 TB
+    this is the cheap audit run BEFORE committing to a banding scheme."""
+    tune(spark)
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    banded = pairs.select(
+        F.least(F.floor(jac * 10).cast("int"), F.lit(9)).alias("band"),
+        jac.alias("jac"),
+    )
+    r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        r4_(F.min("jac")).alias("min_jaccard"),
+        r4_(F.max("jac")).alias("max_jaccard"),
+    )
