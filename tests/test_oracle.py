@@ -49,3 +49,35 @@ def test_entry_smoke(spark):
     assert len(df.columns) >= 2
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_invariants():
+    """Registry hygiene the driver and judge rely on: every query has a
+    non-empty docstring (the round-2 finding), every bench entry has an
+    oracle (the bench compares against DuckDB live), oracle SQL is
+    non-empty where present, and the driver front references only
+    registered names."""
+    from move_forecast_ind_spark.queries.registry import _DRIVER_FRONT
+
+    for name, spec in REGISTRY.items():
+        assert spec.doc.strip(), f"{name}: empty docstring"
+        if spec.oracle is not None:
+            assert spec.oracle.strip(), f"{name}: blank oracle"
+        if spec.bench:
+            assert spec.oracle is not None, f"{name}: bench without oracle"
+    missing = [n for n in _DRIVER_FRONT if n not in REGISTRY]
+    assert not missing, f"driver front references unknown queries: {missing}"
+
+
+def test_registry_rows_only_set_is_stable():
+    """Exactly the five documented non-SQL-expressible entries lack
+    oracles — a new rows-only query must be a deliberate decision, not a
+    forgotten oracle."""
+    rows_only = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+    assert rows_only == [
+        "ml_forecast_fourier",
+        "ml_mllib_global_forecast",
+        "ml_train_fourier",
+        "svc_forecast_batch",
+        "svc_forecast_request",
+    ]
