@@ -1229,3 +1229,165 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upsample_factor"
         ),
     )
+
+
+@register(
+    "corpus_heaps_law",
+    tags=("corpus", "text", "statistics"),
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tok,
+             COUNT(DISTINCT CASE WHEN f.first_doc = t.doc_id
+                                 THEN t.tok END) AS n_new_types
+      FROM tok t JOIN first_seen f ON t.tok = f.tok
+      GROUP BY 1
+    ),
+    curve AS (
+      SELECT SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(n_new_types) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_types
+      FROM per_doc
+    )
+    SELECT CAST(MAX(cum_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum_types) AS BIGINT) AS vocab_size,
+           FLOOR(regr_slope(ln(CAST(cum_types AS DOUBLE)),
+                            ln(CAST(cum_tokens AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS heaps_beta,
+           FLOOR(exp(regr_intercept(ln(CAST(cum_types AS DOUBLE)),
+                                    ln(CAST(cum_tokens AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS heaps_k
+    FROM curve
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β estimated by OLS
+    on the ln-ln cumulative (tokens seen, distinct types seen) curve in
+    doc_id order — natural text sits at β ≈ 0.4-0.6, and the fitted
+    (K, β) extrapolates vocabulary (hence tokenizer and embedding-table
+    cost) to corpus scales you haven't crawled yet; the growth-curve
+    complement of text_zipf_slope's static rank law. New-type counting
+    uses the first-occurrence trick (each type counts once, at its first
+    doc — the w_cumulative_distinct_users pattern), so the running
+    distinct needs no distinct-in-window. Scale: one token aggregate ∝
+    vocabulary + one window over the per-doc frame."""
+    tune(spark)
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tok.join(first_seen, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            # DISTINCT: a type repeating inside its first doc still adds
+            # exactly ONE new vocabulary entry
+            F.countDistinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("tok"))
+            ).alias("n_new_types"),
+        )
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_doc.select(
+        F.sum("n_tok").over(w).alias("cum_tokens"),
+        F.sum("n_new_types").over(w).alias("cum_types"),
+    )
+    lnty = F.log(F.col("cum_types").cast("double"))
+    lnto = F.log(F.col("cum_tokens").cast("double"))
+    return curve.agg(
+        F.max("cum_tokens").cast("long").alias("n_tokens"),
+        F.max("cum_types").cast("long").alias("vocab_size"),
+        (F.floor(F.regr_slope(lnty, lnto) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "heaps_beta"
+        ),
+        (
+            F.floor(F.exp(F.regr_intercept(lnty, lnto)) * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("heaps_k"),
+    )
+
+
+@register(
+    "text_good_turing_unseen",
+    tags=("corpus", "text", "statistics"),
+    oracle=r"""
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    freq_of_freq AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY 1
+    ),
+    agg AS (
+      SELECT SUM(r * n_r) AS n_total,
+             SUM(n_r) AS vocab,
+             COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0) AS n1,
+             COALESCE(MAX(CASE WHEN r = 2 THEN n_r END), 0) AS n2
+      FROM freq_of_freq
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(n1 AS BIGINT) AS hapax_count,
+           FLOOR(CAST(n1 AS DOUBLE) / n_total * 1e6 + 0.5) / 1e6
+             AS unseen_mass,
+           FLOOR(2.0 * n2 / GREATEST(n1, 1) * 1e6 + 0.5) / 1e6
+             AS r1_discounted,
+           FLOOR(CAST(n1 AS DOUBLE) / vocab * 1e6 + 0.5) / 1e6
+             AS hapax_ratio
+    FROM agg
+    """,
+)
+def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency estimation over the corpus unigrams: the
+    unseen-event mass P₀ = N₁/N (hapax count over tokens), the
+    discounted count r* = (r+1)·N_{r+1}/N_r at r=1, and the hapax ratio
+    N₁/V — the smoothing numbers every n-gram LM needs (corpus_unigram/
+    bigram_lm_score use additive smoothing; Good-Turing says how much
+    mass additive smoothing SHOULD be reserving) and, as a data-quality
+    signal, a hapax ratio spike flags OCR noise or boilerplate floods.
+    One token aggregate ∝ vocabulary, then a ≤max-count frequency-of-
+    frequency frame — trivially map-combinable at any scale."""
+    tune(spark)
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    agg = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("n_total"),
+        F.sum("n_r").alias("vocab"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n1"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0)
+        ).alias("n2"),
+    )
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("n1").cast("long").alias("hapax_count"),
+        r6_(F.col("n1").cast("double") / F.col("n_total")).alias("unseen_mass"),
+        r6_(
+            F.lit(2.0) * F.col("n2") / F.greatest(F.col("n1"), F.lit(1))
+        ).alias("r1_discounted"),
+        r6_(F.col("n1").cast("double") / F.col("vocab")).alias("hapax_ratio"),
+    )
