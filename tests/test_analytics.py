@@ -221,3 +221,76 @@ def test_pagerank_is_a_distribution(spark):
     assert abs(total - 1.0) < 1e-5
     floor = 0.15 / n
     assert all(r.pagerank >= floor - 1e-9 for r in rows)
+
+
+def test_attribution_conserves_revenue(spark):
+    """Every purchase is attributed to exactly one channel, so channel
+    revenues and counts must sum to the unfiltered purchase totals."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.analytics import (
+        events_attribution_last_touch,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    out = events_attribution_last_touch(spark, "/root/testdata/sf0.01").collect()
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r.n_purchases for r in out) == purchases.count()
+    total = purchases.agg(F.sum("value")).collect()[0][0]
+    assert abs(sum(r.revenue for r in out) - total) < 0.05 * len(out) + 0.01
+
+
+def test_dau_wau_ordering_invariants(spark):
+    """Trailing-7-day WAU dominates DAU on every day; stickiness ≤ 1."""
+    from move_forecast_ind_spark.queries.analytics import events_dau_wau
+
+    rows = events_dau_wau(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_interval_merge_islands_disjoint(spark):
+    """Merged islands per user are pairwise disjoint in time and account
+    for every source event exactly once."""
+    from move_forecast_ind_spark.queries.analytics import w_interval_merge
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = w_interval_merge(spark, "/root/testdata/sf0.001").collect()
+    ev_count = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert sum(r.n_spans for r in rows) == ev_count
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.start_us, r.end_us))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, "adjacent islands overlap — merge is incomplete"
+
+
+def test_skyline_points_are_mutually_nondominated(spark):
+    """No frontier point may dominate another (≥ both axes, > on one)."""
+    from move_forecast_ind_spark.queries.analytics import o_skyline_pareto
+
+    pts = [
+        (r.freq, r.monetary)
+        for r in o_skyline_pareto(spark, "/root/testdata/sf0.01").collect()
+    ]
+    assert pts
+    for i, (f1, m1) in enumerate(pts):
+        for j, (f2, m2) in enumerate(pts):
+            if i != j:
+                dominates = (f1 >= f2 and m1 >= m2) and (f1 > f2 or m1 > m2)
+                assert not dominates
+
+
+def test_forecast_backtest_shape(spark):
+    """The backtest holds out exactly the last 7 days and produces finite
+    MAEs for both models."""
+    from move_forecast_ind_spark.queries.ml import ml_forecast_backtest
+
+    r = ml_forecast_backtest(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.horizon_days == 7
+    assert r.mae_snaive >= 0 and r.mae_ar1 >= 0
