@@ -3962,3 +3962,88 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4_(F.min("jac")).alias("min_jaccard"),
         r4_(F.max("jac")).alias("max_jaccard"),
     )
+
+
+# --- A/B inference: two-proportion z-test -----------------------------------
+
+
+@register(
+    "a_two_proportion_ztest",
+    tags=("aggregate", "statistics", "inference"),
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             user_id % 2 AS grp,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 14 AS INT) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(converted) AS DOUBLE) AS x
+      FROM assign GROUP BY 1
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+             (a.x + b.x) / (a.n + b.n) AS p_pool
+      FROM s a JOIN s b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           FLOOR(x_a / n_a * 1e6 + 0.5) / 1e6 AS rate_a,
+           FLOOR(x_b / n_b * 1e6 + 0.5) / 1e6 AS rate_b,
+           FLOOR((x_a / n_a - x_b / n_b)
+                 / sqrt(p_pool * (1 - p_pool) * (1 / n_a + 1 / n_b))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM w
+    """,
+)
+def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (≥ 14 purchases — the
+    fixture's per-user event rate is SF-invariant, so this threshold
+    sits near the median and keeps both rates interior; 'ever
+    purchased' would be degenerate at p=1), groups assigned by user_id
+    parity — the A/B-test
+    primitive for RATES, completing the inference kit beside
+    a_welch_ttest (means), a_mann_whitney_u (ranks),
+    a_chi_square_independence (full contingency) and a_ks_two_sample
+    (distributions). Pooled-variance z with exact integer counts; one
+    per-user aggregate then a 2-row join."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    s = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("x"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    w = a.crossJoin(b).withColumn(
+        "p_pool", (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    )
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ra = F.col("x_a") / F.col("n_a")
+    rb = F.col("x_b") / F.col("n_b")
+    z = (ra - rb) / F.sqrt(
+        F.col("p_pool")
+        * (1 - F.col("p_pool"))
+        * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r6_(ra).alias("rate_a"),
+        r6_(rb).alias("rate_b"),
+        r6_(z).alias("z_score"),
+    )

@@ -1391,3 +1391,60 @@ def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r1_discounted"),
         r6_(F.col("n1").cast("double") / F.col("vocab")).alias("hapax_ratio"),
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    tags=("corpus", "sampling"),
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS wt,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1.0) / 1152921504606846977.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, wt,
+             FLOOR(pow(u, 1.0 / wt) * 1e12 + 0.5) / 1e12 AS k
+      FROM w
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k=50 (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each doc draws u from its md5 hash
+    (deterministic, engine-reproducible) and survives by the key u^(1/w)
+    with w = doc length — the one-pass, merge-friendly way to take a
+    length-weighted corpus sample (longer docs proportionally likelier,
+    no replacement, no rand()); the exactly-k counterpart of
+    corpus_quality_resample's Bernoulli thinning. Keys round to 1e-12
+    before ranking (doc_id tie-break) so the engines' pow ulp cannot
+    reorder the boundary. Scale: a map stage + one top-k — no shuffle
+    beyond TakeOrdered; A-ES keys merge across partitions by
+    construction (that is the algorithm's point)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 1152921504606846977.0
+    k = (
+        F.floor(
+            F.pow(u, 1.0 / F.col("n_chars").cast("double")) * 1e12 + F.lit(0.5)
+        )
+        / 1e12
+    )
+    return (
+        docs.select(
+            "doc_id", F.col("n_chars").cast("long").alias("weight"), k.alias("k")
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "weight")
+    )
