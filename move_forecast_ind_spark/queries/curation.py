@@ -2093,3 +2093,108 @@ def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+@register(
+    "a_kmv_merge",
+    tags=("curation", "aggregate", "sketch"),
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    daily_sk AS (
+      SELECT event_type, day, h FROM (
+        SELECT event_type, day, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY h)
+                 AS rk
+        FROM h
+      ) WHERE rk <= 64
+    ),
+    merged AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM (SELECT DISTINCT event_type, h FROM daily_sk)
+      ) WHERE rk <= 64
+    ),
+    direct AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM (SELECT DISTINCT event_type, h FROM h)
+      ) WHERE rk <= 64
+    ),
+    m AS (SELECT event_type, CAST(MAX(rk2) AS INT) AS k_used,
+                 MAX(h) AS kth
+          FROM (SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                         AS rk2
+                FROM merged) GROUP BY 1),
+    d AS (SELECT event_type, MAX(h) AS kth
+          FROM (SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                         AS rk2
+                FROM direct) GROUP BY 1)
+    SELECT m.event_type, m.k_used,
+           m.kth AS merged_kth_hash,
+           d.kth AS direct_kth_hash,
+           m.kth = d.kth AS sketches_identical
+    FROM m JOIN d USING (event_type)
+    """,
+)
+def a_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY, demonstrated in-engine: build a bottom-64
+    sketch per (event_type, day), merge the daily sketches (bottom-64 of
+    their union), and compare against the sketch built directly over the
+    whole period — they are IDENTICAL, because bottom-k of a union of
+    per-partition bottom-ks equals bottom-k of the full set (the lossless
+    merge that makes KMV work map-side at 100 TB: shards sketch locally,
+    the combiner merges O(k) rows per group, nothing rescans). The query
+    emits both k-th hashes and the equality flag per type; the oracle
+    reproduces all three stages."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
+    def bottom_k(df, keys, k=64):
+        w = Window.partitionBy(*keys).orderBy("h")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+
+    daily_sk = bottom_k(h, ["event_type", "day"])
+    merged = bottom_k(
+        daily_sk.select("event_type", "h").distinct(), ["event_type"]
+    )
+    direct = bottom_k(h.select("event_type", "h").distinct(), ["event_type"])
+    wm = Window.partitionBy("event_type").orderBy("h")
+    m = (
+        merged.withColumn("rk2", F.row_number().over(wm))
+        .groupBy("event_type")
+        .agg(F.max("rk2").cast("int").alias("k_used"), F.max("h").alias("mk"))
+    )
+    d = (
+        direct.withColumn("rk2", F.row_number().over(wm))
+        .groupBy("event_type")
+        .agg(F.max("h").alias("dk"))
+    )
+    return m.join(d, "event_type").select(
+        "event_type",
+        "k_used",
+        F.col("mk").alias("merged_kth_hash"),
+        F.col("dk").alias("direct_kth_hash"),
+        (F.col("mk") == F.col("dk")).alias("sketches_identical"),
+    )

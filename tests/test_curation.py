@@ -260,3 +260,72 @@ def test_pixel_stats_no_shuffle(spark):
 
     plan = mm_pixel_stats(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kmv_merge_is_lossless(spark):
+    """Bottom-k of merged per-day sketches must equal the direct sketch
+    for every group — the property that makes KMV map-side mergeable."""
+    from move_forecast_ind_spark.queries.curation import a_kmv_merge
+
+    rows = a_kmv_merge(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(r.sketches_identical for r in rows)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-ES with weight = doc length must overrepresent long docs: the
+    sampled mean weight exceeds the corpus mean (deterministic draw, so
+    this is a fixed fact of the fixture, not a flaky statistic)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.corpus import corpus_weighted_sample
+    from move_forecast_ind_spark.sources import load_table
+
+    sample = corpus_weighted_sample(spark, "/root/testdata/sf0.01")
+    mean_s = sample.agg(F.avg("weight")).collect()[0][0]
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_s > mean_all
+
+
+def test_good_turing_bounds(spark):
+    """Unseen mass and hapax ratio are proper fractions; hapax count
+    agrees with a direct recount."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.text import tokens
+    from move_forecast_ind_spark.queries.corpus import text_good_turing_unseen
+    from move_forecast_ind_spark.sources import load_table
+
+    r = text_good_turing_unseen(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < r.unseen_mass < 1 or r.hapax_count == 0
+    assert 0 <= r.hapax_ratio <= 1
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    direct = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter(F.col("count") == 1)
+        .count()
+    )
+    assert r.hapax_count == direct
+
+
+def test_heaps_beta_in_natural_range(spark):
+    """The fitted Heaps exponent is a proper growth rate (0 < beta < 1)
+    and the reported vocab equals the true distinct-type count."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.text import tokens
+    from move_forecast_ind_spark.queries.corpus import corpus_heaps_law
+    from move_forecast_ind_spark.sources import load_table
+
+    r = corpus_heaps_law(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < r.heaps_beta < 1
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert r.vocab_size == vocab
