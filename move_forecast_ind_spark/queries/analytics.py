@@ -4047,3 +4047,67 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6_(rb).alias("rate_b"),
         r6_(z).alias("z_score"),
     )
+
+
+# --- time-series diagnostics: autocorrelation function ----------------------
+
+
+@register(
+    "ts_autocorrelation",
+    tags=("timeseries", "statistics", "events"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT y,
+             LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+             LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+             LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+             LAG(y, 7) OVER w AS l7
+      FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    long AS (
+      SELECT 1 AS lag, y, l1 AS yl FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL SELECT 2, y, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL SELECT 3, y, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL SELECT 4, y, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL SELECT 5, y, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL SELECT 6, y, l6 FROM lagged WHERE l6 IS NOT NULL
+      UNION ALL SELECT 7, y, l7 FROM lagged WHERE l7 IS NOT NULL
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(corr(y, yl) * 1e6 + 0.5) / 1e6 AS acf
+    FROM long GROUP BY 1
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily series at lags 1-7 — the
+    Box-Jenkins identification diagnostic run BEFORE choosing a model
+    (strong lag-7 → weekly seasonality → ml_seasonal_naive; geometric
+    decay from lag 1 → AR(1) → ml_ar1_forecast; neither → the Fourier
+    tier). Seven LAGs in one window pass, unpivoted, reduced by the
+    built-in corr aggregate. The series frame is one row per day;
+    everything downstream of the first aggregate is negligible at any
+    scale."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y", *[F.lag("y", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    stack_expr = "stack(7, " + ", ".join(
+        f"{k}, l{k}" for k in range(1, 8)
+    ) + ") AS (lag, yl)"
+    long = lagged.select("y", F.expr(stack_expr)).filter(
+        F.col("yl").isNotNull()
+    )
+    return long.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.floor(F.corr("y", "yl") * 1e6 + F.lit(0.5)) / 1e6).alias("acf"),
+    )
