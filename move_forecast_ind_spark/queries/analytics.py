@@ -4111,3 +4111,98 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         (F.floor(F.corr("y", "yl") * 1e6 + F.lit(0.5)) / 1e6).alias("acf"),
     )
+
+
+# --- time-series diagnostics: trend / seasonality strength ------------------
+
+
+@register(
+    "ts_strength_measures",
+    tags=("timeseries", "statistics", "events"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, n,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN AVG(CAST(n AS DOUBLE)) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+      SELECT *, CAST(dayofweek(day) AS INT) AS dow, n - trend AS detr
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    seas0 AS (SELECT dow, AVG(detr) AS s0 FROM dt GROUP BY 1),
+    seas AS (
+      SELECT dow, s0 - (SELECT AVG(s0) FROM seas0) AS seasonal FROM seas0
+    ),
+    parts AS (
+      SELECT d.n, d.trend, s.seasonal,
+             d.n - d.trend - s.seasonal AS resid,
+             d.n - s.seasonal AS deseasonalized,  -- T + R
+             d.n - d.trend AS detrended           -- S + R
+      FROM dt d JOIN seas s USING (dow)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(GREATEST(0, 1 - var_samp(resid) / var_samp(deseasonalized))
+                 * 1e6 + 0.5) / 1e6 AS trend_strength,
+           FLOOR(GREATEST(0, 1 - var_samp(resid) / var_samp(detrended))
+                 * 1e6 + 0.5) / 1e6 AS seasonal_strength
+    FROM parts
+    """,
+)
+def ts_strength_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-based trend and seasonality STRENGTH (Hyndman's tsfeatures
+    measures: 1 − Var(remainder)/Var(deseasonalized) for trend, 1 −
+    Var(remainder)/Var(detrended) for seasonality, clipped at 0) — the
+    two numbers that summarize a decomposition into 'should I model
+    trend/seasonality at all', feeding the same model-choice loop as
+    ts_autocorrelation and ml_forecast_backtest. Reuses
+    ts_stl_decompose's exact component construction over full 7-day
+    windows; single scalar row out."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.avg(F.col("n").cast("double")).over(w),
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    dt = tr.withColumn("dow", F.dayofweek("day")).withColumn(
+        "detr", F.col("n") - F.col("trend")
+    )
+    seas0 = dt.groupBy("dow").agg(F.avg("detr").alias("s0"))
+    grand = seas0.agg(F.avg("s0").alias("g"))
+    seas = seas0.crossJoin(F.broadcast(grand)).select(
+        "dow", (F.col("s0") - F.col("g")).alias("seasonal")
+    )
+    parts = dt.join(F.broadcast(seas), "dow").select(
+        (F.col("n") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        (F.col("n") - F.col("seasonal")).alias("deseasonalized"),  # T + R
+        (F.col("n") - F.col("trend")).alias("detrended"),  # S + R
+    )
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        r6_(
+            F.greatest(
+                F.lit(0),
+                1 - F.var_samp("resid") / F.var_samp("deseasonalized"),
+            )
+        ).alias("trend_strength"),
+        r6_(
+            F.greatest(
+                F.lit(0),
+                1 - F.var_samp("resid") / F.var_samp("detrended"),
+            )
+        ).alias("seasonal_strength"),
+    )
