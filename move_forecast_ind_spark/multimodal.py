@@ -290,11 +290,14 @@ def decode_bmp_pixels(payload: bytes):
         pix = np.frombuffer(
             payload[offset : offset + stride * height], dtype=np.uint8
         ).reshape(height, stride)[:, :width]
+        if flip:
+            pix = pix[::-1]
+        # palette lookup stays inside the try: a truncated palette plus
+        # out-of-range pixel indices must yield None (junk tolerance), not
+        # an IndexError that fails the whole mapInPandas batch
+        return palette[pix]
     except Exception:
         return None
-    if flip:
-        pix = pix[::-1]
-    return palette[pix]
 
 
 PIXEL_SCHEMA = (

@@ -903,6 +903,25 @@ def f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DERBY_QUERY_DB: str | None = None
+
+
+def _derby_query_db() -> str:
+    """Per-process singleton Derby database path for `s_jdbc_roundtrip`
+    (removed at interpreter exit): one temp directory per sweep, not one
+    per invocation."""
+    global _DERBY_QUERY_DB
+    if _DERBY_QUERY_DB is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="derby_q_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _DERBY_QUERY_DB = root + "/db"
+    return _DERBY_QUERY_DB
+
+
 @register(
     "s_jdbc_roundtrip",
     tags=("source", "jdbc"),
@@ -926,13 +945,15 @@ def s_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-side oracle proves the full JDBC write→store→scan round trip
     preserves the data. Embedded Derby is driver-JVM-local — correct for
     local[N]; a cluster points the identical calls at a networked URL
-    (the reference's Postgres, reference main.py:56-66)."""
-    import tempfile
-
+    (the reference's Postgres, reference main.py:56-66). The Derby
+    database directory is a per-process singleton (created once, removed
+    at interpreter exit) so repeated registry/bench/correctness sweeps
+    re-use one database — the write is mode=overwrite, making the whole
+    query idempotent — instead of leaking a temp directory per call."""
     from ..sources.formats import derby_url, jdbc_table, jdbc_write
 
     tune(spark)
-    url = derby_url(tempfile.mkdtemp(prefix="derby_q_") + "/db")
+    url = derby_url(_derby_query_db())
     nation = load_table(spark, sf_dir, "nation")
     jdbc_write(nation, url, "nation")
     back = jdbc_table(spark, url, "nation")

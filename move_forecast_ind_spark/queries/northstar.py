@@ -981,7 +981,7 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok, df,
            FLOOR(var_all / mean_all * 1e6 + 0.5) / 1e6 AS burstiness
     FROM stats
-    ORDER BY var_all / mean_all DESC, tok
+    ORDER BY FLOOR(var_all / mean_all * 1e6 + 0.5) DESC, tok
     LIMIT 25
     """,
 )
