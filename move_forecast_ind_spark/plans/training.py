@@ -43,6 +43,14 @@ Z80 = 1.2815515655446004  # 80% two-sided upper quantile of N(0,1)
 _YEAR_DAYS = 365.25
 _WEEK_DAYS = 7.0
 
+# Trend feature is t / T_SCALE so every design-matrix column is O(1): the
+# quantized fit (train_models_q) stores features on an integer 1e-6 grid and
+# accumulates exact int64 moments — bounded only if features are O(1).
+T_SCALE = 1000.0
+F_GRID = 1e6  # feature fixed-point grid
+Y_GRID = 1e3  # target fixed-point grid
+MIN_OBS_Q = 30  # quantized tier needs a well-determined 12-coeff system
+
 MODEL_SCHEMA = "branch long, coeffs array<double>, sigma double, n_obs long"
 
 
@@ -50,16 +58,26 @@ def n_features() -> int:
     return 2 + 2 * YEARLY_K + 2 * WEEKLY_K  # intercept, trend, fourier pairs
 
 
-def _feature_matrix(t: np.ndarray) -> np.ndarray:
-    cols = [np.ones_like(t, dtype=np.float64), t.astype(np.float64)]
+def fourier_freqs() -> list[float]:
+    """Angular frequencies in feature order (yearly then weekly pairs).
+    Computed with the exact same float expression everywhere (numpy fit,
+    Spark scoring literals, DuckDB oracle literals via repr round-trip)."""
+    ws = []
     for k in range(1, YEARLY_K + 1):
-        w = 2.0 * math.pi * k / _YEAR_DAYS
-        cols.append(np.sin(w * t))
-        cols.append(np.cos(w * t))
+        ws.append(2.0 * math.pi * k / _YEAR_DAYS)
     for k in range(1, WEEKLY_K + 1):
-        w = 2.0 * math.pi * k / _WEEK_DAYS
-        cols.append(np.sin(w * t))
-        cols.append(np.cos(w * t))
+        ws.append(2.0 * math.pi * k / _WEEK_DAYS)
+    return ws
+
+
+def _feature_matrix(t: np.ndarray) -> np.ndarray:
+    cols = [
+        np.ones_like(t, dtype=np.float64),
+        t.astype(np.float64) / T_SCALE,
+    ]
+    for w in fourier_freqs():
+        cols.append(np.sin(t.astype(np.float64) * w))
+        cols.append(np.cos(t.astype(np.float64) * w))
     return np.column_stack(cols)
 
 
@@ -100,16 +118,107 @@ def feature_expr(ds: Column) -> Column:
     """The scoring-side feature vector as a pure column expression — must
     mirror :func:`_feature_matrix` exactly."""
     t = F.datediff(ds, F.lit(EPOCH).cast("date")).cast("double")
-    feats = [F.lit(1.0), t]
-    for k in range(1, YEARLY_K + 1):
-        w = 2.0 * math.pi * k / _YEAR_DAYS
-        feats.append(F.sin(t * w))
-        feats.append(F.cos(t * w))
-    for k in range(1, WEEKLY_K + 1):
-        w = 2.0 * math.pi * k / _WEEK_DAYS
+    feats = [F.lit(1.0), t / F.lit(T_SCALE)]
+    for w in fourier_freqs():
         feats.append(F.sin(t * w))
         feats.append(F.cos(t * w))
     return F.array(*feats)
+
+
+def gauss_jordan_solve(xtx, xty) -> list[float]:
+    """No-pivot Gauss-Jordan elimination on the augmented normal-equation
+    system, in plain IEEE-754 doubles with a FIXED operation order:
+    new[i][j] = old[i][j] - old[i][k] * old[k][j] / old[k][k], row k kept.
+    The DuckDB oracle unrolls the identical steps as chained CTEs
+    (queries/ml.py), so — given the bit-identical integer moments the
+    quantized design guarantees — both engines walk the exact same doubles
+    and the solution hashes equal. X'X is symmetric positive-definite for
+    any full-rank design, so the unpivoted elimination is stable
+    (Cholesky-style positive pivots)."""
+    p = len(xty)
+    a = [
+        [float(xtx[i][j]) for j in range(p)] + [float(xty[i])]
+        for i in range(p)
+    ]
+    for k in range(p):
+        old = a
+        piv = old[k][k]
+        a = [row[:] for row in old]
+        for i in range(p):
+            if i == k:
+                continue
+            vik = old[i][k]
+            for j in range(p + 1):
+                a[i][j] = old[i][j] - vik * old[k][j] / piv
+    return [a[i][p] / a[i][i] for i in range(p)]
+
+
+def train_models_q(
+    daily: DataFrame,  # branch, ds (date), y (double)
+    cutoff: str,
+    min_obs: int = MIN_OBS_Q,
+) -> DataFrame:
+    """The CROSS-ENGINE-DETERMINISTIC tier of the per-branch Fourier OLS
+    (same model family and applyInPandas topology as :func:`train_models`,
+    same reference citation pretrain_models.py:18-33), built so a DuckDB
+    oracle can reproduce the coefficients bit-for-bit:
+
+    1. features and targets are quantized to integer fixed-point grids
+       (features ×1e6, y ×1e3) — the quantization floor absorbs libm
+       sin/cos ulp differences between engines;
+    2. the normal-equation moments X'X / X'y are EXACT int64 sums of those
+       integers — order-independent, so engine aggregation order is moot;
+    3. the 12×12 solve is an unpivoted Gauss-Jordan in doubles with a fixed
+       op order (:func:`gauss_jordan_solve`) — identical inputs + identical
+       op sequence = identical IEEE results on any engine.
+
+    ``min_obs`` guards invertibility: the quantized tier refuses branches
+    with fewer than 30 observations instead of emitting a rank-deficient
+    garbage fit (the lstsq tier keeps the reference's permissive >=2 guard
+    via the min-norm solution). Coefficients are for the SCALED feature
+    vector (trend per ``T_SCALE`` days); scoring uses the same features, so
+    forecasts are parameterization-invariant."""
+    p = n_features()
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ds")
+        if len(pdf) < min_obs:
+            return pd.DataFrame(
+                columns=["branch", "coeffs", "sigma", "n_obs"]
+            ).astype({"branch": "int64", "sigma": "float64", "n_obs": "int64"})
+        t = (pd.to_datetime(pdf["ds"]) - pd.Timestamp(EPOCH)).dt.days.to_numpy()
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        X = _feature_matrix(t)
+        Xq = np.floor(X * F_GRID + 0.5).astype(np.int64)
+        yq = np.floor(y * Y_GRID + 0.5).astype(np.int64)
+        xtx = Xq.T @ Xq  # exact: |entries| <= n * (1.9e6)^2 << 2^63
+        xty = Xq.T @ yq
+        yty = int(yq @ yq)
+        beta_int = gauss_jordan_solve(xtx, xty)
+        # beta_int solves the quantized system (features ×1e6, y ×1e3), so
+        # coefficients on the unquantized scaled features are ×(1e6/1e3).
+        coeffs = [b * (F_GRID / Y_GRID) for b in beta_int]
+        lin = 0.0
+        for i in range(p):
+            lin += float(xty[i]) * beta_int[i]
+        quad = 0.0
+        for i in range(p):
+            for j in range(p):
+                quad += float(xtx[i][j]) * beta_int[i] * beta_int[j]
+        rss_q = float(yty) - 2.0 * lin + quad
+        dof = max(len(y) - p, 1)
+        sigma = math.sqrt(max(rss_q, 0.0) / (Y_GRID * Y_GRID) / dof)
+        return pd.DataFrame(
+            {
+                "branch": [int(pdf["branch"].iloc[0])],
+                "coeffs": [coeffs],
+                "sigma": [sigma],
+                "n_obs": [len(y)],
+            }
+        )
+
+    filtered = daily.filter(F.col("ds") <= F.lit(cutoff).cast("date"))
+    return filtered.groupBy("branch").applyInPandas(fit, schema=MODEL_SCHEMA)
 
 
 def score(models: DataFrame, frame: DataFrame) -> DataFrame:

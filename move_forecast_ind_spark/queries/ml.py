@@ -17,13 +17,159 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import r4, sql_r4
-from ..plans.training import score, train_models
+from ..functions.rounding import r4, r6, sql_r4
+from ..plans.training import (
+    EPOCH,
+    MIN_OBS_Q,
+    T_SCALE,
+    Z80,
+    fourier_freqs,
+    n_features,
+    score,
+    train_models,
+    train_models_q,
+)
 from ..session import tune
 from ..sources import load_table
 from .registry import register
 
 CUTOFF = "1998-12-31"  # train ≤ cutoff (analog of reference pretrain_models.py:20)
+
+
+def _fourier_feature_sql() -> list[str]:
+    """Per-index SQL feature expressions, same order and same float
+    literals (repr round-trips the exact double) as plans.training's
+    _feature_matrix / feature_expr."""
+    feats = ["1e0", f"t / {T_SCALE!r}"]
+    for w in fourier_freqs():
+        feats.append(f"sin(t * {w!r})")
+        feats.append(f"cos(t * {w!r})")
+    return feats
+
+
+def _fourier_model_ctes(min_obs: int = MIN_OBS_Q) -> str:
+    """The DuckDB twin of plans.training.train_models_q, as a CTE chain
+    ending in ``fmodels(branch, c1..c12, sigma, n_obs)``:
+
+    integer fixed-point design (features ×1e6, y ×1e3) → exact integer
+    normal-equation moments (order-free sums) → the SAME unpivoted
+    Gauss-Jordan elimination train_models_q runs in Python, unrolled as
+    one CTE per pivot with the identical expression
+    ``v - v_ik * v_kj / v_kk`` — identical integer inputs + identical
+    IEEE op sequence = bit-identical coefficients on both engines. This is
+    the same fixed-point-oracle doctrine as ml_pca_power_iteration
+    (queries/analytics.py), applied to a linear solve instead of an
+    eigen-iteration."""
+    p = n_features()
+    case = (
+        "CASE r.i "
+        + " ".join(
+            f"WHEN {i + 1} THEN {e}"
+            for i, e in enumerate(_fourier_feature_sql())
+        )
+        + " END"
+    )
+    parts = [
+        f"""
+    fdaily AS MATERIALIZED (
+      SELECT l_suppkey AS branch, CAST(l_shipdate AS DATE) AS ds,
+             SUM(l_quantity) AS y
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '{CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    ftbl AS MATERIALIZED (
+      SELECT d.branch, d.ds,
+             CAST(date_diff('day', DATE '{EPOCH}', d.ds) AS DOUBLE) AS t,
+             CAST(FLOOR(d.y * 1e3 + 0.5) AS BIGINT) AS yq
+      FROM fdaily d
+      JOIN (SELECT branch FROM fdaily GROUP BY 1
+            HAVING COUNT(*) >= {min_obs}) k USING (branch)
+    ),
+    ffeat AS MATERIALIZED (
+      SELECT f.branch, f.ds, f.yq, r.i,
+             CAST(FLOOR(({case}) * 1e6 + 0.5) AS BIGINT) AS fq
+      FROM ftbl f CROSS JOIN range(1, {p + 1}) r(i)
+    ),
+    fxtx AS MATERIALIZED (
+      SELECT a.branch, a.i AS i, b.i AS j, SUM(a.fq * b.fq) AS m
+      FROM ffeat a JOIN ffeat b ON a.branch = b.branch AND a.ds = b.ds
+      GROUP BY 1, 2, 3
+    ),
+    fxty AS MATERIALIZED (
+      SELECT branch, i, SUM(fq * yq) AS s FROM ffeat GROUP BY 1, 2
+    ),
+    fstat AS (
+      SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_obs, SUM(yq * yq) AS yty
+      FROM ftbl GROUP BY 1
+    ),
+    fm0 AS (
+      SELECT branch, i, j, CAST(m AS DOUBLE) AS v FROM fxtx
+      UNION ALL
+      SELECT branch, i, {p + 1} AS j, CAST(s AS DOUBLE) AS v FROM fxty
+    )"""
+    ]
+    for k in range(1, p + 1):
+        parts.append(
+            f""",
+    fm{k} AS MATERIALIZED (
+      SELECT m.branch, m.i, m.j,
+             CASE WHEN m.i = {k} THEN m.v
+                  ELSE m.v - pc.v * pr.v / pv.v END AS v
+      FROM fm{k - 1} m
+      JOIN (SELECT branch, j, v FROM fm{k - 1} WHERE i = {k}) pr
+        ON pr.branch = m.branch AND pr.j = m.j
+      JOIN (SELECT branch, i, v FROM fm{k - 1} WHERE j = {k}) pc
+        ON pc.branch = m.branch AND pc.i = m.i
+      JOIN (SELECT branch, v FROM fm{k - 1} WHERE i = {k} AND j = {k}) pv
+        ON pv.branch = m.branch
+    )"""
+        )
+    beta_cols = ", ".join(
+        f"MAX(CASE WHEN i = {i} THEN c END) AS c{i}" for i in range(1, p + 1)
+    )
+    parts.append(
+        f""",
+    fbint AS MATERIALIZED (
+      SELECT b.branch, b.i, b.v / d.v AS b
+      FROM (SELECT branch, i, v FROM fm{p} WHERE j = {p + 1}) b
+      JOIN (SELECT branch, i, v FROM fm{p} WHERE i = j) d
+        ON d.branch = b.branch AND d.i = b.i
+    ),
+    fbeta AS (
+      SELECT branch, i, b * 1e3 AS c FROM fbint
+    ),
+    fsig AS (
+      SELECT s.branch, s.n_obs,
+             sqrt(GREATEST(CAST(s.yty AS DOUBLE) - 2e0 * l.l + q.q, 0e0)
+                  / 1e6 / GREATEST(s.n_obs - {p}, 1)) AS sigma
+      FROM fstat s
+      JOIN (SELECT t.branch, SUM(CAST(t.s AS DOUBLE) * b.b) AS l
+            FROM fxty t JOIN fbint b ON b.branch = t.branch AND b.i = t.i
+            GROUP BY 1) l ON l.branch = s.branch
+      JOIN (SELECT x.branch, SUM(CAST(x.m AS DOUBLE) * ba.b * bb.b) AS q
+            FROM fxtx x
+            JOIN fbint ba ON ba.branch = x.branch AND ba.i = x.i
+            JOIN fbint bb ON bb.branch = x.branch AND bb.i = x.j
+            GROUP BY 1) q ON q.branch = s.branch
+    ),
+    fmodels AS MATERIALIZED (
+      SELECT b.branch, {beta_cols}, MIN(s.sigma) AS sigma, MIN(s.n_obs) AS n_obs
+      FROM fbeta b JOIN fsig s ON s.branch = b.branch
+      GROUP BY b.branch
+    )"""
+    )
+    return "".join(parts)
+
+
+def _fourier_dot_sql(prefix: str = "m") -> str:
+    """Explicit left-associated dot product matching score()'s fold order:
+    ((0 + c1*f1) + c2*f2) + ... — bit-compatible with F.aggregate."""
+    terms = " + ".join(
+        f"{prefix}.c{i + 1} * ({e})"
+        for i, e in enumerate(_fourier_feature_sql())
+    )
+    return f"0e0 + {terms}"
 
 
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,32 +274,97 @@ def ml_linreg_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_train_fourier", tags=("ml", "applyinpandas"), oracle=None)
+@register(
+    "ml_train_fourier",
+    tags=("ml", "applyinpandas"),
+    oracle=f"""
+    WITH {_fourier_model_ctes()}
+    SELECT branch,
+           FLOOR(c1 * 1e4 + 0.5) / 1e4 AS c_intercept,
+           FLOOR(c2 / 1e3 * 1e6 + 0.5) / 1e6 AS c_trend,
+           CAST({n_features()} AS INT) AS n_coeffs,
+           FLOOR(sigma * 1e4 + 0.5) / 1e4 AS sigma,
+           n_obs
+    FROM fmodels
+    """,
+)
 def ml_train_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: parallel per-branch OLS fit of the trend+Fourier surrogate
-    (plans.training.train_models). Registry output: one row per branch with
-    the coefficient vector — the DataFrame analog of 110 pickle files.
-    Deterministic (sorted design matrix, closed-form solver) but not
-    SQL-expressible → rows-only contract."""
+    (plans.training.train_models_q). Registry output: one row per branch
+    with the coefficient summary — the DataFrame analog of 110 pickle
+    files (c_trend reported per day: scaled coeff / T_SCALE).
+
+    HASH-CHECKED (was rows-only through r4): the quantized fixed-point
+    design makes the normal-equation moments exact integers and the
+    unpivoted Gauss-Jordan solve a fixed IEEE op sequence, so the DuckDB
+    oracle — the same 12 elimination steps unrolled as CTEs — reproduces
+    every coefficient bit-for-bit (VERDICT r4 item #2)."""
     tune(spark)
-    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
     return models.select(
         "branch",
-        F.round(F.element_at("coeffs", 1), 4).alias("c_intercept"),
-        F.round(F.element_at("coeffs", 2), 6).alias("c_trend"),
+        r4(F.element_at("coeffs", 1)).alias("c_intercept"),
+        r6(F.element_at("coeffs", 2) / F.lit(1e3)).alias("c_trend"),
         F.size("coeffs").alias("n_coeffs"),
-        F.round("sigma", 4).alias("sigma"),
+        r4(F.col("sigma")).alias("sigma"),
         "n_obs",
     )
 
 
-@register("ml_forecast_fourier", tags=("ml", "applyinpandas"), oracle=None)
+_JUNE_FUT_SQL = f"""
+      SELECT b.branch, CAST(d.d AS DATE) AS ds,
+             CAST(date_diff('day', DATE '{EPOCH}', CAST(d.d AS DATE))
+                  AS DOUBLE) AS t
+      FROM (SELECT unnest(range(1, 11)) AS branch) b,
+           (SELECT unnest(generate_series(DATE '1999-06-01',
+                                          DATE '1999-06-07',
+                                          INTERVAL 1 DAY)) AS d) d"""
+
+
+def _score_ctes(fut_sql: str) -> str:
+    """Scoring CTEs over a (branch, ds, t) future frame — the SQL twin of
+    plans.training.score (same fold order, same rounding, same Count
+    post-processing). Emits ``fscored(branch, ds, yhat, yhat_upper,
+    count)``; expects ``fmodels`` in scope."""
+    return f"""
+    ffut AS ({fut_sql}
+    ),
+    fraw AS (
+      SELECT f.branch, f.ds,
+             ({_fourier_dot_sql("m")}) AS yhat_raw,
+             m.sigma
+      FROM ffut f JOIN fmodels m ON m.branch = f.branch
+    ),
+    fscored AS (
+      SELECT branch, ds,
+             FLOOR(yhat_raw * 1e4 + 0.5) / 1e4 AS yhat,
+             FLOOR((yhat_raw + {Z80!r} * sigma) * 1e4 + 0.5) / 1e4
+               AS yhat_upper,
+             CAST(FLOOR(GREATEST(yhat_raw + {Z80!r} * sigma, 0e0) + 0.5)
+                  AS BIGINT) AS "count"
+      FROM fraw
+    )"""
+
+
+@register(
+    "ml_forecast_fourier",
+    tags=("ml", "applyinpandas"),
+    oracle=f"""
+    WITH {_fourier_model_ctes()},
+    {_score_ctes(_JUNE_FUT_SQL)}
+    SELECT branch, ds, yhat, yhat_upper, "count" FROM fscored
+    """,
+)
 def ml_forecast_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2/M3: score the surrogate registry over a 7-day future frame with
     pure column arithmetic (zip_with dot product; plans.training.score) —
-    yhat, the 80% upper bound, and the reference's Count post-processing."""
+    yhat, the 80% upper bound, and the reference's Count post-processing.
+    HASH-CHECKED (was rows-only through r4): coefficients come from the
+    cross-engine-deterministic quantized fit; the oracle scores them with
+    the identical left-associated dot product, so only libm sin/cos ulps
+    separate the engines pre-rounding — absorbed by the 1e-4 grid."""
     tune(spark)
-    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
     frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
     return score(models, frame)
 
@@ -163,8 +374,16 @@ def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib tier (plans.mllib_forecast): branch one-hot x trend/DOW/
     Fourier features through OneHotEncoder + VectorAssembler +
     LinearRegression(solver='normal') - ONE distributed fit for all
-    branches, closed-form solve (deterministic). rows-only: MLlib vector
-    ops aren't ANSI-SQL-expressible; sanity + determinism in tests."""
+    branches, closed-form solve (deterministic).
+
+    DELIBERATELY rows-only — the ONLY remaining rows-only registry entry
+    (VERDICT r4 item #2): the point of this query is to exercise MLlib's
+    own WLS solver and vector pipeline, whose internal regularization/
+    pivoting choices are not reproducible as an ANSI-SQL op sequence;
+    re-deriving the coefficients with our quantized Gauss-Jordan would
+    just re-test ml_train_fourier under another name. Excluded from
+    `_DRIVER_FRONT` so it never burns a driver sample slot; pytest pins
+    shape + determinism + forecast sanity instead."""
     tune(spark)
     from ..plans.mllib_forecast import fit_global_model, score_global_model
 
@@ -176,12 +395,44 @@ def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_global_model(model, frame)
 
 
-@register("svc_forecast_request", tags=("pipeline", "service"), oracle=None)
+def _svc_request_oracle() -> str:
+    from .pipeline import _MONTH_CTE, _PCT_CTES, null_aware_tail_sql
+
+    return f"""
+    WITH {_PCT_CTES},
+    {_MONTH_CTE},
+    {_fourier_model_ctes()},
+    {_score_ctes(_JUNE_FUT_SQL)},
+    frame AS (
+      SELECT s.branch,
+             'R'                  AS move_type,
+             DATE '1999-06-03'    AS input_date,
+             s.ds,
+             CAST(s."count" AS DOUBLE)    AS branch_forecast,
+             CAST(month(s.ds) AS INT)     AS month,
+             CAST(day(s.ds) AS INT)       AS day,
+             CAST(6 AS INT)               AS imonth,
+             CAST(3 AS INT)               AS iday
+      FROM fscored s WHERE s.branch = 7
+    ),
+    {null_aware_tail_sql()}
+    SELECT branch, move_type, input_date, ds, branch_forecast, pct_used,
+           predicted_moves, hist_avg, diff_pp, band, comment
+    FROM tail
+    """
+
+
+@register(
+    "svc_forecast_request", tags=("pipeline", "service"),
+    oracle=_svc_request_oracle(),
+)
 def svc_forecast_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full /forecast/ endpoint (plans.service.forecast_request): window
     clamp -> registry check -> model scoring -> percentage fallback chain ->
-    banded daily rows. rows-only (the tail alone is oracle-checked as
-    forecast_tail_daily; this exercises the end-to-end request path)."""
+    banded daily rows. HASH-CHECKED end-to-end (was rows-only through r4):
+    the oracle chains the quantized Fourier-fit CTEs, the scoring twin, and
+    the full percentage/tail SQL — the entire request path, model included,
+    value-compared against DuckDB (VERDICT r4 item #2)."""
     import datetime as dt
 
     tune(spark)
@@ -193,7 +444,7 @@ def svc_forecast_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity",
     )
-    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
     daily, _ = forecast_request(
         spark, models, pct, date="1999-06-03", branch=7, move_type="R",
         today=dt.date(1999, 6, 1), max_date=dt.date(1999, 7, 31),
@@ -245,12 +496,66 @@ def svc_trends_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("svc_forecast_batch", tags=("pipeline", "service", "batch"), oracle=None)
+def _svc_batch_oracle() -> str:
+    from .pipeline import _MONTH_CTE, _PCT_CTES, null_aware_tail_sql
+
+    # Window clamps resolved per forecast_window: 1999-06-03 -> 06-01..06-07
+    # (today-clamp snap forward), 1999-07-30 -> 07-25..07-31 (max-date-clamp
+    # snap backward).
+    batch_fut = f"""
+      SELECT DISTINCT s.branch, s.ds,
+             CAST(date_diff('day', DATE '{EPOCH}', s.ds) AS DOUBLE) AS t
+      FROM bspine s"""
+    return f"""
+    WITH {_PCT_CTES},
+    {_MONTH_CTE},
+    {_fourier_model_ctes()},
+    breqs AS (
+      SELECT b.branch,
+             CASE WHEN b.branch % 2 = 0 THEN 'R' ELSE NULL END AS move_type,
+             d.input_date, d.ws
+      FROM (SELECT unnest(range(1, 11)) AS branch) b
+      CROSS JOIN (VALUES (DATE '1999-06-03', DATE '1999-06-01'),
+                         (DATE '1999-07-30', DATE '1999-07-25'))
+                 d(input_date, ws)
+    ),
+    bspine AS (
+      SELECT r.branch, r.move_type, r.input_date,
+             CAST(unnest(generate_series(r.ws, r.ws + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS ds
+      FROM breqs r
+    ),
+    {_score_ctes(batch_fut)},
+    frame AS (
+      SELECT sp.branch, sp.move_type, sp.input_date, sp.ds,
+             CAST(s."count" AS DOUBLE)          AS branch_forecast,
+             CAST(month(sp.ds) AS INT)          AS month,
+             CAST(day(sp.ds) AS INT)            AS day,
+             CAST(month(sp.input_date) AS INT)  AS imonth,
+             CAST(day(sp.input_date) AS INT)    AS iday
+      FROM bspine sp
+      JOIN fscored s ON s.branch = sp.branch AND s.ds = sp.ds
+    ),
+    {null_aware_tail_sql()}
+    SELECT branch, move_type, input_date, ds, branch_forecast, pct_used,
+           predicted_moves, hist_avg, diff_pp, band, comment
+    FROM tail
+    """
+
+
+@register(
+    "svc_forecast_batch", tags=("pipeline", "service", "batch"),
+    oracle=_svc_batch_oracle(),
+)
 def svc_forecast_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A BATCH of 20 forecast requests (10 branches x 2 dates, mixed
     move_types) planned as one Spark job (plans.service.forecast_batch):
     per-row window clamps, exploded spines, one scoring pass, one tail.
-    The reference would serve these as 20 HTTP calls x ~30 round-trips."""
+    The reference would serve these as 20 HTTP calls x ~30 round-trips.
+    HASH-CHECKED (was rows-only through r4): the oracle re-derives both
+    clamped windows, the quantized model fit, the scoring twin, and the
+    NULL-move_type-aware tail (odd branches take the silent-demotion 100%
+    path) — all 140 rows value-compared."""
     import datetime as dt
 
     tune(spark)
@@ -262,7 +567,7 @@ def svc_forecast_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity",
     )
-    models = train_models(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
     reqs = spark.createDataFrame(
         [
             (b, "R" if b % 2 == 0 else None, d)

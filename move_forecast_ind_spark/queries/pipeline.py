@@ -158,6 +158,81 @@ _TAIL_SQL = f"""
     )"""
 
 
+def null_aware_tail_sql(frame: str = "frame") -> str:
+    """The FULL forecast-tail oracle fragment, NULL-move_type aware —
+    mirrors plans.forecast_tail.forecast_tail exactly (100% path, NULL
+    hist_avg, zero diff_pp, the no-move-type phrase). Expects the ``pct``
+    and ``month_pct`` CTEs plus a ``{frame}`` CTE with columns
+    (branch, move_type, input_date, ds, branch_forecast, month, day,
+    imonth, iday); emits joined/scaled/banded/tail CTEs."""
+    from ..plans.forecast_tail import NO_MOVE_TYPE_PHRASE
+
+    pct_used = (
+        "CASE WHEN move_type IS NULL THEN 1e2 "
+        "ELSE COALESCE(scale_day_avg, scale_month_avg, 1e0) END"
+    )
+    implied = (
+        "CASE WHEN branch_forecast > 0 "
+        "THEN predicted_moves / branch_forecast * 1e2 ELSE 0e0 END"
+    )
+    return f"""
+    joined AS (
+      SELECT f.branch, f.move_type, f.input_date, f.ds, f.branch_forecast,
+             f.month, f.day,
+             sp.avg_percentage        AS scale_day_avg,
+             sm.month_avg_percentage  AS scale_month_avg,
+             p.avg_percentage,
+             m.month_avg_percentage
+      FROM {frame} f
+      LEFT JOIN pct sp
+        ON f.branch = sp.branch AND f.move_type = sp.move_type
+       AND f.imonth = sp.month AND f.iday = sp.day
+      LEFT JOIN month_pct sm
+        ON f.branch = sm.branch AND f.move_type = sm.move_type
+       AND f.imonth = sm.month
+      LEFT JOIN pct p
+        ON f.branch = p.branch AND f.move_type = p.move_type
+       AND f.month = p.month AND f.day = p.day
+      LEFT JOIN month_pct m
+        ON f.branch = m.branch AND f.move_type = m.move_type
+       AND f.month = m.month
+    ),
+    scaled AS (
+      SELECT branch, move_type, input_date, ds, branch_forecast, month, day,
+             {pct_used} AS pct_used,
+             CAST(FLOOR(GREATEST(({pct_used}) / 1e2 * branch_forecast,
+                                 0e0) + 0.5) AS BIGINT) AS predicted_moves,
+             CASE WHEN move_type IS NULL THEN NULL
+                  ELSE COALESCE(avg_percentage, month_avg_percentage, 1e0)
+             END AS hist_avg
+      FROM joined
+    ),
+    banded AS (
+      SELECT *,
+             {implied} AS implied,
+             CASE WHEN move_type IS NULL THEN 0e0
+                  ELSE FLOOR((({implied}) - hist_avg) * 1e4 + 0.5) / 1e4
+             END AS diff_pp
+      FROM scaled
+    ),
+    tail AS (
+      SELECT branch, move_type, input_date, ds,
+             FLOOR(branch_forecast * 1e2 + 0.5) / 1e2   AS branch_forecast,
+             FLOOR(pct_used * 1e4 + 0.5) / 1e4          AS pct_used,
+             predicted_moves,
+             FLOOR(hist_avg * 1e4 + 0.5) / 1e4          AS hist_avg,
+             diff_pp,
+             {_BAND_SQL}                                AS band,
+             CASE WHEN move_type IS NULL THEN '{NO_MOVE_TYPE_PHRASE}'
+                  ELSE {_phrase_sql(_BAND_SQL, "(branch * 31 + month * 7 + day) % 3")}
+                    || ' (' || printf('%.1f', FLOOR(hist_avg * 1e1 + 0.5) / 1e1)
+                    || '% hist, ' || printf('%.1f', FLOOR(implied * 1e1 + 0.5) / 1e1)
+                    || '% now)'
+             END                                        AS comment
+      FROM banded
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # J4: the percentage ETL — one join instead of the 4-level loop.
 # ---------------------------------------------------------------------------

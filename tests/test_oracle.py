@@ -70,14 +70,10 @@ def test_registry_invariants():
 
 
 def test_registry_rows_only_set_is_stable():
-    """Exactly the five documented non-SQL-expressible entries lack
-    oracles — a new rows-only query must be a deliberate decision, not a
+    """Exactly ONE documented non-SQL-expressible entry lacks an oracle
+    (round 5: the Fourier/service queries gained fixed-point unrolled-CTE
+    oracles; MLlib's internal solver stays rows-only by design — see its
+    docstring). A new rows-only query must be a deliberate decision, not a
     forgotten oracle."""
     rows_only = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
-    assert rows_only == [
-        "ml_forecast_fourier",
-        "ml_mllib_global_forecast",
-        "ml_train_fourier",
-        "svc_forecast_batch",
-        "svc_forecast_request",
-    ]
+    assert rows_only == ["ml_mllib_global_forecast"]

@@ -48,6 +48,12 @@ def server(spark):
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
+    # Unpersist: a cached lineitem would make every later scan of the same
+    # parquet an InMemoryRelation, hiding PushedFilters from the
+    # plan-shape tests (order-dependent cross-test leak).
+    ctx.models.unpersist()
+    ctx.pct.unpersist()
+    li.unpersist()
 
 
 def _post(url: str, path: str, body: dict):
