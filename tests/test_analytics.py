@@ -294,3 +294,47 @@ def test_forecast_backtest_shape(spark):
     r = ml_forecast_backtest(spark, "/root/testdata/sf0.01").collect()[0]
     assert r.horizon_days == 7
     assert r.mae_snaive >= 0 and r.mae_ar1 >= 0
+
+
+def test_semdedup_cap_fences_runaway_cluster(spark):
+    """Adversarial max-cluster fence (VERDICT r4 item #6): ALL vectors in
+    one cluster, identical (cosine 1.0 for every pair). Without the fence
+    the pair stage is O(n²) and keeps exactly 1 doc; with cap=10 the
+    cluster sub-bands into ceil(100/10)=10 hash blocks, the worst join
+    block is ~(n/blocks)², and exactly one survivor per non-empty block
+    is kept."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.analytics import semdedup_drop_pairs
+
+    n, cap = 100, 10
+    withn = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.lit(0).alias("cluster_id"),
+            F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("v"),
+        )
+        .withColumn("nv", F.sqrt(F.lit(1.0 + 4.0 + 9.0)))
+    )
+    # fence active: survivors = one per non-empty hash block (> 1, <= blocks)
+    drops = semdedup_drop_pairs(withn, 0.97, cap)
+    kept = n - drops.count()
+    n_blocks_used = (
+        withn.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit((n + cap - 1) // cap)
+            ).alias("blk")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept == n_blocks_used and 1 < kept <= (n + cap - 1) // cap
+    # fence dormant (cap >= cluster size): exact semantics, single survivor
+    drops_nofence = semdedup_drop_pairs(withn, 0.97, n)
+    assert n - drops_nofence.count() == 1
