@@ -149,10 +149,18 @@ def jaccard_pairs(
     # sibling columns are evaluated per OUTPUT row — measured 6.1 s vs
     # 0.65 s at sf0.1 for this one select (the same trap _shingle_sets
     # documents for minhash).
+    # The index keys shingles by their 64-bit xxhash, not the string:
+    # the posting shuffle moves 8-byte longs instead of ~20-byte k-gram
+    # strings and the groupBy hashes longs (round-5 A/B at sf0.1:
+    # 2.36 → 2.11 s steady). A hash collision would merge two shingles'
+    # posting lists (overcounting n_common for their docs); with ~2.6e5
+    # distinct shingles per 0.1 SF against a 2^64 space the collision
+    # probability is ≪ 1e-8 — and the per-doc set sizes in the pk bits
+    # are still computed from the distinct string shingles.
     pk_arr = F.transform(
         "shs",
         lambda s: F.struct(
-            s.alias("sh"),
+            F.xxhash64(s).alias("sh"),
             (
                 F.col("doc_id").cast("long") * F.lit(1 << _NBITS)
                 + F.size("shs").cast("long")
