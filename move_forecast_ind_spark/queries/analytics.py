@@ -1632,7 +1632,7 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
-def lloyd_assign(e, k: int, iters: int):
+def lloyd_assign(e, k: int, iters: int, pre_materialized: bool = False):
     """Cross-engine-deterministic Lloyd's k-means assignment over any
     (vec_id, v: array<double>) frame — the shared engine behind
     ml_kmeans_fixed_point and corpus_semdedup. Contract (mirrored by the
@@ -1641,18 +1641,36 @@ def lloyd_assign(e, k: int, iters: int):
     (absorbing sum-order noise); distance ties break by centroid id;
     empty clusters carry their previous centroid; ``iters`` assignment
     rounds = ``iters − 1`` mean updates (the returned assignment uses
-    the last updated centroids). Per iteration: assignment is a MAP
-    stage (centroids ride along as literals via the x·x − 2x·c + c·c
-    expansion), the update is one (cluster, dim) aggregate, and only the
-    k×d quantized centroid table reaches the driver."""
-    import math
+    the last updated centroids).
 
-    spark = e.sparkSession
+    Round-5 topology: the WHOLE iteration chains lazily inside one plan —
+    per-round centroids are a k-row frame pivoted into one broadcast
+    array row, the mean update and its fixed-point snap run in-plan, and
+    NOTHING reaches the driver between rounds (the r4 shape paid one
+    collect-job per round; A/B at sf0.1: kmeans 2.9 → 1.6 s, identical
+    assignments). Catalyst's ReuseExchange dedupes the doubled lineage
+    (each round's centroid frame feeds both the next assignment and the
+    empty-cluster COALESCE). ``e`` is consumed once per round, so it is
+    checkpointed here unless the caller already did
+    (``pre_materialized=True``). Per round at cluster scale: one corpus
+    scan (assignment map) + one (k×d)-keyed aggregate — driver state: 0."""
+    from ..operators.materialize import materialize
+    from pyspark.sql.window import Window
+
     e = e.select("vec_id", "v")
-    init = e.orderBy("vec_id").limit(k).collect()
-    cents = [
-        [int(math.floor(x * 1e6 + 0.5)) for x in r["v"]] for r in init
-    ]
+    if not pre_materialized:
+        e = materialize(e, "lloyd-vecs")
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cid"),
+            F.transform(
+                "v", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("c"),
+        )
+    )
 
     self_dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
@@ -1660,41 +1678,31 @@ def lloyd_assign(e, k: int, iters: int):
         lambda acc, x: acc + x,
     )
 
-    def assign(frame):
-        # Centroids ride along as ONE broadcast data row (array of structs
-        # ordered by cid, each with the dequantized vector and its Python-
-        # summed self-dot) instead of plan literals: the plan SHAPE is now
-        # identical across rounds, so whole-stage codegen compiles once
-        # (round-5 A/B at sf0.1: 1.35 s/round → ~0.3 s/round). Arithmetic
-        # is element-for-element the round-4 expression — zip_with product,
-        # left fold from 0.0, first-min index == lowest-cid tie-break.
-        cents_row = spark.createDataFrame(
-            [
-                (
-                    [
-                        (
-                            [y / 1e6 for y in c],
-                            sum((y / 1e6) * (y / 1e6) for y in c),
-                        )
-                        for c in cents
-                    ],
-                )
-            ],
-            "cents array<struct<cd: array<double>, cc: double>>",
+    def dequant(c):
+        return F.transform(c, lambda y: y.cast("double") / F.lit(1e6))
+
+    def assign(cents):
+        # k-row centroid frame → ONE broadcast array row sorted by cid
+        # (struct sort = cid-first), so position-1 in the distance array
+        # IS the centroid id and first-min keeps the lowest-cid tie-break.
+        crow = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
         )
         dists = F.transform(
             F.col("cents"),
             lambda s: F.col("xx")
             - 2
             * F.aggregate(
-                F.zip_with(F.col("v"), s["cd"], lambda a, b: a * b),
+                F.zip_with(F.col("v"), dequant(s["c"]), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            + s["cc"],
+            + F.aggregate(
+                dequant(s["c"]), F.lit(0.0), lambda acc, y: acc + y * y
+            ),
         )
         return (
-            frame.crossJoin(F.broadcast(cents_row))
+            e.crossJoin(F.broadcast(crow))
             .withColumn("xx", self_dot)
             .select(
                 "vec_id",
@@ -1706,26 +1714,28 @@ def lloyd_assign(e, k: int, iters: int):
         )
 
     for _ in range(iters - 1):
-        upd = (
-            assign(e)
+        u = (
+            assign(cents)
             .select("cluster_id", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster_id", "i")
             .agg(F.avg("x").alias("m"))
-            .collect()
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: F.floor(s["m"] * 1e6 + F.lit(0.5)).cast("long"),
+                ).alias("cu")
+            )
         )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in upd:
-            by_c.setdefault(r["cluster_id"], {})[r["i"]] = r["m"]
-        cents = [
-            [
-                int(math.floor(by_c[j][i] * 1e6 + 0.5))
-                for i in range(len(cents[j]))
-            ]
-            if j in by_c
-            else cents[j]
-            for j in range(k)
-        ]
-    return assign(e)
+        cents = (
+            cents.alias("p")
+            .join(u, F.col("p.cid") == u["cluster_id"], "left")
+            .select(
+                F.col("p.cid").alias("cid"),
+                F.coalesce(u["cu"], F.col("p.c")).alias("c"),
+            )
+        )
+    return assign(cents)
 
 
 @register(
@@ -3329,7 +3339,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "semdedup-vecs",
     )
-    asg = lloyd_assign(e, _SD_K, _SD_ITERS)
+    asg = lloyd_assign(e, _SD_K, _SD_ITERS, pre_materialized=True)
 
     from ..functions.vectors import norm
 
