@@ -3512,7 +3512,7 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
         )
-        r = materialize(
+        r_next = (
             nodes.crossJoin(F.broadcast(nn))
             .crossJoin(F.broadcast(dm))
             .join(inc, nodes["user_id"] == inc["dst"], "left")
@@ -3533,8 +3533,17 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     / 1e9
                 ).alias("r"),
-            ),
-            label=f"pr_iter{t}",
+            )
+        )
+        # Checkpoint every SECOND round: two lazy rounds chain fine
+        # (ReuseExchange dedupes r's dm/inc double-consumption), halving
+        # the job-floor count; longer chains regress (A/B at sf0.1:
+        # every-round 5.73 s, every-2nd 5.37 s, every-4th 6.6 s — the
+        # unmaterialized broadcast(r) recompute outgrows the savings).
+        r = (
+            materialize(r_next, label=f"pr_iter{t}")
+            if (t % 2 == 1 or t == _PR_ITERS - 1)
+            else r_next
         )
     return (
         nodes.join(deg, nodes["user_id"] == deg["src"], "left")
