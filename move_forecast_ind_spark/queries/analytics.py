@@ -1758,7 +1758,12 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    asg = lloyd_assign(e, _KM_K, _KM_ITERS)
+    # pre_materialized: e is a pruned columnar scan (vec_id + embedding
+    # only) — re-scanning it per assignment round beats a checkpoint
+    # (materialize()'s documented "none" case; A/B at sf0.1:
+    # 1.3 s vs 1.49 s). Derived/expression-heavy inputs (semdedup's BoW
+    # chain) still checkpoint.
+    asg = lloyd_assign(e, _KM_K, _KM_ITERS, pre_materialized=True)
     return asg.join(e.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "cluster_id"
     )
