@@ -304,6 +304,52 @@ PIXEL_SCHEMA = (
     "doc_id long, n_pixels long, pixel_sum long, pixel_min int, pixel_max int"
 )
 
+AHASH_GRID = 6  # 6×6 sampled grid → 36-bit hash (fits a signed long)
+
+
+def ahash_real(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """Perceptual AVERAGE-HASH from the REAL decoded raster (the standard
+    cheap image near-dup fingerprint): nearest-neighbor-sample the pixel
+    grid at (i·h/G, j·w/G), threshold each sample against the sampled
+    mean, pack the bits row-major into one long. Sampling (not block
+    means) keeps every grid cell defined for images smaller than the
+    grid, and keeps the whole computation integer-exact up to one
+    float division — which is what lets a SQL oracle reproduce the hash
+    bit-for-bit from the fixture's closed-form raster. Junk payloads
+    yield a null hash instead of failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for k in range(len(pdf)):
+                raw = bytes(pdf["payload"].iloc[k])
+                px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_bmp_pixels(raw)
+                ids.append(int(pdf["doc_id"].iloc[k]))
+                if px is None or px.size == 0:
+                    hashes.append(None)
+                    continue
+                h, w = px.shape
+                samples = [
+                    int(px[(i * h) // grid][(j * w) // grid])
+                    for i in range(grid)
+                    for j in range(grid)
+                ]
+                mean = sum(samples) / float(grid * grid)
+                bits = 0
+                for idx, v in enumerate(samples):
+                    if v > mean:
+                        bits |= 1 << idx
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": ids, "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, ahash long"
+    )
+
 
 def pixel_stats_real(media: DataFrame) -> DataFrame:
     """REAL pixel-level feature extraction via mapInPandas: rasterizes the

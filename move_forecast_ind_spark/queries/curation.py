@@ -2003,6 +2003,75 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_ahash_dedup",
+    tags=("curation", "multimodal", "dedup"),
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id,
+             CAST(1 + d.doc_id % 16 AS BIGINT)         AS w,
+             CAST(1 + (d.doc_id // 16) % 16 AS BIGINT) AS h
+      FROM documents d
+    ),
+    s AS (
+      SELECT g.doc_id, i.range AS i, j.range AS j,
+             CAST(((i.range * g.h) // 6 + (j.range * g.w) // 6 + g.doc_id)
+                  % 256 AS BIGINT) AS v
+      FROM g CROSS JOIN range(6) i CROSS JOIN range(6) j
+    ),
+    m AS (SELECT doc_id, SUM(v) / 36.0 AS mean_v FROM s GROUP BY 1),
+    hs AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN s.v > m.mean_v
+                      THEN CAST(1 AS BIGINT) << CAST(s.i * 6 + s.j AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS ahash
+      FROM s JOIN m USING (doc_id)
+      GROUP BY 1
+    ),
+    cl AS (
+      SELECT ahash, MIN(doc_id) AS keeper_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM hs GROUP BY 1
+    )
+    SELECT h.doc_id, h.ahash, cl.keeper_doc_id, cl.n_copies,
+           (h.doc_id <> cl.keeper_doc_id) AS is_dup
+    FROM hs h JOIN cl USING (ahash)
+    """,
+)
+def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via perceptual average-hash over the REAL decoded
+    bytes — the multimodal arm of the dedup cascade: synthesize one
+    genuine PNG per doc (filter types cycling), zlib-inflate + unfilter
+    back to pixels in Arrow batches (multimodal.decode_png_pixels),
+    sample a 6×6 grid, threshold against the sampled mean, pack 36 bits,
+    then group equal hashes (keeper = min doc_id). The fixture raster is
+    a pure function of doc_id, so docs congruent mod 256 with equal
+    dimensions are pixel-identical images and MUST land in one cluster —
+    and the DuckDB oracle rebuilds every hash closed-form and checks all
+    of it bit-for-bit (a wrong filter inverse, sample index, or
+    threshold flips some hash). Scale: decode+hash is map-only over the
+    binary column; the dedup is one (hash)-keyed shuffle — same contract
+    as exact_dedup, with Hamming-band buckets (simhash-style) as the
+    near-match extension path."""
+    tune(spark)
+    from ..multimodal import ahash_real, synthesize_png_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(docs, "doc_id", filter_mode="cycle")
+    ah = ahash_real(media)
+    cl = ah.groupBy("ahash").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return ah.join(cl, "ahash").select(
+        "doc_id",
+        "ahash",
+        "keeper_doc_id",
+        "n_copies",
+        (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup"),
+    )
+
+
 # --- KMV (k-minimum-values) distinct sketch ---------------------------------
 
 

@@ -102,3 +102,24 @@ def test_header_parse_agrees_with_raster_dims():
         assert M.parse_image_header(png) == (w, h, "png")
         px = M.decode_png_pixels(png)
         assert px.shape == (h, w)
+
+
+def test_ahash_groups_pixel_identical_images(spark):
+    """Docs congruent mod 256 with equal dimensions are pixel-identical
+    PNGs in the fixture (raster = f(doc_id % 256, dims = f(doc_id % 256)))
+    — the average-hash MUST put each such pair in one cluster, and the
+    clustering must be non-trivial (hashes do distinguish images)."""
+    from move_forecast_ind_spark.queries.curation import mm_ahash_dedup
+
+    rows = mm_ahash_dedup(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {r.doc_id: r for r in rows}
+    pairs = 0
+    for d, r in by_doc.items():
+        other = by_doc.get(d + 256)
+        if other is not None:
+            pairs += 1
+            assert r.ahash == other.ahash, (d, r.ahash, other.ahash)
+            assert r.keeper_doc_id == other.keeper_doc_id
+            assert other.is_dup  # the higher id is never the keeper
+    assert pairs > 100  # the fixture really exercises the property
+    assert len({r.ahash for r in rows}) > 50  # and hashes discriminate
