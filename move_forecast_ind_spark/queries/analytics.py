@@ -1632,7 +1632,13 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
-def lloyd_assign(e, k: int, iters: int, pre_materialized: bool = False):
+def lloyd_assign(
+    e,
+    k: int,
+    iters: int,
+    pre_materialized: bool = False,
+    ckpt_every: int | None = None,
+):
     """Cross-engine-deterministic Lloyd's k-means assignment over any
     (vec_id, v: array<double>) frame — the shared engine behind
     ml_kmeans_fixed_point and corpus_semdedup. Contract (mirrored by the
@@ -1713,7 +1719,7 @@ def lloyd_assign(e, k: int, iters: int, pre_materialized: bool = False):
             )
         )
 
-    for _ in range(iters - 1):
+    for t in range(iters - 1):
         u = (
             assign(cents)
             .select("cluster_id", F.posexplode("v").alias("i", "x"))
@@ -1735,6 +1741,21 @@ def lloyd_assign(e, k: int, iters: int, pre_materialized: bool = False):
                 F.coalesce(u["cu"], F.col("p.c")).alias("c"),
             )
         )
+        # Each round doubles the lazy lineage (cents feeds the next
+        # assignment AND the coalesce), and AQE does not reuse the
+        # duplicated stages here (verified on the final adaptive plan) —
+        # fully-lazy means 2^rounds corpus scans. At fixture scale scans
+        # are cheaper than job floors, decisively: A/B at sf0.1
+        # ckpt_every=None 1.55 s vs ckpt_every=2 4.51 s (the checkpoint
+        # jobs re-execute the assignment subtrees they cut). A cluster
+        # run — where a corpus scan is hours — sets ckpt_every low so
+        # the worst chain re-executes the corpus boundedly, the same
+        # doctrine as the PageRank cadence; the local default stays
+        # fully lazy.
+        if ckpt_every is not None and (t + 1) % ckpt_every == 0:
+            from ..operators.materialize import materialize as _mat
+
+            cents = _mat(cents, f"lloyd-cents-{t}")
     return assign(cents)
 
 
