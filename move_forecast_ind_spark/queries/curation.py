@@ -2003,11 +2003,11 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_ahash_dedup",
-    tags=("curation", "multimodal", "dedup"),
-    oracle="""
-    WITH g AS (
+# Closed-form replica of multimodal.ahash_real over the fixture raster
+# (pixel (x,y) = (x+y+doc_id) % 256, dims = f(doc_id)): shared by the
+# exact- and near-match ahash oracles. Ends in ``hs(doc_id, ahash)``.
+_AHASH_CTES = """
+    g AS (
       SELECT d.doc_id,
              CAST(1 + d.doc_id % 16 AS BIGINT)         AS w,
              CAST(1 + (d.doc_id // 16) % 16 AS BIGINT) AS h
@@ -2027,7 +2027,14 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE CAST(0 AS BIGINT) END) AS ahash
       FROM s JOIN m USING (doc_id)
       GROUP BY 1
-    ),
+    )"""
+
+
+@register(
+    "mm_ahash_dedup",
+    tags=("curation", "multimodal", "dedup"),
+    oracle=f"""
+    WITH {_AHASH_CTES},
     cl AS (
       SELECT ahash, MIN(doc_id) AS keeper_doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -2069,6 +2076,88 @@ def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc_id",
         "n_copies",
         (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup"),
+    )
+
+
+@register(
+    "mm_ahash_near_pairs",
+    tags=("curation", "multimodal", "dedup", "hamming"),
+    oracle=f"""
+    WITH {_AHASH_CTES},
+    b AS (
+      SELECT doc_id, ahash, r.range AS band,
+             (ahash >> CAST(r.range * 12 AS INT)) & 4095 AS bv
+      FROM hs CROSS JOIN range(3) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+    FROM cand c
+    JOIN hs ha ON ha.doc_id = c.doc_a
+    JOIN hs hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 2
+    """,
+)
+def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by perceptual-hash Hamming distance —
+    the banded tier above mm_ahash_dedup's equal-hash grouping, same
+    candidate doctrine as SimHash: split the 36-bit average-hash into 3
+    bands of 12 bits, bucket on (band, value), expand a<b pairs IN-ROW
+    from each bucket's sorted id list, verify popcount(xor) ≤ 2 on the
+    exact hashes. Pigeonhole-EXACT for radius 2: any pair within
+    Hamming 2 differs in at most 2 of 3 bands, so at least one band
+    matches — no candidate generator misses a true pair, and the verify
+    kills every false one. The hash frame is decoded once from the real
+    PNG bytes and checkpointed (three consumers). Scale: bucketed
+    candidates ∝ true near-dups, one (band, value) shuffle — no
+    all-pairs join; degenerate corpora that flood one bucket take the
+    same max-width fence as the simhash/jaccard buckets."""
+    tune(spark)
+    from ..multimodal import ahash_real, synthesize_png_media
+    from ..operators.dedup import _pairs_in_row
+    from ..operators.materialize import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(docs, "doc_id", filter_mode="cycle")
+    ah = materialize(
+        ahash_real(media).filter(F.col("ahash").isNotNull()), "ahash"
+    )
+    bands = ah.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ahash", 12 * b)
+                        .bitwiseAND(F.lit(4095))
+                        .alias("bv"),
+                    )
+                    for b in range(3)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bv")
+    cand = (
+        bands.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_in_row("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ha = ah.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("h_a"))
+    hb = ah.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("h_b"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
 
 
