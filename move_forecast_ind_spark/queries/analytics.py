@@ -1654,9 +1654,13 @@ def lloyd_assign(
     array row, the mean update and its fixed-point snap run in-plan, and
     NOTHING reaches the driver between rounds (the r4 shape paid one
     collect-job per round; A/B at sf0.1: kmeans 2.9 → 1.6 s, identical
-    assignments). Catalyst's ReuseExchange dedupes the doubled lineage
-    (each round's centroid frame feeds both the next assignment and the
-    empty-cluster COALESCE). ``e`` is consumed once per round, so it is
+    assignments). Measured caveat: each round's centroid frame feeds both
+    the next assignment and the empty-cluster COALESCE, and AQE does NOT
+    reuse the duplicated stages (final-adaptive-plan inspection) — the
+    fully-lazy chain re-executes ~2^rounds small subtrees and still wins
+    locally because scans are cheaper than job floors; ``ckpt_every``
+    bounds the recompute for cluster runs (see the in-loop comment for
+    the A/B numbers). ``e`` is consumed once per round, so it is
     checkpointed here unless the caller already did
     (``pre_materialized=True``). Per round at cluster scale: one corpus
     scan (assignment map) + one (k×d)-keyed aggregate — driver state: 0."""
