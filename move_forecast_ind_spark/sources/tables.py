@@ -55,6 +55,19 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Catalog-style table cache: keyed by (session JVM identity, path). A
+# metastore-backed deployment gets this for free from the catalog —
+# re-resolving the same immutable parquet table re-reads its footer on
+# the DRIVER every time (~0.1 s per call here; a real object store adds
+# a round trip). The cached object is the LAZY DataFrame (an analyzed
+# plan), never data: every action still scans storage, filters still
+# push down, and two callers composing different queries over the same
+# cached frame share nothing but metadata. Fixture tables are immutable
+# for a session; a path whose files change mid-session would need an
+# invalidation hook (the catalog analog: REFRESH TABLE).
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one lake table (filters/pruning push down).
 
@@ -69,9 +82,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_event_ts(df)
+    # applicationId (not Python object id) keys the session: a stopped
+    # session's id() could be reused by the allocator and hand back a
+    # DataFrame bound to a dead JVM.
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_event_ts(df)
+        _TABLE_CACHE[key] = df
     return df
 
 
