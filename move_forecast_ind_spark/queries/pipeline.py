@@ -280,31 +280,32 @@ def pct_month_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # The frame below only touches branches 1-10 in June. Round 4: filter
-    # the FACTS (the filter is on grouping keys, so slicing before the
-    # aggregates is exact) and materialize the ~3k-row slice ONCE — the
-    # percentage build's moves/totals subtrees then aggregate the tiny
-    # checkpoint instead of re-scanning lineitem (month(l_shipdate)=6
-    # cannot push to parquet, so every subtree scan was a full pass:
-    # three full-width scans → one + a type-column-only domain scan).
-    # A/B at sf0.1 (min of 4, interleaved): 0.90-0.94 s → 0.75-0.86 s.
-    # The move-type domain must stay GLOBAL (types_from=li): a type
-    # absent from the June slice still owes zero-percentage rows, which
-    # feed the month-grain average (reference precompute loop domain).
-    facts = materialize(
-        li.filter(
-            F.col("l_suppkey").between(1, 10) & (F.month("l_shipdate") == 6)
-        ),
-        "tail-facts-slice",
+    # The frame below only touches branches 1-10 in June; the filter is
+    # on grouping keys, so slicing before the aggregates is exact.
+    # Round 5 re-measured the r4 facts-slice checkpoint under the new
+    # session tuning (4 MB local scan splits + table-metadata cache):
+    # the checkpoint job now COSTS more than the re-scan it saves —
+    # A/B at sf0.1: both ckpts 1.35 s, facts-lazy + pct-ckpt 0.91 s,
+    # none 0.89 s. The facts slice stays LAZY here (two pruned parallel
+    # scans feed the moves/totals aggregates); on a 100 TB
+    # date-partitioned lake those scans partition-prune on the month
+    # predicate (SCALE.md layout), and a flat lake restores the r4
+    # barrier. The move-type domain must stay GLOBAL (types_from=li): a
+    # type absent from the June slice still owes zero-percentage rows,
+    # which feed the month-grain average (reference precompute loop
+    # domain).
+    facts = li.filter(
+        F.col("l_suppkey").between(1, 10) & (F.month("l_shipdate") == 6)
     )
     pct = compute_percentages(
         facts, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity", types_from=li,
     )
-    # Materialize the ~1.2k-row day-grain slice too: four broadcast
-    # subtrees (two day-grain keyings + two month-grain) otherwise each
-    # re-aggregate it. At 100 TB both barriers are mandatory (SCALE.md);
-    # small-SF and cluster take the same shape.
+    # Materialize the ~1.2k-row day-grain slice: four broadcast subtrees
+    # (two day-grain keyings + two month-grain) otherwise each
+    # re-aggregate it — THIS barrier survives the re-measure (and at
+    # 100 TB it is mandatory: without it every join side re-runs the
+    # fact aggregation).
     pct = materialize(pct, "tail-pct-slice")
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
