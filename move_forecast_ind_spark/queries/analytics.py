@@ -3467,123 +3467,128 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributed through the teleport term, ranks snapped to a 1e-9
     fixed-point grid per iteration so the DuckDB replica walks the
     bit-identical vector — the same engine-native iterative doctrine as
-    lloyd_assign / ml_pca_power_iteration, extended to graphs. Per
-    iteration: one edge-join shuffle keyed by src, one dst aggregate,
-    and two scalar broadcasts (N, dangling mass); the rank frame is
-    materialized each round (lineage cut — on a cluster, the standard
-    iterate-checkpoint pattern). Pair expansion is blocked per
-    (type, hour) bucket, never all-pairs. Co-occurrence graphs at
-    100 TB: cap bucket width (the hot-bucket fence from jaccard_pairs
-    applies verbatim)."""
+    lloyd_assign / ml_pca_power_iteration, extended to graphs.
+
+    Round-5 re-topology (A/B at sf0.1: join-per-iteration 5.8 s → 3.3 s,
+    bit-exact vs the oracle at all three SFs): the graph is compiled ONCE
+    into an index-encoded adjacency-list frame — raw in-bucket ordered
+    pairs, idx-mapped by two map-side broadcast joins, deduped inside a
+    single ``collect_set`` shuffle — and each iteration is then (a) a
+    one-row stats aggregate over the |V|-row rank frame (the sorted
+    contribution array r/deg, the dangling mass, and N, all in ONE
+    broadcast) and (b) a map-only in-row pass over the adjacency arrays
+    (O(1) ``element_at`` per neighbor). Zero joins, zero shuffles per
+    iteration, and the whole 8-round chain stays LAZY — like
+    ``lloyd_assign``, checkpoint cadences were measured and lost
+    (every-2nd 4.2 s, every-4th 3.8 s, lazy 3.3 s).
+
+    100 TB posture: pair expansion is blocked per (type, hour) bucket,
+    never all-pairs (cap bucket width — the hot-bucket fence from
+    jaccard_pairs applies verbatim); the adjacency build is one
+    raw-pair-volume shuffle. The per-iteration rank broadcast is
+    |V|-sized — the same assumption the previous formulation's
+    ``F.broadcast(r)`` join already made (|V| ≪ |E|, vector fits an
+    executor); for billion-node graphs swap the stats broadcast for the
+    shuffle-join-on-src formulation and checkpoint each round (the
+    generic iterate pattern this replaced)."""
     tune(spark)
     from ..operators.materialize import materialize
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).distinct()
-    # Edge build WITHOUT a self-join (round-5 rework, A/B at sf0.1:
-    # 9.9 s → 3.4 s): group each (type, hour) bucket, expand ordered pairs
-    # IN-ROW from the sorted member set (a<b only — half the raw pair
-    # volume), dedup the undirected pair set, then mirror. Same DISTINCT
-    # edge set as the join formulation (oracle unchanged), one shuffle to
-    # buckets + one pair-dedup shuffle, and the bucket rows bound the
-    # expansion exactly like the jaccard posting-list pattern.
-    und = (
+    )
+    idx = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
+        )
+    )
+    # collect_set dedups (user, type, hour) inside the bucket aggregate,
+    # so no standalone ev.distinct() shuffle is needed; the idx joins are
+    # broadcast (map-side) BEFORE the one pair shuffle.
+    pairs = (
         ev.groupBy("event_type", "h")
-        .agg(F.array_sort(F.collect_set("user_id")).alias("us"))
+        .agg(F.collect_set("user_id").alias("us"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(us, (a, i) -> "
-                    "transform(slice(us, i + 2, size(us)), "
+                    "flatten(transform(us, a -> "
+                    "transform(filter(us, b -> b != a), "
                     "b -> struct(a as src, b as dst))))"
                 )
             ).alias("p")
         )
         .select("p.src", "p.dst")
-        .distinct()
-    )
-    und = materialize(und, label="pr_und")
-    # edges stays LAZY: it is a pure union-mirror of the checkpointed
-    # undirected pairs, so each of its ~9 consumers re-reads cheap
-    # checkpoint blocks instead of paying a second |E|-sized checkpoint
-    # write (A/B at sf0.1: 6.85 s → 5.68 s full query).
-    edges = und.union(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nodes = materialize(
-        load_table(spark, sf_dir, "events").select("user_id").distinct(),
-        label="pr_nodes",
-    )
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    deg = materialize(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
-        label="pr_deg",
-    )
-    # The dangling-node set is STATIC: resolve the anti-join once instead
-    # of once per iteration (r4 shape re-joined every round).
-    dang = materialize(
-        nodes.join(deg, nodes["user_id"] == deg["src"], "left_anti"),
-        label="pr_dang",
-    )
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "user_id", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for t in range(_PR_ITERS):
-        dm = (
-            r.join(F.broadcast(dang), "user_id", "left_semi")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        .join(
+            F.broadcast(idx).withColumnsRenamed({"user_id": "src", "i": "si"}),
+            "src",
         )
-        # r and deg are |V|-sized (tiny next to |E|): broadcast both so
-        # the edge scan never shuffles — only the per-dst partial
-        # aggregate does, bounded by |V| keys.
-        inc = (
-            edges.join(F.broadcast(r), edges["src"] == r["user_id"])
-            .join(F.broadcast(deg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        .join(
+            F.broadcast(idx).withColumnsRenamed({"user_id": "dst", "i": "di"}),
+            "dst",
         )
-        r_next = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dm))
-            .join(inc, nodes["user_id"] == inc["dst"], "left")
-            .select(
-                nodes["user_id"],
-                (
-                    F.floor(
-                        (
-                            (1 - _PR_DAMP) / F.col("n")
-                            + _PR_DAMP
-                            * (
-                                F.coalesce(F.col("s"), F.lit(0.0))
-                                + F.col("dm") / F.col("n")
-                            )
-                        )
-                        * 1e9
-                        + F.lit(0.5)
-                    )
-                    / 1e9
-                ).alias("r"),
-            )
-        )
-        # Checkpoint every SECOND round: two lazy rounds chain fine
-        # (ReuseExchange dedupes r's dm/inc double-consumption), halving
-        # the job-floor count; longer chains regress (A/B at sf0.1:
-        # every-round 5.73 s, every-2nd 5.37 s, every-4th 6.6 s — the
-        # unmaterialized broadcast(r) recompute outgrows the savings).
-        r = (
-            materialize(r_next, label=f"pr_iter{t}")
-            if (t % 2 == 1 or t == _PR_ITERS - 1)
-            else r_next
-        )
-    return (
-        nodes.join(deg, nodes["user_id"] == deg["src"], "left")
-        .join(r, "user_id")
+    )
+    adj = pairs.groupBy("si").agg(F.array_sort(F.collect_set("di")).alias("nbrs"))
+    full = materialize(
+        idx.join(adj, idx["i"] == adj["si"], "left")
         .select(
             "user_id",
-            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_degree"),
-            F.col("r").alias("pagerank"),
+            "i",
+            F.coalesce(F.col("nbrs"), F.array().cast("array<int>")).alias("nbrs"),
         )
+        .withColumn("deg", F.size("nbrs"))
+        .repartition(8, "i"),
+        "pr_adj",
+    )
+    n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = full.crossJoin(F.broadcast(n0)).select(
+        "i", "deg", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _t in range(_PR_ITERS):
+        # ONE one-row broadcast per round: carr[i] = r/deg contribution
+        # (0 for dangling nodes — their index is never referenced since
+        # the graph is symmetric), dm = dangling mass, n = |V|.
+        stats = r.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "deg", "r"))),
+                lambda s: F.when(s["deg"] > 0, s["r"] / s["deg"]).otherwise(0.0),
+            ).alias("carr"),
+            F.sum(
+                F.when(F.col("deg") == 0, F.col("r")).otherwise(0.0)
+            ).alias("dm"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        r = full.crossJoin(F.broadcast(stats)).select(
+            "i",
+            "deg",
+            (
+                F.floor(
+                    (
+                        (1 - _PR_DAMP) / F.col("n")
+                        + _PR_DAMP
+                        * (
+                            F.aggregate(
+                                "nbrs",
+                                F.lit(0.0),
+                                lambda acc, nb: acc
+                                + F.element_at(F.col("carr"), nb + 1),
+                            )
+                            + F.col("dm") / F.col("n")
+                        )
+                    )
+                    * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("r"),
+        )
+    return full.join(r.drop("deg"), "i").select(
+        "user_id",
+        F.col("deg").cast("long").alias("out_degree"),
+        F.col("r").alias("pagerank"),
     )
 
 
