@@ -3480,7 +3480,14 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(1) ``element_at`` per neighbor). Zero joins, zero shuffles per
     iteration, and the whole 8-round chain stays LAZY — like
     ``lloyd_assign``, checkpoint cadences were measured and lost
-    (every-2nd 4.2 s, every-4th 3.8 s, lazy 3.3 s).
+    (every-2nd 4.2 s, every-4th 3.8 s, lazy 3.3 s). The adjacency frame
+    itself also stays UNmaterialized: all ~11 consumers sit inside the
+    one final action, where ReuseExchange dedupes the identical
+    adjacency exchange subtree — A/B at sf0.1: localCheckpoint 4.2 s,
+    lazy 1.7-2.2 s (the checkpoint write was pure cost; this is the
+    opposite outcome from semdedup's vector frame, whose consumers span
+    SEPARATE actions). A multi-action cluster variant should restore
+    the checkpoint.
 
     100 TB posture: pair expansion is blocked per (type, hour) bucket,
     never all-pairs (cap bucket width — the hot-bucket fence from
@@ -3492,8 +3499,6 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join-on-src formulation and checkpoint each round (the
     generic iterate pattern this replaced)."""
     tune(spark)
-    from ..operators.materialize import materialize
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     )
@@ -3532,7 +3537,7 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     adj = pairs.groupBy("si").agg(F.array_sort(F.collect_set("di")).alias("nbrs"))
-    full = materialize(
+    full = (
         idx.join(adj, idx["i"] == adj["si"], "left")
         .select(
             "user_id",
@@ -3540,8 +3545,6 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("nbrs"), F.array().cast("array<int>")).alias("nbrs"),
         )
         .withColumn("deg", F.size("nbrs"))
-        .repartition(8, "i"),
-        "pr_adj",
     )
     n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = full.crossJoin(F.broadcast(n0)).select(
