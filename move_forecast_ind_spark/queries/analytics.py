@@ -3357,17 +3357,20 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, lambda c, i: F.when(i.cast("long") == h, c + 1.0).otherwise(c)
         ),
     )
-    from ..operators.materialize import materialize
-
     # e has many consumers (k-means init + per-round updates + the final
     # assignment + the pair stage); without a barrier each one re-inlines
     # the whole tokenize→hash→count chain (CollapseProject — measured
-    # 30 s!). One checkpoint of the 5k×32 vector frame ends that.
-    e = materialize(
-        docs.repartition(F.col("doc_id")).select(
-            F.col("doc_id").alias("vec_id"), v.alias("v")
-        ),
-        "semdedup-vecs",
+    # 30 s! in the r4 explode/groupBy shape). Round-5 continuation: the
+    # barrier is now an EXCHANGE, not a checkpoint — every consumer's
+    # subtree contains the identical repartition Exchange, which
+    # ReuseExchange evaluates once per action (all consumers sit inside
+    # the one final action). A/B at sf0.1: localCheckpoint 1.76 s,
+    # exchange barrier 1.3-1.7 s, and projection-above-exchange beats
+    # computing v below the shuffle (1.64-1.84 s — wide 32-double rows
+    # in the exchange payload). Same lesson as the pagerank adjacency
+    # frame; output verified identical, oracle-checked both SFs.
+    e = docs.repartition(F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id"), v.alias("v")
     )
     asg = lloyd_assign(e, _SD_K, _SD_ITERS, pre_materialized=True)
 
