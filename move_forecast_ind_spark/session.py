@@ -101,6 +101,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # LOCAL-ONLY (this builder always constructs local[N]): shuffle
+        # blocks live on one machine's page cache — lz4 round-trips and
+        # locality-wait scheduling pauses buy nothing here. On a real
+        # cluster BOTH defaults are correct (network shuffle wants
+        # compression; locality wait avoids cross-rack reads) — these are
+        # build-time core confs, so they belong to this local builder, not
+        # to tune(), and a cluster deployment never passes through here.
+        .config("spark.locality.wait", "0s")
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
