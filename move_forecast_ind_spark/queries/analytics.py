@@ -3397,6 +3397,66 @@ _PR_ITERS = 8
 _PR_DAMP = 0.85
 
 
+def _coactivity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-encoded adjacency of the user co-activity graph (users
+    sharing an (event_type, hour) bucket are linked, symmetric,
+    distinct) — the shared graph compiler behind events_pagerank and
+    events_bfs_hops. One frame: (user_id, i, nbrs array<int of i>, deg),
+    built with a single collect_set shuffle (raw in-bucket ordered
+    pairs, idx-mapped by map-side broadcast joins). Stays LAZY: every
+    caller's consumers sit inside one action where ReuseExchange
+    dedupes the adjacency exchange subtree (A/B in events_pagerank's
+    docstring). Pair expansion is bounded per bucket — the hot-bucket
+    fence from jaccard_pairs applies verbatim at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    idx = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
+        )
+    )
+    # collect_set dedups (user, type, hour) inside the bucket aggregate,
+    # so no standalone ev.distinct() shuffle is needed; the idx joins are
+    # broadcast (map-side) BEFORE the one pair shuffle.
+    pairs = (
+        ev.groupBy("event_type", "h")
+        .agg(F.collect_set("user_id").alias("us"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, a -> "
+                    "transform(filter(us, b -> b != a), "
+                    "b -> struct(a as src, b as dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .join(
+            F.broadcast(idx).withColumnsRenamed({"user_id": "src", "i": "si"}),
+            "src",
+        )
+        .join(
+            F.broadcast(idx).withColumnsRenamed({"user_id": "dst", "i": "di"}),
+            "dst",
+        )
+    )
+    adj = pairs.groupBy("si").agg(F.array_sort(F.collect_set("di")).alias("nbrs"))
+    return (
+        idx.join(adj, idx["i"] == adj["si"], "left")
+        .select(
+            "user_id",
+            "i",
+            F.coalesce(F.col("nbrs"), F.array().cast("array<int>")).alias("nbrs"),
+        )
+        .withColumn("deg", F.size("nbrs"))
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unrolled power-iteration replica: same graph construction, same
     1e-9 fixed-point quantization per iteration, same dangling-mass
@@ -3502,53 +3562,7 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join-on-src formulation and checkpoint each round (the
     generic iterate pattern this replaced)."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    )
-    idx = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
-        )
-    )
-    # collect_set dedups (user, type, hour) inside the bucket aggregate,
-    # so no standalone ev.distinct() shuffle is needed; the idx joins are
-    # broadcast (map-side) BEFORE the one pair shuffle.
-    pairs = (
-        ev.groupBy("event_type", "h")
-        .agg(F.collect_set("user_id").alias("us"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(us, a -> "
-                    "transform(filter(us, b -> b != a), "
-                    "b -> struct(a as src, b as dst))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .join(
-            F.broadcast(idx).withColumnsRenamed({"user_id": "src", "i": "si"}),
-            "src",
-        )
-        .join(
-            F.broadcast(idx).withColumnsRenamed({"user_id": "dst", "i": "di"}),
-            "dst",
-        )
-    )
-    adj = pairs.groupBy("si").agg(F.array_sort(F.collect_set("di")).alias("nbrs"))
-    full = (
-        idx.join(adj, idx["i"] == adj["si"], "left")
-        .select(
-            "user_id",
-            "i",
-            F.coalesce(F.col("nbrs"), F.array().cast("array<int>")).alias("nbrs"),
-        )
-        .withColumn("deg", F.size("nbrs"))
-    )
+    full = _coactivity_adjacency(spark, sf_dir)
     n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = full.crossJoin(F.broadcast(n0)).select(
         "i", "deg", (F.lit(1.0) / F.col("n")).alias("r")
@@ -3595,6 +3609,118 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("deg").cast("long").alias("out_degree"),
         F.col("r").alias("pagerank"),
+    )
+
+
+# --- graph traversal: single-source BFS hop counts --------------------------
+
+_BFS_SRC = 0  # source user_id (exists at every fixture SF)
+_BFS_ROUNDS = 4  # ≥ graph diameter at every fixture SF (dense co-activity)
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier replica: same graph construction as the
+    pagerank oracle, then _BFS_ROUNDS relaxation rounds over the -1
+    sentinel distance vector — pure integer arithmetic, exact."""
+    parts = [
+        f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    d0 AS (
+      SELECT user_id,
+             CASE WHEN user_id = {_BFS_SRC} THEN 0 ELSE -1 END AS dist
+      FROM nodes
+    )"""
+    ]
+    for t in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+    f{t} AS (
+      SELECT DISTINCT e.dst
+      FROM edges e JOIN d{t - 1} p ON e.src = p.user_id
+      WHERE p.dist = {t - 1}
+    ),
+    d{t} AS MATERIALIZED (
+      SELECT p.user_id,
+             CASE WHEN p.dist <> -1 THEN p.dist
+                  WHEN f{t}.dst IS NOT NULL THEN {t}
+                  ELSE -1 END AS dist
+      FROM d{t - 1} p LEFT JOIN f{t} ON f{t}.dst = p.user_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT user_id, CAST(NULLIF(dist, -1) AS INT) AS hops
+    FROM d{_BFS_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "events_bfs_hops",
+    tags=("events", "graph", "iterative"),
+    oracle=_bfs_oracle(),
+)
+def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the user co-activity graph: hop distance
+    from user {src} for every user, {rounds} relaxation rounds (≥ the
+    dense fixture graph's diameter), unreachable → NULL. The traversal
+    complement to events_pagerank's centrality and dedup_clusters'
+    connected components, on the same engine-native iterative doctrine:
+    the graph compiles once into the shared index-encoded adjacency
+    (``_coactivity_adjacency``), and each round is ONE one-row broadcast
+    of the distance vector plus a map-only in-row relaxation
+    (``F.exists`` over the adjacency array) — zero joins, zero shuffles
+    per round, all-integer state so the DuckDB frontier replica is
+    exact with no quantization step at all. 100 TB posture: identical
+    to pagerank's (|V|-sized vector broadcast with the
+    shuffle-join-on-frontier formulation as the billion-node fallback);
+    rounds are bounded by the declared constant, and each round's cost
+    is one adjacency scan.""".format(src=_BFS_SRC, rounds=_BFS_ROUNDS)
+    tune(spark)
+    full = _coactivity_adjacency(spark, sf_dir)
+    dist = full.select(
+        "i",
+        "user_id",
+        F.when(F.col("user_id") == _BFS_SRC, F.lit(0))
+        .otherwise(F.lit(-1))
+        .alias("dist"),
+    )
+    for t in range(1, _BFS_ROUNDS + 1):
+        darr = dist.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "dist"))),
+                lambda s: s["dist"],
+            ).alias("darr")
+        )
+        dist = full.crossJoin(F.broadcast(darr)).select(
+            "i",
+            "user_id",
+            F.when(
+                F.element_at(F.col("darr"), F.col("i") + 1) != -1,
+                F.element_at(F.col("darr"), F.col("i") + 1),
+            )
+            .when(
+                F.exists(
+                    "nbrs",
+                    lambda nb: F.element_at(F.col("darr"), nb + 1) == t - 1,
+                ),
+                F.lit(t),
+            )
+            .otherwise(F.lit(-1))
+            .alias("dist"),
+        )
+    return dist.select(
+        "user_id", F.nullif(F.col("dist"), F.lit(-1)).cast("int").alias("hops")
     )
 
 

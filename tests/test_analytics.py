@@ -338,3 +338,46 @@ def test_semdedup_cap_fences_runaway_cluster(spark):
     # fence dormant (cap >= cluster size): exact semantics, single survivor
     drops_nofence = semdedup_drop_pairs(withn, 0.97, n)
     assert n - drops_nofence.count() == 1
+
+
+def test_bfs_hops_are_valid_distances(spark):
+    """BFS invariants on the co-activity graph: the source is at hop 0;
+    every reachable node's hop count is positive and ≤ the round bound;
+    and the triangle property holds — a node at hop t>0 must have at
+    least one neighbor at hop t-1 (verified against an independently
+    built edge list)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.analytics import (
+        _BFS_ROUNDS,
+        _BFS_SRC,
+        events_bfs_hops,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.user_id: r.hops for r in events_bfs_hops(spark, sf).collect()}
+    assert rows[_BFS_SRC] == 0
+    assert all(h is None or 0 <= h <= _BFS_ROUNDS for h in rows.values())
+    # independent edge list (plain self-join formulation)
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .distinct()
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("s"), F.col("b.user_id").alias("d"))
+        .distinct()
+        .collect()
+    )
+    nbrs: dict[int, set] = {}
+    for e in edges:
+        nbrs.setdefault(e.d, set()).add(e.s)
+    for u, h in rows.items():
+        if h is not None and h > 0:
+            assert any(rows[v] == h - 1 for v in nbrs.get(u, ())), u
