@@ -83,6 +83,21 @@ def tune(spark: SparkSession) -> SparkSession:
                 "spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
             )
+            # Same local-only reasoning for AQE's coalesce target: at the
+            # fixture SFs the heavy data paths (jaccard/minhash pair
+            # aggregates ~20 MB) coalesce to ONE post-shuffle partition
+            # under the 64 MB default — single-core execution on a
+            # 32-core box (statusTracker: every stage 1 task). A 2 MB
+            # advisory re-parallelizes them (interleaved A/B at sf0.1:
+            # jaccard 2.14 → 1.55 s; tiny-query set unchanged — their
+            # shuffles are < 2 MB and still collapse to one task). On a
+            # cluster the 64 MB default stands — coalescing there fights
+            # per-task scheduling overhead across executors, and this
+            # branch never fires.
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(2 * 1024 * 1024)),
+            )
     except Exception:
         pass
     return spark
