@@ -3672,8 +3672,9 @@ def _bfs_oracle() -> str:
 )
 def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS over the user co-activity graph: hop distance
-    from user {src} for every user, {rounds} relaxation rounds (≥ the
-    dense fixture graph's diameter), unreachable → NULL. The traversal
+    from user _BFS_SRC (=0) for every user, _BFS_ROUNDS (=4) relaxation
+    rounds (≥ the dense fixture graph's diameter), unreachable → NULL.
+    The traversal
     complement to events_pagerank's centrality and dedup_clusters'
     connected components, on the same engine-native iterative doctrine:
     the graph compiles once into the shared index-encoded adjacency
@@ -3685,7 +3686,7 @@ def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     to pagerank's (|V|-sized vector broadcast with the
     shuffle-join-on-frontier formulation as the billion-node fallback);
     rounds are bounded by the declared constant, and each round's cost
-    is one adjacency scan.""".format(src=_BFS_SRC, rounds=_BFS_ROUNDS)
+    is one adjacency scan."""
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir)
     dist = full.select(
