@@ -301,12 +301,20 @@ def _build_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity", types_from=li,
     )
-    # Materialize the ~1.2k-row day-grain slice: four broadcast subtrees
-    # (two day-grain keyings + two month-grain) otherwise each
-    # re-aggregate it — THIS barrier survives the re-measure (and at
-    # 100 TB it is mandatory: without it every join side re-runs the
-    # fact aggregation).
-    pct = materialize(pct, "tail-pct-slice")
+    # The ~1.2k-row day-grain slice feeds four broadcast subtrees (two
+    # day-grain keyings + two month-grain). Round-5 continuation
+    # re-measure under the final tuning (2 MB AQE advisory + the rest):
+    # the localCheckpoint now LOSES to staying lazy — each broadcast
+    # subtree contains the identical pct shuffle exchange, which
+    # ReuseExchange evaluates once per action, and only the trivial
+    # 1.2k-row post-shuffle aggregate re-runs per consumer (A/B at
+    # sf0.1: ckpt 0.95-1.38 s, coalesce+ckpt 0.86-1.05 s, lazy
+    # 0.75-0.99 s; outputs identical). Same lesson as the pagerank
+    # adjacency and semdedup vector frames. On a 100 TB flat lake a
+    # multi-action serving path should restore the barrier so the fact
+    # aggregation cannot re-run per action (materialize(pct,
+    # "tail-pct-slice")); the one-action request path here does not
+    # need it.
     mon = month_grain_percentages(pct)
     days = spark.range(1).select(
         F.explode(
