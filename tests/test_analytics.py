@@ -381,3 +381,20 @@ def test_bfs_hops_are_valid_distances(spark):
     for u, h in rows.items():
         if h is not None and h > 0:
             assert any(rows[v] == h - 1 for v in nbrs.get(u, ())), u
+
+
+def test_coactivity_adjacency_is_symmetric(spark):
+    """The shared graph compiler's core contract: the adjacency is a
+    simple undirected graph — no self-loops, neighbor lists sorted and
+    duplicate-free, and i ∈ nbrs[j] ⟺ j ∈ nbrs[i]. PageRank's
+    contribution sums and BFS's frontier relaxation both assume this."""
+    from move_forecast_ind_spark.queries.analytics import _coactivity_adjacency
+
+    rows = _coactivity_adjacency(spark, "/root/testdata/sf0.01").collect()
+    nbrs = {r.i: list(r.nbrs) for r in rows}
+    for i, ns in nbrs.items():
+        assert i not in ns
+        assert ns == sorted(set(ns))
+        for j in ns:
+            assert i in nbrs[j], (i, j)
+    assert all(r.deg == len(nbrs[r.i]) for r in rows)
