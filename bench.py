@@ -24,8 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # STATIC DuckDB anchor at sf0.1 (BASELINE.md "DuckDB anchor" section):
 # wall-clock of each query's oracle SQL under DuckDB (all cores,
-# COUNT-wrapped to mirror the .count() action, min of 2), recorded
-# 2026-08-13 by tools/bench_duckdb.py. Kept for cross-round continuity —
+# COUNT-wrapped to mirror the .count() action, min of 2), re-recorded
+# 2026-08-14 by tools/bench_duckdb.py over the full 22-query set (the
+# 2026-08-13 anchor predated the iterative tier's bench entries). Kept for cross-round continuity —
 # but host speed varies by >4× across driver VMs (measured 2026-08-14:
 # the same DuckDB suite took 16.1 s on that day's VM vs 3.99 s recorded),
 # so the static ratio conflates code with host. The LIVE anchor below
@@ -33,22 +34,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
-    "dedup_exact": 0.059,
-    "dedup_minhash_lsh": 0.437,
-    "dedup_ngram_jaccard": 0.447,
-    "forecast_tail_daily": 0.334,
-    "j1_broadcast_dim_join": 0.023,
-    "j_asof_join": 0.019,
-    "j_multiway_star_join": 0.032,
-    "j_sortmerge_join": 0.035,
-    "ml_linreg_forecast": 0.015,
-    "pct_etl": 0.149,
-    "pipeline_training_data_prep": 2.235,
-    "q1_pricing_summary": 0.063,
+    "corpus_semdedup": 0.723,
+    "dedup_exact": 0.065,
+    "dedup_minhash_lsh": 0.521,
+    "dedup_ngram_jaccard": 0.48,
+    "events_pagerank": 2.158,
+    "forecast_tail_daily": 0.451,
+    "j1_broadcast_dim_join": 0.031,
+    "j_asof_join": 0.028,
+    "j_multiway_star_join": 0.04,
+    "j_sortmerge_join": 0.047,
+    "ml_kmeans_fixed_point": 0.276,
+    "ml_linreg_forecast": 0.019,
+    "ml_pca_power_iteration": 0.242,
+    "pct_etl": 0.173,
+    "pipeline_training_data_prep": 2.523,
+    "q1_pricing_summary": 0.061,
     "q3_shipping_priority": 0.071,
-    "sim_cosine_topk": 0.011,
-    "st_session_stats": 0.032,
-    "st_tumbling_counts": 0.009,
+    "sim_cosine_topk": 0.01,
+    "st_session_stats": 0.036,
+    "st_tumbling_counts": 0.01,
     "text_stats": 0.002,
     "trends_onepass": 0.016,
 }
@@ -129,7 +134,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite wall-clock "
-        "(sum of per-query steady-state sec, min of 2 runs)",
+        f"(sum of per-query steady-state sec, min of {n_runs} runs)",
         "value": total,
         "unit": "sec",
         "queries": timings,
