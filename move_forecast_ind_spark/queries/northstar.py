@@ -1027,3 +1027,144 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "tok")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the span-level dedup modality)
+# ---------------------------------------------------------------------------
+_SPAN_K = 4  # gram width in tokens
+_SPAN_MIN_TOKENS = 8  # report only spans covering >= this many tokens
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("northstar", "dedup", "substring"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             array_to_string(w[i:i+{_SPAN_K - 1}], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i) t
+      WHERE len(w) >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT doc_id, i FROM pos
+      QUALIFY COUNT(*) OVER (PARTITION BY g) >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(LAG(i) OVER (
+                    PARTITION BY doc_id ORDER BY i), -2) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(i) AS INT) AS start_tok,
+             CAST(MAX(i) + {_SPAN_K - 1} AS INT) AS end_tok,
+             CAST(MAX(i) - MIN(i) + {_SPAN_K} AS INT) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, start_tok, end_tok, span_tokens
+    FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans, the span-LEVEL dedup modality
+    (Lee et al. 2021): every token k-gram (k=_SPAN_K=4) that occurs >= 2
+    times corpus-wide (intra- or cross-document) marks its positions
+    duplicated; per document, consecutive duplicated gram positions merge
+    into maximal islands, and each island reports the covered token span
+    [start_tok, end_tok] (1-based, inclusive) when it spans >=
+    _SPAN_MIN_TOKENS=8 tokens. This is the remove-the-repeated-passage
+    primitive that doc-level tiers (exact/minhash/simhash) cannot
+    express — boilerplate headers, license blocks, and templated
+    paragraphs surface as spans inside otherwise-unique documents.
+
+    Topology (the distributed suffix-array stand-in): one scan explodes
+    (doc_id, position, gram); a map-side-combinable groupBy(gram) count
+    marks duplicated grams; a LEFT SEMI join flags positions (a
+    shuffle join, NOT a count-over-gram window — a window would force
+    every occurrence of a mega-hot gram onto one partition, while the
+    agg+join shape combines map-side and lets AQE's skew-join split hot
+    gram keys); one groupBy(doc_id) collects positions and the island
+    merge runs IN-ROW over the sorted position array (zip_with over
+    run-boundary indices — no per-position window). 3 key-partitioned
+    shuffles total, no all-pairs join, gram cardinality bounds state
+    exactly like jaccard's posting index. At 100 TB the gram key space is
+    huge (good: uniform hash partitioning) and hot boilerplate grams are
+    exactly the duplicated ones — the agg+join shape keeps them skew-safe.
+    """
+    tune(spark)
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    pos = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    F.concat_ws(" ", F.slice("toks", i, k)).alias("g"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.g")
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    flagged = pos.join(dup_grams, "g", "left_semi")
+    ps = F.col("ps")
+    n = F.size(ps)
+    idxs = F.sequence(F.lit(1), n)
+    starts = F.filter(
+        idxs,
+        lambda j: (j == 1)
+        | (F.element_at(ps, j) != F.element_at(ps, j - 1) + 1),
+    )
+    ends = F.filter(
+        idxs,
+        lambda j: (j == n)
+        | (F.element_at(ps, j + 1) != F.element_at(ps, j) + 1),
+    )
+    spans = (
+        flagged.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("ps"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    starts,
+                    ends,
+                    lambda sj, ej: F.struct(
+                        F.element_at(ps, sj).alias("s"),
+                        F.element_at(ps, ej).alias("e"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("sp.s").alias("start_tok"),
+            (F.col("sp.e") + F.lit(k - 1)).cast("int").alias("end_tok"),
+            (F.col("sp.e") - F.col("sp.s") + F.lit(k)).cast("int").alias("span_tokens"),
+        )
+    )
+    return spans.filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)

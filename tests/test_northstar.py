@@ -283,3 +283,58 @@ def test_jaccard_size_prefilter_is_lossless(spark):
             ).collect()
         }
         assert got == expected, f"threshold {t}: {got ^ expected}"
+
+
+def test_substring_spans_invariants(spark):
+    """Spans are maximal, disjoint, >= the min length, and every k-gram
+    inside a reported span is genuinely duplicated corpus-wide."""
+    from move_forecast_ind_spark.queries.northstar import (
+        _SPAN_K,
+        _SPAN_MIN_TOKENS,
+        dedup_substring_spans,
+    )
+    from move_forecast_ind_spark.functions.text import tokens as tok_fn
+    from move_forecast_ind_spark.sources import load_table
+
+    spans = dedup_substring_spans(spark, SF_SMALL).collect()
+    assert spans, "fixture corpus should contain duplicated spans"
+    by_doc: dict = {}
+    for r in spans:
+        assert r.span_tokens == r.end_tok - r.start_tok + 1
+        assert r.span_tokens >= _SPAN_MIN_TOKENS
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for doc, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            # disjoint AND non-adjacent (adjacent would mean non-maximal
+            # islands — gap of >= 1 position between islands by construction)
+            assert s2 > e1 - (_SPAN_K - 1), (doc, ivs)
+
+    # every gram inside a span is duplicated corpus-wide
+    docs = load_table(spark, SF_SMALL, "documents")
+    gram_counts = {
+        r.g: r.c
+        for r in docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok_fn(F.col("text"))) - (_SPAN_K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tok_fn(F.col("text")), i, _SPAN_K)),
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    doc_tokens = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tok_fn(F.col("text")).alias("t")).collect()
+    }
+    checked = 0
+    for r in spans[:10]:
+        toks = doc_tokens[r.doc_id]
+        for p in range(r.start_tok, r.end_tok - (_SPAN_K - 1) + 1):
+            g = " ".join(toks[p - 1 : p - 1 + _SPAN_K])
+            assert gram_counts[g] >= 2, (r.doc_id, p, g)
+            checked += 1
+    assert checked
