@@ -3397,19 +3397,33 @@ _PR_ITERS = 8
 _PR_DAMP = 0.85
 
 
-def _coactivity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _coactivity_adjacency(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
+) -> DataFrame:
     """Index-encoded adjacency of the user co-activity graph (users
     sharing an (event_type, hour) bucket are linked, symmetric,
-    distinct) — the shared graph compiler behind events_pagerank and
-    events_bfs_hops. One frame: (user_id, i, nbrs array<int of i>, deg),
+    distinct) — the shared graph compiler behind events_pagerank,
+    events_bfs_hops, and events_triangle_count. One frame:
+    (user_id, i, nbrs array<int of i>, deg),
     built with a single collect_set shuffle (raw in-bucket ordered
     pairs, idx-mapped by map-side broadcast joins). Stays LAZY: every
     caller's consumers sit inside one action where ReuseExchange
     dedupes the adjacency exchange subtree (A/B in events_pagerank's
     docstring). Pair expansion is bounded per bucket — the hot-bucket
-    fence from jaccard_pairs applies verbatim at 100 TB."""
+    fence from jaccard_pairs applies verbatim at 100 TB.
+
+    ``bucket_seconds`` narrows the co-activity window from the default
+    hour truncation to an epoch-floored N-second bucket (the "tight"
+    graph the triangle tier uses: denser-than-quadratic motif counting
+    wants the sparser graph)."""
+    if bucket_seconds is None:
+        bucket = F.date_trunc("hour", F.col("ts"))
+    else:
+        bucket = F.floor(F.unix_timestamp(F.col("ts")) / bucket_seconds).cast(
+            "long"
+        )
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        "user_id", "event_type", bucket.alias("h")
     )
     idx = (
         load_table(spark, sf_dir, "events")
@@ -3722,6 +3736,148 @@ def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return dist.select(
         "user_id", F.nullif(F.col("dist"), F.lit(-1)).cast("int").alias("hops")
+    )
+
+
+# --- graph motifs: triangle counting / clustering coefficient ---------------
+
+_TRI_BUCKET_S = 300  # "tight" co-activity: same (event_type, 300 s bucket)
+
+
+@register(
+    "events_triangle_count",
+    tags=("events", "graph"),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(FLOOR(epoch(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS v, CAST(COUNT(*) AS INT) AS d FROM edges GROUP BY 1
+    ),
+    oe AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM edges e
+      JOIN deg ds ON ds.v = e.src
+      JOIN deg dd ON dd.v = e.dst
+      WHERE (ds.d, e.src) < (dd.d, e.dst)
+    ),
+    tri AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM oe e1
+      JOIN oe e2 ON e1.dst = e2.src
+      JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    contrib AS (
+      SELECT u AS v FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ),
+    tric AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM contrib GROUP BY 1),
+    nodes AS (SELECT DISTINCT user_id FROM events)
+    SELECT n.user_id,
+           COALESCE(d.d, 0) AS deg,
+           COALESCE(t.tri, 0) AS tri,
+           CASE WHEN COALESCE(d.d, 0) >= 2
+                THEN FLOOR(2.0 * COALESCE(t.tri, 0)
+                           / (d.d * (d.d - 1)) * 1e4 + 0.5) / 1e4
+                ELSE NULL END AS lcc
+    FROM nodes n
+    LEFT JOIN deg d ON d.v = n.user_id
+    LEFT JOIN tric t ON t.v = n.user_id
+    """,
+)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    TIGHT user co-activity graph (same event_type within the same 300 s
+    bucket — sparser than pagerank/BFS's hour-grain graph, which is too
+    dense for motif counting at any scale). The classic degree-ordered
+    orientation: orient every undirected edge from its (deg, id)-smaller
+    endpoint, so each triangle is enumerated exactly ONCE as edge (u,v)
+    plus the intersection of their out-neighbor sets, and the hot
+    vertex's out-degree is bounded by O(sqrt(|E|)) on any graph — the
+    scale trick that makes triangle counting survive power-law graphs
+    at 100 TB (Suri & Vassilvitskii's MapReduce formulation, re-expressed
+    as arrays). Plan: the shared adjacency compiles once; the |V|-sized
+    degree vector broadcasts as one row; orientation + out-neighbor
+    filtering run IN-ROW; the only motif-specific shuffle is one join of
+    the oriented edge list with the oriented adjacency on the head
+    vertex, plus the per-node contribution aggregate. All-integer state
+    (tri, deg exact; lcc rounded 1e-4) → the SQL oracle is exact."""
+    tune(spark)
+    adj = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
+    darr = adj.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "deg"))),
+            lambda s: s["deg"],
+        ).alias("degs")
+    )
+    # orientation: keep neighbors strictly (deg, i)-greater than self
+    orient = adj.crossJoin(F.broadcast(darr)).select(
+        "user_id",
+        "i",
+        "deg",
+        F.filter(
+            "nbrs",
+            lambda nb: (F.element_at(F.col("degs"), nb + 1) > F.col("deg"))
+            | (
+                (F.element_at(F.col("degs"), nb + 1) == F.col("deg"))
+                & (nb > F.col("i"))
+            ),
+        ).alias("onbrs"),
+    )
+    edges = orient.select(
+        "i", "onbrs", F.explode("onbrs").alias("j")
+    )
+    head = orient.select(F.col("i").alias("j"), F.col("onbrs").alias("onbrs_j"))
+    tri_e = (
+        edges.join(head, "j")
+        .select(
+            "i",
+            "j",
+            F.array_intersect("onbrs", "onbrs_j").alias("common"),
+        )
+        .filter(F.size("common") > 0)
+    )
+    contrib = tri_e.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("i").alias("v"), F.size("common").alias("c")
+                    ),
+                    F.struct(
+                        F.col("j").alias("v"), F.size("common").alias("c")
+                    ),
+                ),
+                F.transform(
+                    "common",
+                    lambda w: F.struct(
+                        w.alias("v"), F.lit(1).alias("c")
+                    ),
+                ),
+            )
+        ).alias("t")
+    ).select("t.v", "t.c")
+    tric = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("tri"))
+    out = adj.join(tric, adj["i"] == tric["v"], "left")
+    dd = F.col("deg")
+    tri = F.coalesce(F.col("tri"), F.lit(0).cast("long"))
+    return out.select(
+        "user_id",
+        dd.alias("deg"),
+        tri.alias("tri"),
+        F.when(
+            dd >= 2,
+            F.floor(2.0 * tri / (dd * (dd - 1)) * 1e4 + F.lit(0.5)) / 1e4,
+        ).alias("lcc"),
     )
 
 

