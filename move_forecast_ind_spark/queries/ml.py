@@ -933,3 +933,120 @@ def ml_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.avg(F.abs(F.col("y") - F.col("f_ar1")))
         ).alias("snaive_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing (per-series recursive state)
+# ---------------------------------------------------------------------------
+_HOLT_ALPHA = 0.5  # level gain  — exact binary fraction on purpose
+_HOLT_BETA = 0.25  # trend gain  — exact binary fraction on purpose
+_HOLT_H = 7
+
+
+@register(
+    "ml_holt_winters",
+    tags=("ml", "timeseries", "forecast", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    maxrn AS (SELECT event_type, MAX(rn) AS t FROM idx GROUP BY 1),
+    state AS (
+      SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn,
+             FLOOR(({_HOLT_ALPHA} * i.y + {1 - _HOLT_ALPHA} * (s.l + s.b))
+                   * 1e6 + 0.5) / 1e6 AS l,
+             FLOOR(({_HOLT_BETA}
+                    * (FLOOR(({_HOLT_ALPHA} * i.y
+                              + {1 - _HOLT_ALPHA} * (s.l + s.b))
+                             * 1e6 + 0.5) / 1e6 - s.l)
+                    + {1 - _HOLT_BETA} * s.b) * 1e6 + 0.5) / 1e6 AS b
+      FROM state s JOIN idx i
+        ON i.event_type = s.event_type AND i.rn = s.rn + 1
+    ),
+    fin AS (
+      SELECT s.event_type, s.l, s.b
+      FROM state s JOIN maxrn m
+        ON m.event_type = s.event_type AND s.rn = m.t
+    ),
+    last AS (SELECT event_type, MAX(day) AS last_day FROM daily GROUP BY 1),
+    horizon AS (SELECT unnest(generate_series(1, {_HOLT_H})) AS h)
+    SELECT f.event_type,
+           CAST(h.h AS INT) AS h,
+           l.last_day + CAST(h.h AS INT) AS day,
+           f.l AS level,
+           f.b AS trend,
+           FLOOR((f.l + h.h * f.b) * 1e4 + 0.5) / 1e4 AS forecast
+    FROM fin f
+    JOIN last l USING (event_type)
+    CROSS JOIN horizon h
+    """,
+)
+def ml_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing, fitted PER
+    SERIES (event_type) over the daily event-volume series and forecast
+    _HOLT_H=7 days ahead — the smoothing-with-trend member of the
+    forecast family (naive-seasonal / AR(1) / linreg / Fourier OLS are
+    the others), i.e. the exponential-smoothing lineage the reference's
+    Prophet sits on top of. The recursion l_t = a*y_t + (1-a)(l+b),
+    b_t = c*(l_t - l) + (1-c)*b is inherently sequential WITHIN a
+    series, so the engine shape is groupBy(series).applyInPandas — state
+    lives inside one Arrow batch per series, and at 100 TB the
+    parallelism axis is the millions of independent series, not the
+    ~1000-point recursion inside each (the same "fit locally, apply
+    distributed" doctrine as plans.training's per-branch OLS).
+    Cross-engine exactness: gains are exact binary fractions (a=0.5,
+    c=0.25), inputs are integer counts, and the state snaps to the 1e-6
+    grid after every step with the same FLOOR(x*1e6+0.5) both sides, so
+    the DuckDB RECURSIVE-CTE replica reproduces level/trend bit-for-bit
+    with no unrolling limit."""
+    import math
+
+    import pandas as pd
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+
+    def snap6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            lt = snap6(_HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (l + b))
+            b = snap6(_HOLT_BETA * (lt - l) + (1 - _HOLT_BETA) * b)
+            l = lt
+        last_day = pdf["day"].iloc[-1]
+        et = pdf["event_type"].iloc[0]
+        rows = [
+            {
+                "event_type": et,
+                "h": h,
+                "day": last_day + pd.Timedelta(days=h),
+                "level": l,
+                "trend": b,
+                "forecast": math.floor((l + h * b) * 1e4 + 0.5) / 1e4,
+            }
+            for h in range(1, _HOLT_H + 1)
+        ]
+        return pd.DataFrame(rows)
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        schema="event_type string, h int, day date, "
+        "level double, trend double, forecast double",
+    )

@@ -135,3 +135,27 @@ def test_prophet_tier_wiring_with_fake_module(spark, tmp_path):
         # hyperparameters flowed through to the (fake) fit, per branch
         assert m.kwargs == PROPHET_PARAMS
         assert m.n_obs == 10
+
+
+def test_holt_winters_internal_consistency(spark):
+    """forecast must equal the snap4 of level + h*trend for every row;
+    7 rows per series; days advance consecutively from a common base."""
+    import math
+
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ml_holt_winters"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_et: dict = {}
+    for r in rows:
+        assert r.forecast == math.floor((r.level + r.h * r.trend) * 1e4 + 0.5) / 1e4
+        # state is on the 1e-6 grid (snap contract)
+        assert abs(r.level * 1e6 - round(r.level * 1e6)) < 1e-3
+        assert abs(r.trend * 1e6 - round(r.trend * 1e6)) < 1e-3
+        by_et.setdefault(r.event_type, []).append(r)
+    for et, rs in by_et.items():
+        rs.sort(key=lambda r: r.h)
+        assert [r.h for r in rs] == list(range(1, 8))
+        assert len({(r.level, r.trend) for r in rs}) == 1  # one state per series
+        for a, b in zip(rs, rs[1:]):
+            assert (b.day - a.day).days == 1
