@@ -4683,3 +4683,99 @@ def ts_strength_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seasonal_strength"),
     )
+
+
+# --- data quality: one-pass column profile ----------------------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            nmin, nmax = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            tmin = tmax = "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            nmin = nmax = "CAST(NULL AS DOUBLE)"
+            tmin = f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR)"
+            tmax = f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR)"
+        else:
+            nmin = nmax = "CAST(NULL AS DOUBLE)"
+            tmin, tmax = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"""
+            SELECT '{c}' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {nmin} AS num_min, {nmax} AS num_max,
+                   {tmin} AS txt_min, {tmax} AS txt_max
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_column_profile",
+    tags=("dq", "aggregate", "audit"),
+    oracle=_profile_oracle(),
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders`` — the ANALYZE-TABLE / data-
+    catalog primitive: per column, row count, null count, exact distinct
+    count, and type-appropriate min/max (numeric as double, temporal as
+    ISO date string, text as binary-collation string — both engines
+    default to binary collation, so string min/max agree byte-for-byte).
+    The engine story is the plan shape: Spark computes EVERY column's
+    stats in ONE scan and one aggregate (the multi-distinct Expand
+    rewrite — each input row fans out once per distinct-aggregate, then
+    partial-aggregates map-side), where the naive formulation (and the
+    oracle, necessarily) runs one scan per column and unions. At 100 TB
+    the single-scan shape is the difference between 1x and 6x I/O; for
+    wider tables or when exactness is negotiable, the HLL tier
+    (a_hll_sketch_distinct) replaces Expand with one sketch per column
+    and no fan-out. Output unpivots driver-side-free via stack()."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif kind == "date":
+            aggs.append(
+                F.min(F.col(c).cast("date")).cast("string").alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("date")).cast("string").alias(f"mx_{c}")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+    one = orders.agg(*aggs)
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        num_min = f"mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        num_max = f"mx_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        txt_min = f"mn_{c}" if kind != "num" else "CAST(NULL AS STRING)"
+        txt_max = f"mx_{c}" if kind != "num" else "CAST(NULL AS STRING)"
+        rows.append(
+            f"struct('{c}' AS col, n, n - nn_{c} AS n_null, "
+            f"nd_{c} AS n_distinct, {num_min} AS num_min, "
+            f"{num_max} AS num_max, {txt_min} AS txt_min, "
+            f"{txt_max} AS txt_max)"
+        )
+    return one.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("r")
+    ).select("r.*")

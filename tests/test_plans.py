@@ -200,3 +200,13 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
     a_nat, a_z = mean_file_area(natural), mean_file_area(zsorted)
     # the z-layout must shrink the average per-file 2-D bounding box
     assert a_z < a_nat * 0.5, (a_nat, a_z)
+
+
+def test_column_profile_single_scan_expand(spark):
+    """The whole-table profile must read orders ONCE (multi-distinct via
+    Expand), not once per column like the naive per-column union."""
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    plan = _plan(REGISTRY["dq_column_profile"].fn(spark, SF_SMALL))
+    assert plan.lower().count("scan parquet") == 1, plan
+    assert "Expand" in plan, plan
