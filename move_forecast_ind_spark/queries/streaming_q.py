@@ -257,3 +257,40 @@ def st_stateful_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_us"),
         F.max("us").alias("last_seen_us"),
     )
+
+
+@register(
+    "st_static_enrich_counts",
+    tags=("streaming", "join", "aggregate"),
+    oracle="""
+    SELECT (epoch_us(e.ts) // 600000000) * 600 AS bucket_s,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def st_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.static_enriched_counts: the
+    stream-static enrichment join (events x customer dim on
+    user_id = c_custkey, broadcast — no stream-side shuffle for the
+    join) rolled up into 10-minute tumbling counts per market segment.
+    tests/test_streaming.py drains the streaming pipeline and asserts
+    it emits exactly these rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+        )
+    )

@@ -137,6 +137,34 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def static_enriched_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: each event joins
+    the static customer dimension on user_id = c_custkey (the classic
+    fact-stream x slowly-refreshed-dim shape), then rolls up 10-minute
+    tumbling counts per market segment. Structured Streaming re-plans the
+    static side per micro-batch; with a dim this small Spark broadcasts
+    it, so the join adds no shuffle to the stream — the 100 TB/day
+    streaming posture (the dim refresh cadence, not size, is the design
+    variable; a big dim becomes a shuffle join with state only on the
+    aggregate)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Streaming dedup on (user_id, event_type, minute-bucket): duplicates
     arriving within the watermark horizon are dropped with bounded state

@@ -398,3 +398,21 @@ def test_foreach_batch_jdbc_sink(spark, event_stream_factory):
     got = {(r.event_type, r.n) for r in back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     want = {(r.event_type, r.n) for r in src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_static_enrich_equivalence(spark, event_stream_factory):
+    from move_forecast_ind_spark.queries.streaming_q import (
+        st_static_enrich_counts,
+    )
+    from move_forecast_ind_spark.sources import load_table
+    from move_forecast_ind_spark.streaming.events import static_enriched_counts
+
+    customer = load_table(spark, SF_SMALL, "customer")
+    out = _drain(
+        static_enriched_counts(event_stream_factory(), customer),
+        "t_static_enrich",
+        "complete",
+    )
+    batch = st_static_enrich_counts(spark, SF_SMALL)
+    cols = ["bucket_s", "segment", "n"]
+    assert _rows(out, cols) == _rows(batch.select(*cols), cols)
