@@ -7,7 +7,7 @@ mapInPandas plumbing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import r4, r6
@@ -1093,18 +1093,23 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraphs surface as spans inside otherwise-unique documents.
 
     Topology (the distributed suffix-array stand-in): one scan explodes
-    (doc_id, position, gram); a map-side-combinable groupBy(gram) count
-    marks duplicated grams; a LEFT SEMI join flags positions (a
-    shuffle join, NOT a count-over-gram window — a window would force
-    every occurrence of a mega-hot gram onto one partition, while the
-    agg+join shape combines map-side and lets AQE's skew-join split hot
-    gram keys); one groupBy(doc_id) collects positions and the island
+    (doc_id, position, gram-hash); ONE shuffle by gram-hash with an
+    in-partition COUNT(*) OVER (PARTITION BY gh) marks duplicated
+    positions; one groupBy(doc_id) collects positions and the island
     merge runs IN-ROW over the sorted position array (zip_with over
-    run-boundary indices — no per-position window). 3 key-partitioned
-    shuffles total, no all-pairs join, gram cardinality bounds state
-    exactly like jaccard's posting index. At 100 TB the gram key space is
-    huge (good: uniform hash partitioning) and hot boilerplate grams are
-    exactly the duplicated ones — the agg+join shape keeps them skew-safe.
+    run-boundary indices — no per-position window). 2 key-partitioned
+    shuffles total, no all-pairs join.
+
+    Measured trade (10x probe, /tmp/sfx1): the window shape runs the
+    gram lineage ONCE (5.4-6.5 s) where the skew-safer alternative —
+    map-side-combinable groupBy(gh) count + LEFT SEMI join back —
+    re-reads and re-explodes it for each subtree (different projections
+    defeat ReuseExchange; 11.3-20.6 s). The window's ceiling is a
+    mega-hot gram concentrating one partition (every occurrence of
+    "the end of the" lands together); the agg+join shape stays immune
+    (AQE skew-join splits hot keys) and is the documented cluster
+    fallback if a corpus' max gram frequency approaches partition size.
+    At 100 TB the gram-hash key space hashes uniformly otherwise.
     """
     tune(spark)
     k = _SPAN_K
@@ -1112,6 +1117,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= k
     )
+    # gram identity travels as xxhash64 over the raw token slice — no
+    # gram STRING is ever built or shuffled (the 10x probe measured the
+    # string-keyed variant at 41 s / 3.4x DuckDB; hashing the slice is
+    # the same keyed-by-longs trade jaccard's posting index makes,
+    # collision odds ~n^2/2^65). The oracle groups by gram text — equal
+    # token slices and equal space-joined grams are the same relation
+    # because tokens cannot contain whitespace.
     pos = toked.select(
         "doc_id",
         F.explode(
@@ -1119,18 +1131,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.size("toks") - (k - 1)),
                 lambda i: F.struct(
                     i.cast("int").alias("i"),
-                    F.concat_ws(" ", F.slice("toks", i, k)).alias("g"),
+                    F.xxhash64(F.slice("toks", i, k)).alias("gh"),
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.i", "p.g")
-    dup_grams = (
-        pos.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    ).select("doc_id", "p.i", "p.gh")
+    flagged = (
+        pos.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
         .filter(F.col("c") >= 2)
-        .select("g")
+        .drop("c")
     )
-    flagged = pos.join(dup_grams, "g", "left_semi")
     ps = F.col("ps")
     n = F.size(ps)
     idxs = F.sequence(F.lit(1), n)
