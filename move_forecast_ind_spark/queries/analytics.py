@@ -4779,3 +4779,106 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("r")
     ).select("r.*")
+
+
+# --- market-basket association rules -----------------------------------------
+
+
+@register(
+    "events_assoc_rules",
+    tags=("events", "aggregate", "analytics"),
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n
+      FROM baskets
+    ),
+    item AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.c_ab,
+           ia.c AS c_ante, ic.c AS c_cons,
+           FLOOR(CAST(p.c_ab AS DOUBLE) / nb.n * 1e6 + 0.5) / 1e6 AS support,
+           FLOOR(CAST(p.c_ab AS DOUBLE) / ia.c * 1e6 + 0.5) / 1e6 AS confidence,
+           FLOOR((CAST(nb.n AS DOUBLE) * p.c_ab)
+                 / (CAST(ia.c AS DOUBLE) * ic.c) * 1e6 + 0.5) / 1e6 AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.ante
+    JOIN item ic ON ic.event_type = p.cons
+    CROSS JOIN nb
+    """,
+)
+def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over behavioral baskets: a basket
+    is the set of event types a user touches in one calendar day; every
+    ordered type pair (antecedent -> consequent) reports joint count,
+    support, confidence, and lift — the Apriori/market-basket family
+    (recommendation, cross-sell, co-failure analysis) at its 2-itemset
+    core. Engine shape: ONE groupBy((user, day)) builds baskets as
+    collect_set (no DISTINCT pre-shuffle), ordered pairs expand IN-ROW
+    (flatten/transform — never a baskets self-join like the oracle's),
+    and item/pair counts are map-side-combinable aggregates over the
+    basket frame; the tiny item table broadcasts onto the pair counts.
+    At 100 TB: pair expansion is bounded by per-basket item count
+    squared (baskets are per-user-day, naturally capped; a runaway
+    basket gets the same max-size fence as jaccard's hot postings), and
+    no shuffle carries more than one row per (basket, pair)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.collect_set("event_type").alias("items"))
+    nb = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    item = (
+        baskets.select(F.explode("items").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, a -> "
+                    "transform(filter(items, b -> b != a), "
+                    "b -> struct(a as ante, b as cons))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.ante", "p.cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("c").alias("c_ante"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("c").alias("c_cons"))
+    r6_ = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            "c_ante",
+            "c_cons",
+            r6_(F.col("c_ab").cast("double") / F.col("n")).alias("support"),
+            r6_(F.col("c_ab").cast("double") / F.col("c_ante")).alias(
+                "confidence"
+            ),
+            r6_(
+                (F.col("n").cast("double") * F.col("c_ab"))
+                / (F.col("c_ante").cast("double") * F.col("c_cons"))
+            ).alias("lift"),
+        )
+    )

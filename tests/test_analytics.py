@@ -419,3 +419,20 @@ def test_triangle_count_identities(spark):
             assert r.tri <= r.deg * (r.deg - 1) // 2
         else:
             assert r.lcc is None and r.tri == 0
+
+
+def test_assoc_rules_identities(spark):
+    """lift is symmetric in (ante, cons); c_ab symmetric; confidence =
+    c_ab / c_ante; support = c_ab / n identical for both directions."""
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["events_assoc_rules"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_pair = {(r.ante, r.cons): r for r in rows}
+    for (a, b), r in by_pair.items():
+        mirror = by_pair[(b, a)]
+        assert r.c_ab == mirror.c_ab
+        assert r.lift == mirror.lift
+        assert r.support == mirror.support
+        assert abs(r.confidence - r.c_ab / r.c_ante) < 2e-6
+        assert 0 < r.support <= 1 and 0 < r.confidence <= 1
