@@ -1050,3 +1050,156 @@ def ml_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, h int, day date, "
         "level double, trend double, forecast double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE SEASONAL (triple exponential smoothing)
+# ---------------------------------------------------------------------------
+_HW_SEASON = 7  # weekly
+_HW_GAMMA = 0.25  # seasonal gain — exact binary fraction
+
+
+@register(
+    "ml_holt_winters_seasonal",
+    tags=("ml", "timeseries", "forecast", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    maxrn AS (
+      SELECT event_type, MAX(rn) AS t FROM idx
+      GROUP BY 1 HAVING MAX(rn) >= 2 * {_HW_SEASON}
+    ),
+    l0 AS (
+      SELECT event_type,
+             FLOOR(SUM(y) / {_HW_SEASON} * 1e6 + 0.5) / 1e6 AS l0
+      FROM idx WHERE rn <= {_HW_SEASON} GROUP BY 1
+    ),
+    s0 AS (
+      SELECT i.event_type, l.l0,
+             list_transform(list(i.y ORDER BY i.rn),
+                            v -> FLOOR((v - l.l0) * 1e6 + 0.5) / 1e6) AS s
+      FROM idx i JOIN l0 l USING (event_type)
+      WHERE i.rn <= {_HW_SEASON}
+      GROUP BY i.event_type, l.l0
+    ),
+    state AS (
+      SELECT s0.event_type, {_HW_SEASON} AS rn,
+             s0.l0 AS l, CAST(0 AS DOUBLE) AS b, s0.s
+      FROM s0 JOIN maxrn m ON m.event_type = s0.event_type
+      UNION ALL
+      SELECT i.event_type, i.rn,
+             FLOOR(({_HOLT_ALPHA} * (i.y - st.s[1])
+                    + {1 - _HOLT_ALPHA} * (st.l + st.b)) * 1e6 + 0.5) / 1e6,
+             FLOOR(({_HOLT_BETA}
+                    * (FLOOR(({_HOLT_ALPHA} * (i.y - st.s[1])
+                              + {1 - _HOLT_ALPHA} * (st.l + st.b))
+                             * 1e6 + 0.5) / 1e6 - st.l)
+                    + {1 - _HOLT_BETA} * st.b) * 1e6 + 0.5) / 1e6,
+             list_append(st.s[2:{_HW_SEASON}],
+               FLOOR(({_HW_GAMMA}
+                      * (i.y - FLOOR(({_HOLT_ALPHA} * (i.y - st.s[1])
+                                      + {1 - _HOLT_ALPHA} * (st.l + st.b))
+                                     * 1e6 + 0.5) / 1e6)
+                      + {1 - _HW_GAMMA} * st.s[1]) * 1e6 + 0.5) / 1e6)
+      FROM state st JOIN idx i
+        ON i.event_type = st.event_type AND i.rn = st.rn + 1
+    ),
+    fin AS (
+      SELECT st.event_type, st.l, st.b, st.s
+      FROM state st JOIN maxrn m
+        ON m.event_type = st.event_type AND st.rn = m.t
+    ),
+    last AS (SELECT event_type, MAX(day) AS last_day FROM daily GROUP BY 1),
+    horizon AS (SELECT unnest(generate_series(1, {_HOLT_H})) AS h)
+    SELECT f.event_type,
+           CAST(h.h AS INT) AS h,
+           l.last_day + CAST(h.h AS INT) AS day,
+           f.l AS level,
+           f.b AS trend,
+           f.s[h.h] AS seasonal,
+           FLOOR((f.l + h.h * f.b + f.s[h.h]) * 1e4 + 0.5) / 1e4 AS forecast
+    FROM fin f
+    JOIN last l USING (event_type)
+    CROSS JOIN horizon h
+    """,
+)
+def ml_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL triple exponential smoothing per
+    series (event_type), weekly season m=7, forecast 7 days — the full
+    classical member of the smoothing family (level + trend + seasonal
+    state), i.e. the non-Bayesian ancestor of the reference's Prophet
+    (trend + seasonality decomposition, pretrain_models.py:22-29).
+    Initialization: level = mean of the first week, trend = 0, seasonal
+    = first-week deviations; recursion l_t = a*(y_t - s_{{t-m}}) +
+    (1-a)(l+b); b_t as Holt; s_t = g*(y_t - l_t) + (1-g)*s_{{t-m}},
+    gains all exact binary fractions, every state snapped to the 1e-6
+    grid — so the DuckDB RECURSIVE CTE (seasonal ring carried as a
+    rotating LIST column) reproduces level/trend/seasonals bit-for-bit.
+    Series shorter than two full seasons are excluded (both engines).
+    Engine shape and 100 TB posture identical to ml_holt_winters:
+    groupBy(series).applyInPandas, parallelism = number of series,
+    forecast day T+h reuses the season of observed day T+h-m."""
+    import math
+
+    import pandas as pd
+
+    tune(spark)
+    m = _HW_SEASON
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+
+    def snap6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        if len(ys) < 2 * m:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "h", "day", "level", "trend",
+                    "seasonal", "forecast",
+                ]
+            )
+        l = snap6(sum(ys[:m]) / m)
+        b = 0.0
+        s = [snap6(y - l) for y in ys[:m]]
+        for y in ys[m:]:
+            s_old = s[0]
+            lt = snap6(_HOLT_ALPHA * (y - s_old) + (1 - _HOLT_ALPHA) * (l + b))
+            b = snap6(_HOLT_BETA * (lt - l) + (1 - _HOLT_BETA) * b)
+            st = snap6(_HW_GAMMA * (y - lt) + (1 - _HW_GAMMA) * s_old)
+            s = s[1:] + [st]
+            l = lt
+        last_day = pdf["day"].iloc[-1]
+        et = pdf["event_type"].iloc[0]
+        rows = [
+            {
+                "event_type": et,
+                "h": h,
+                "day": last_day + pd.Timedelta(days=h),
+                "level": l,
+                "trend": b,
+                "seasonal": s[h - 1],
+                "forecast": math.floor((l + h * b + s[h - 1]) * 1e4 + 0.5)
+                / 1e4,
+            }
+            for h in range(1, _HOLT_H + 1)
+        ]
+        return pd.DataFrame(rows)
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        schema="event_type string, h int, day date, level double, "
+        "trend double, seasonal double, forecast double",
+    )

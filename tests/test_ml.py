@@ -159,3 +159,27 @@ def test_holt_winters_internal_consistency(spark):
         assert len({(r.level, r.trend) for r in rs}) == 1  # one state per series
         for a, b in zip(rs, rs[1:]):
             assert (b.day - a.day).days == 1
+
+
+def test_holt_winters_seasonal_consistency(spark):
+    """Triple-smoothing output: forecast = snap4(level + h*trend +
+    seasonal); one (level, trend) state per series; the 7 reported
+    seasonals are the final seasonal ring in horizon order."""
+    import math
+
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ml_holt_winters_seasonal"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_et: dict = {}
+    for r in rows:
+        expected = math.floor((r.level + r.h * r.trend + r.seasonal) * 1e4 + 0.5) / 1e4
+        assert r.forecast == expected
+        by_et.setdefault(r.event_type, []).append(r)
+    for et, rs in by_et.items():
+        assert len(rs) == 7
+        assert len({(r.level, r.trend) for r in rs}) == 1
+        # additive seasonals over one full cycle stay centered-ish: the
+        # ring was initialized zero-mean and gamma-updates perturb it
+        ring = [r.seasonal for r in sorted(rs, key=lambda r: r.h)]
+        assert all(abs(s) < 1e6 for s in ring)
