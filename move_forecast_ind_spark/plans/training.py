@@ -191,7 +191,20 @@ def train_models_q(
         X = _feature_matrix(t)
         Xq = np.floor(X * F_GRID + 0.5).astype(np.int64)
         yq = np.floor(y * Y_GRID + 0.5).astype(np.int64)
-        xtx = Xq.T @ Xq  # exact: |entries| <= n * (1.9e6)^2 << 2^63
+        # int64 exactness guard: X'X entries are bounded by design
+        # (|fq| <= ~1.9e6 -> n*(1.9e6)^2 << 2^63) but y is data-dependent
+        # (yq = y*1e3), and numpy int64 WRAPS silently while the DuckDB
+        # oracle promotes to HUGEINT — a cross-engine divergence with
+        # garbage coefficients. Refuse loudly instead: every moment entry
+        # is a sum of n products of values bounded by max(|fq|, |yq|).
+        bound = len(yq) * max(int(np.abs(Xq).max()), int(np.abs(yq).max()), 1) ** 2
+        if bound >= 2**63:
+            raise OverflowError(
+                f"branch {int(pdf['branch'].iloc[0])}: quantized moments "
+                f"could exceed int64 (worst-case {bound:.3g}); lower Y_GRID "
+                "or pre-scale y for series with daily totals this large"
+            )
+        xtx = Xq.T @ Xq  # exact int64: guarded above
         xty = Xq.T @ yq
         yty = int(yq @ yq)
         beta_int = gauss_jordan_solve(xtx, xty)

@@ -140,6 +140,11 @@ def _fourier_model_ctes(min_obs: int = MIN_OBS_Q) -> str:
       SELECT branch, i, b * 1e3 AS c FROM fbint
     ),
     fsig AS (
+      -- NOTE: unlike the Gauss-Jordan solve above (fixed op order, hence
+      -- bit-for-bit), the lin/quad terms here are unordered SUMs whose
+      -- accumulation order DuckDB does not fix; sigma matches the Spark
+      -- side because both are absorbed by the 1e-4 rounding grid, not
+      -- because the IEEE op sequence is identical.
       SELECT s.branch, s.n_obs,
              sqrt(GREATEST(CAST(s.yty AS DOUBLE) - 2e0 * l.l + q.q, 0e0)
                   / 1e6 / GREATEST(s.n_obs - {p}, 1)) AS sigma
@@ -501,7 +506,10 @@ def _svc_batch_oracle() -> str:
 
     # Window clamps resolved per forecast_window: 1999-06-03 -> 06-01..06-07
     # (today-clamp snap forward), 1999-07-30 -> 07-25..07-31 (max-date-clamp
-    # snap backward).
+    # snap backward). These literals are pinned to the clamp helper by
+    # tests/test_window_clamp.py::test_svc_batch_oracle_window_literals —
+    # if forecast_window's clamp logic ever changes, that test fails before
+    # this oracle can silently desynchronize from the Spark path.
     batch_fut = f"""
       SELECT DISTINCT s.branch, s.ds,
              CAST(date_diff('day', DATE '{EPOCH}', s.ds) AS DOUBLE) AS t

@@ -65,6 +65,17 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 # cached frame share nothing but metadata. Fixture tables are immutable
 # for a session; a path whose files change mid-session would need an
 # invalidation hook (the catalog analog: REFRESH TABLE).
+#
+# Two hazards this cache must manage (ADVICE r5):
+# - eviction: entries for stopped sessions would otherwise accumulate for
+#   the life of the process. load_table() evicts every key whose
+#   applicationId differs from the calling session's — the cache is
+#   deliberately single-session (test/driver processes use one session at
+#   a time; alternating live sessions would merely re-read footers).
+# - persist leak: the cached object is SHARED, so a caller that .cache()s
+#   it substitutes an InMemoryRelation into every later load_table user.
+#   Callers must .unpersist() when done (see tests/test_server.py's
+#   fixture) or persist a derived frame (.select("*")) instead.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -85,7 +96,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # applicationId (not Python object id) keys the session: a stopped
     # session's id() could be reused by the allocator and hand back a
     # DataFrame bound to a dead JVM.
-    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    key = (app_id, f"{sf_dir}/{name}.parquet")
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -107,3 +107,24 @@ def test_column_clamp_matches_scalar(spark):
     }
     for i, d in rows:
         assert got[i] == forecast_window(d, TODAY, MAX), f"input {d}"
+
+
+def test_svc_batch_oracle_window_literals():
+    """Pin the two clamped window starts that _svc_batch_oracle
+    (queries/ml.py) hard-codes as SQL literals to the clamp helper's
+    actual output, so a change to forecast_window's clamp logic fails
+    HERE instead of silently desynchronizing the oracle from the Spark
+    path (ADVICE r5)."""
+    today, mx = dt.date(1999, 6, 1), dt.date(1999, 7, 31)
+    assert forecast_window(dt.date(1999, 6, 3), today, mx) == (
+        dt.date(1999, 6, 1), dt.date(1999, 6, 7)
+    )
+    assert forecast_window(dt.date(1999, 7, 30), today, mx) == (
+        dt.date(1999, 7, 25), dt.date(1999, 7, 31)
+    )
+    # and the literals actually appear in the oracle SQL
+    from move_forecast_ind_spark.queries.ml import _svc_batch_oracle
+
+    sql = _svc_batch_oracle()
+    for lit in ("DATE '1999-06-01'", "DATE '1999-07-25'"):
+        assert lit in sql
