@@ -21,6 +21,7 @@ for _mod in (
     "classic",
     "curation",
     "analytics",
+    "linkage",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

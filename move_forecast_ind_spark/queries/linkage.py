@@ -1,0 +1,577 @@
+"""Record linkage, attribution, changepoints, and lake-ops operators
+(round-6 widening).
+
+Capability families a production analytics engine layers over the lake
+beyond the reference's surface (the reference —
+satya-dataengineer/move-forecast-IND — has none of these; engine-
+completeness mandate):
+
+- entity resolution: blocked candidate generation + edit-distance match
+  scoring (the record-linkage staple — dedupe customer/product masters
+  without an all-pairs join);
+- marketing attribution: last-touch channel assignment over per-user
+  event timelines (window functions, no self-join);
+- changepoint detection: CUSUM over daily series, computed EXACTLY in
+  scaled integers so both engines agree bit-for-bit before the final
+  division;
+- robust regression: Theil-Sen slope (lower median of pairwise slopes)
+  per series, pair expansion IN-ROW;
+- lake ops: small-file compaction planning (bin-pack docs into
+  target-size output files via running cumsum — the OPTIMIZE/compaction
+  planner as a plain window query);
+- corpus forensics: cross-source exact-overlap matrix (which sources
+  share identical documents, Jaccard over content-hash sets).
+
+All hot paths are built-in column expressions inside whole-stage codegen;
+every double that reaches the output is rounded through
+``functions.rounding`` on BOTH engines so aggregation-order ulp noise
+can't flip the oracle's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# --- entity resolution: blocking + edit-distance matching -------------------
+
+# Blocks above this size are truncated (a runaway block means the blocking
+# key is degenerate for that slice — the standard ER remedy is a finer key,
+# not an O(block²) grind). Inactive at fixture SFs (max observed block: 14
+# at sf0.01); the oracle omits it, so it must stay inactive wherever the
+# oracle runs — same output-neutrality contract as corpus_semdedup's
+# cluster fence.
+_ER_BLOCK_CAP = 512
+
+
+@register(
+    "er_blocking_pairs",
+    tags=("linkage", "join", "dedup"),
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             lower(split_part(p_name, ' ', 1)) AS blk, p_size
+      FROM part
+    )
+    SELECT a.blk, a.p_size,
+           a.p_partkey AS pka, b.p_partkey AS pkb,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           {sql_r6("1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)"
+                   " / greatest(length(a.p_name), length(b.p_name))")} AS sim
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part master: candidate pairs from a
+    composite blocking key (first name token, size), scored with
+    Levenshtein edit distance, kept when dist <= 4 — the classic
+    blocking+matching record-linkage pipeline (Fellegi-Sunter's candidate
+    stage). Engine shape: ONE groupBy(block) collects each block in-row
+    (sort_array for deterministic pair orientation), ordered pairs expand
+    IN-ROW (transform/filter — never the oracle's self-join), and the
+    edit distance runs inside codegen on the exploded pair rows. At
+    100 TB: pair count is sum of block² — bounded by the blocking key's
+    selectivity plus the `_ER_BLOCK_CAP` truncation fence for degenerate
+    blocks; no shuffle carries more than one row per surviving pair, and
+    there is no join anywhere in the plan."""
+    tune(spark)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.lower(F.split_part("p_name", F.lit(" "), F.lit(1))).alias("blk"),
+        "p_size",
+    )
+    blocks = p.groupBy("blk", "p_size").agg(
+        F.sort_array(F.collect_list(F.struct("p_partkey", "p_name"))).alias("arr")
+    )
+    blocks = blocks.withColumn(
+        "arr",
+        F.expr(
+            f"CASE WHEN size(arr) > {_ER_BLOCK_CAP}"
+            f" THEN slice(arr, 1, {_ER_BLOCK_CAP}) ELSE arr END"
+        ),
+    )
+    pairs = blocks.select(
+        "blk",
+        "p_size",
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, a -> "
+                "transform(filter(arr, b -> b.p_partkey > a.p_partkey), "
+                "b -> struct(a.p_partkey AS pka, b.p_partkey AS pkb, "
+                "a.p_name AS name_a, b.p_name AS name_b))))"
+            )
+        ).alias("pr"),
+    ).select("blk", "p_size", "pr.*")
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.withColumn("dist", dist.cast("long")).filter(
+        F.col("dist") <= 4
+    ).withColumn(
+        "sim",
+        r6(
+            F.lit(1.0)
+            - F.col("dist").cast("double")
+            / F.greatest(F.length("name_a"), F.length("name_b"))
+        ),
+    )
+
+
+# --- changepoint detection: exact integer CUSUM ------------------------------
+
+
+@register(
+    "ts_cusum_changepoints",
+    tags=("timeseries", "window", "analytics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS tot
+      FROM daily GROUP BY 1
+    ),
+    run AS (
+      SELECT d.event_type, d.day,
+             CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS idx
+      FROM daily d
+    ),
+    sc AS (
+      SELECT r.event_type, r.day, r.idx, r.cum, s.n_days, s.tot,
+             s.n_days * r.cum - r.idx * s.tot AS s_scaled
+      FROM run r JOIN ser s USING (event_type)
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(s_scaled) DESC, day) AS rn
+      FROM sc
+    )
+    SELECT event_type, n_days, day AS cp_day,
+           {sql_r4("CAST(abs(s_scaled) AS DOUBLE) / n_days")} AS max_abs_s,
+           {sql_r4("CAST(cum AS DOUBLE) / idx")} AS mean_before,
+           CASE WHEN n_days > idx
+                THEN {sql_r4("CAST(tot - cum AS DOUBLE) / (n_days - idx)")}
+                ELSE NULL END AS mean_after
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per daily event-type series: the
+    changepoint is the day maximizing |S_d| where S_d = Σ_{{i<=d}}(y_i - μ)
+    (Page 1954's cumulative-sum statistic; the split point of a
+    one-changepoint binary segmentation). Cross-engine exactness: S_d·n
+    = n·cumsum(y) - d·total is computed in INT64 (counts are integers),
+    so the argmax — including the deterministic earliest-day tie-break —
+    is integer-exact on both engines; doubles appear only in the final
+    reported magnitudes, behind the rounding grid. Engine shape: one
+    groupBy builds the daily series, two window passes (running sum +
+    argmax rank) per series, broadcast-sized per-series totals joined
+    back. At 100 TB parallelism is per-series and state per series is one
+    running sum — nothing is ever collected."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ser = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).cast("long").alias("idx"),
+    )
+    sc = run.join(F.broadcast(ser), "event_type").withColumn(
+        "s_scaled", F.col("n_days") * F.col("cum") - F.col("idx") * F.col("tot")
+    )
+    rnw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("day")
+    )
+    best = sc.withColumn("rn", F.row_number().over(rnw)).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("cp_day"),
+        r4(F.abs(F.col("s_scaled")).cast("double") / F.col("n_days")).alias(
+            "max_abs_s"
+        ),
+        r4(F.col("cum").cast("double") / F.col("idx")).alias("mean_before"),
+        F.when(
+            F.col("n_days") > F.col("idx"),
+            r4(
+                (F.col("tot") - F.col("cum")).cast("double")
+                / (F.col("n_days") - F.col("idx"))
+            ),
+        ).alias("mean_after"),
+    )
+
+
+# --- marketing attribution: last-touch over per-user timelines ---------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "events_attribution_lasttouch",
+    tags=("events", "window", "analytics"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    m AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN event_type = 'click'  THEN us * 8 + 1
+                             WHEN event_type = 'view'   THEN us * 8 + 2
+                             WHEN event_type = 'signup' THEN us * 8 + 3
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS packed
+      FROM e
+    ),
+    conv AS (
+      SELECT CASE WHEN packed IS NULL
+                    OR us - packed // 8 > {_ATTR_WINDOW_US} THEN 'direct'
+                  WHEN packed % 8 = 1 THEN 'click'
+                  WHEN packed % 8 = 2 THEN 'view'
+                  ELSE 'signup' END AS channel,
+             value,
+             CASE WHEN packed IS NOT NULL
+                    AND us - packed // 8 <= {_ATTR_WINDOW_US}
+                  THEN (us - packed // 8) / 1e6 END AS latency_s
+      FROM m WHERE event_type = 'purchase'
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS conversions,
+           {sql_r2("SUM(value)")} AS revenue,
+           {sql_r2("AVG(latency_s)")} AS avg_latency_s
+    FROM conv GROUP BY 1
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding marketing touch (click/view/signup)
+    within a 7-day window, else 'direct'; channels report conversions,
+    attributed revenue, and mean touch-to-purchase latency. Engine shape:
+    ONE window pass per user timeline — the candidate touch rides forward
+    as last(non-null) over ROWS UNBOUNDED PRECEDING..1 PRECEDING, packed
+    into a single BIGINT (ts_us*8 + channel_code) so the window state is
+    one comparable scalar on both engines (struct MAX semantics differ;
+    a packed int does not). No self-join, no explode: at 100 TB this is
+    one shuffle on user_id and per-user sorted scans — the same shape
+    whether the timeline has ten events or ten million."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 3)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = F.last(
+        F.when(code.isNotNull(), F.col("us") * 8 + code), ignorenulls=True
+    ).over(w)
+    m = e.withColumn("packed", packed).filter(F.col("event_type") == "purchase")
+    lt_us = F.expr("packed div 8")
+    in_window = F.col("packed").isNotNull() & (
+        (F.col("us") - lt_us) <= _ATTR_WINDOW_US
+    )
+    conv = m.select(
+        F.when(~in_window, "direct")
+        .when(F.expr("packed % 8") == 1, "click")
+        .when(F.expr("packed % 8") == 2, "view")
+        .otherwise("signup")
+        .alias("channel"),
+        "value",
+        F.when(in_window, (F.col("us") - lt_us) / 1e6).alias("latency_s"),
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        r2(F.sum("value")).alias("revenue"),
+        r2(F.avg("latency_s")).alias("avg_latency_s"),
+    )
+
+
+# --- robust regression: Theil-Sen slope (lower median, bit-exact) ------------
+
+# Series longer than this are truncated to their most recent _TS_MAX_DAYS
+# days before pair expansion (pairs grow as days² — the estimator is
+# conventionally windowed at scale). Inactive at fixture SFs (the events
+# fixture spans ~30 days); mirrored EXACTLY in the oracle so the fence can
+# never cause cross-engine divergence even when active.
+_TS_MAX_DAYS = 365
+
+
+@register(
+    "a_theil_sen_slope",
+    tags=("timeseries", "aggregate", "analytics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY day DESC) AS rdesc
+      FROM daily
+    ),
+    fenced AS (SELECT * FROM idx WHERE rdesc <= {_TS_MAX_DAYS}),
+    pr AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE)
+               / date_diff('day', a.day, b.day) AS slope
+      FROM fenced a JOIN fenced b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pr
+    ),
+    med AS (
+      SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+             {sql_r6("slope")} AS slope
+      FROM ranked WHERE rn = (cnt + 1) // 2
+    )
+    SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           MIN(m.n_pairs) AS n_pairs, MIN(m.slope) AS slope
+    FROM fenced f JOIN med m ON m.event_type = f.event_type
+    GROUP BY 1
+    """,
+)
+def a_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per daily event-type series: the
+    LOWER MEDIAN (k = (n+1)//2 order statistic — no interpolation, hence
+    bit-exact across engines) of all pairwise slopes (y_j - y_i)/(t_j -
+    t_i), the 29%-breakdown-point alternative to OLS slope (Theil 1950,
+    Sen 1968). Engine shape: one groupBy builds each series IN-ROW
+    (sort_array), pairwise slopes expand in-row (transform/filter — the
+    oracle's self-join never appears), and the order statistic is
+    element_at(array_sort(...), k) — the whole estimator is a single
+    aggregate row per series with zero joins and zero explodes. Pair
+    count grows as days², so series are fenced to their most recent
+    `_TS_MAX_DAYS` days (mirrored in the oracle; inactive at fixture
+    SFs). At 100 TB parallelism is per-series; a series' pair array is
+    bounded at ~66k doubles."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("arr")
+    )
+    g = g.withColumn(
+        "arr",
+        F.expr(
+            f"CASE WHEN size(arr) > {_TS_MAX_DAYS} THEN "
+            f"slice(arr, size(arr) - {_TS_MAX_DAYS - 1}, {_TS_MAX_DAYS}) "
+            "ELSE arr END"
+        ),
+    )
+    g = g.withColumn(
+        "slopes",
+        F.expr(
+            "flatten(transform(arr, a -> "
+            "transform(filter(arr, b -> b.day > a.day), "
+            "b -> CAST(b.c - a.c AS DOUBLE) / datediff(b.day, a.day))))"
+        ),
+    )
+    return g.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_days"),
+        F.size("slopes").cast("long").alias("n_pairs"),
+        r6(
+            F.element_at(
+                F.array_sort("slopes"),
+                F.expr("CAST((size(slopes) + 1) div 2 AS INT)"),
+            )
+        ).alias("slope"),
+    )
+
+
+# --- lake ops: small-file compaction planning --------------------------------
+
+_COMPACT_TARGET_CHARS = 16384
+
+
+@register(
+    "s_compaction_plan",
+    tags=("source", "window", "lakeops"),
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_prev
+      FROM documents
+    ),
+    f AS (
+      SELECT source, cum_prev // {_COMPACT_TARGET_CHARS} AS file_id, n_chars
+      FROM w
+    )
+    SELECT source, CAST(file_id AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_r4(f"CAST(SUM(n_chars) AS DOUBLE) / {_COMPACT_TARGET_CHARS}")}
+             AS fill_ratio
+    FROM f GROUP BY 1, 2
+    """,
+)
+def s_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE / bin-packing step of
+    lake table maintenance, Delta/Iceberg's rewriteDataFiles): documents
+    are packed in stable (source, doc_id) order into output files of
+    ~{_COMPACT_TARGET_CHARS} chars by bucketing each doc on its EXCLUSIVE
+    running prefix sum — a first-fit-in-order bin pack that both engines
+    compute identically in int64. Output is the plan: per (source,
+    output file) doc count, byte-proxy total, and fill ratio. Engine
+    shape: one window pass per source partition (running sum), one
+    aggregate — at 100 TB this is the metadata-scale query a table
+    service runs per partition, shuffling one row per file, not per
+    doc."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = docs.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long").alias(
+            "cum_prev"
+        ),
+    ).withColumn("file_id", F.expr(f"cum_prev div {_COMPACT_TARGET_CHARS}"))
+    return planned.groupBy("source", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        r4(
+            F.sum("n_chars").cast("double") / F.lit(_COMPACT_TARGET_CHARS)
+        ).alias("fill_ratio"),
+    )
+
+
+# --- corpus forensics: cross-source exact-overlap matrix ---------------------
+
+
+@register(
+    "corpus_source_overlap",
+    tags=("corpus", "dedup", "analytics"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    dh AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+1], ' ') AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+      WHERE len(w) >= 2
+    ),
+    cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dh GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           ca.n AS n_a, cb.n AS n_b,
+           {sql_r6("CAST(p.n_common AS DOUBLE)"
+                   " / (ca.n + cb.n - p.n_common)")} AS jaccard
+    FROM pair p
+    JOIN cnt ca ON ca.source = p.source_a
+    JOIN cnt cb ON cb.source = p.source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the count and Jaccard overlap of their distinct word-BIGRAM
+    sets — the pairwise n-gram leakage audit a corpus runs before mixing
+    sources (did source B scrape source A? do two crawls share
+    boilerplate?). Granularity note: exact-document overlap is zero on
+    this corpus (and near-zero on real deduplicated corpora), so the
+    matrix is computed at shingle granularity, the same unit the
+    decontamination pass uses. Engine shape: one distinct over (source,
+    shingle), then each shingle's source set collects IN-ROW and source
+    pairs expand in-row (never the oracle's shingle self-join);
+    per-source distinct counts broadcast onto the tiny pair frame. At
+    100 TB the expansion is bounded by sources-per-shingle squared
+    (sources number in the hundreds, not millions) and the shuffle
+    carries one row per (shingle, source) — the same posture as the
+    minhash band buckets."""
+    tune(spark)
+    from ..functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dh = (
+        docs.select("source", tokens(F.col("text")).alias("toks"))
+        .select("source", shingles_from_tokens(F.col("toks"), 2).alias("shs"))
+        .select("source", F.explode("shs").alias("h"))
+        .distinct()
+    )
+    cnt = dh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_hash = dh.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") > 1)
+    pairs = per_hash.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, a -> "
+                "transform(filter(ss, b -> b > a), "
+                "b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    pc = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            r6(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -294,3 +294,48 @@ def st_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "st_topk_per_window",
+    tags=("streaming", "window", "topk"),
+    oracle="""
+    WITH c AS (
+      SELECT (epoch_us(ts) // 21600000000) * 21600 AS bucket_s,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket_s
+                                        ORDER BY n DESC, event_type)
+                     AS INT) AS rank
+      FROM c
+    )
+    SELECT bucket_s, rank, event_type, n FROM r WHERE rank <= 3
+    """,
+)
+def st_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.windowed_topk_counts + finalize_topk:
+    top-3 event types per 6-hour tumbling window (rank ties broken on
+    event_type). The streaming side splits this into an incrementally-
+    maintainable windowed count plus a per-micro-batch rank (foreachBatch)
+    because ranking itself is not append-mode maintainable;
+    tests/test_streaming.py drains the stream through both stages and
+    asserts it emits exactly these rows. At 100 TB the rank stage's input
+    is windows x event-types — metadata-scale next to the event stream."""
+    tune(spark)
+    from ..streaming.events import finalize_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            "event_type",
+            "n",
+        )
+    )
+    return finalize_topk(counts, k=3)

@@ -165,6 +165,43 @@ def static_enriched_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def windowed_topk_counts(events: DataFrame) -> DataFrame:
+    """Stage 1 of streaming windowed top-k: 6-hour tumbling counts per
+    event_type with a 6-hour watermark — an incrementally-maintainable
+    keyed aggregate. Ranking is NOT incrementally maintainable in append
+    mode (a late row can reorder a window's ranks), so top-k is the
+    two-stage idiom: this streaming aggregate plus :func:`finalize_topk`
+    applied per sink micro-batch (foreachBatch) or on the drained result.
+    Batch twin: queries/streaming_q.py::st_topk_per_window."""
+    return (
+        events.withWatermark("ts", "6 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("bucket_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def finalize_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Stage 2 of streaming windowed top-k: rank each window's counts
+    (deterministic tie-break on event_type) and keep the top k. Batch
+    logic — apply inside foreachBatch or to the fully-drained stage-1
+    output."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket_s").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bucket_s", "rank", "event_type", "n")
+    )
+
+
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Streaming dedup on (user_id, event_type, minute-bucket): duplicates
     arriving within the watermark horizon are dropped with bounded state

@@ -416,3 +416,22 @@ def test_static_enrich_equivalence(spark, event_stream_factory):
     batch = st_static_enrich_counts(spark, SF_SMALL)
     cols = ["bucket_s", "segment", "n"]
     assert _rows(out, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_windowed_topk_equivalence(spark, event_stream_factory):
+    """Drain the two-stage streaming top-k (windowed counts stream +
+    finalize_topk rank) and assert it emits exactly the batch twin's
+    rows."""
+    from move_forecast_ind_spark.queries.streaming_q import st_topk_per_window
+    from move_forecast_ind_spark.streaming.events import (
+        finalize_topk,
+        windowed_topk_counts,
+    )
+
+    drained = _drain(
+        windowed_topk_counts(event_stream_factory()), "t_topk", "complete"
+    )
+    out = finalize_topk(drained, k=3)
+    batch = st_topk_per_window(spark, SF_SMALL)
+    cols = ["bucket_s", "rank", "event_type", "n"]
+    assert _rows(out, cols) == _rows(batch.select(*cols), cols)
