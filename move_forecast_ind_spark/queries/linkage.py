@@ -536,10 +536,27 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import shingles_from_tokens, tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # repartition(doc_id) before shingling: both the parallelism spread
+    # AND an optimization barrier — without it CollapseProject inlines
+    # tokens() into the shingle lambda and re-splits the text once per
+    # shingle (~50x, measured 54 s -> 2 s at the 10x probe scale; same
+    # trap corpus_ngram_novelty and the minhash cascade guard against).
+    # source rides INSIDE the transform struct, never as an explode
+    # sibling: a generator's sibling columns are evaluated per OUTPUT
+    # row, and CollapseProject inlines the whole tokenize->shingle chain
+    # into them — measured 54 s -> ~1.5 s at the 10x probe for this one
+    # select (the same trap operators/dedup.py:147-152 and
+    # corpus_ngram_novelty document). repartition(doc_id) spreads the
+    # shingling across cores.
+    sh_arr = F.transform(
+        "shs", lambda s: F.struct(s.alias("h"), F.col("source").alias("source"))
+    )
     dh = (
-        docs.select("source", tokens(F.col("text")).alias("toks"))
+        docs.repartition(F.col("doc_id"))
+        .select("source", tokens(F.col("text")).alias("toks"))
         .select("source", shingles_from_tokens(F.col("toks"), 2).alias("shs"))
-        .select("source", F.explode("shs").alias("h"))
+        .select(F.explode(sh_arr).alias("p"))
+        .select(F.col("p.source").alias("source"), F.col("p.h").alias("h"))
         .distinct()
     )
     cnt = dh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
