@@ -9,18 +9,20 @@ completeness mandate):
 - entity resolution: blocked candidate generation + edit-distance match
   scoring (the record-linkage staple — dedupe customer/product masters
   without an all-pairs join);
-- marketing attribution: last-touch channel assignment over per-user
-  event timelines (window functions, no self-join);
-- changepoint detection: CUSUM over daily series, computed EXACTLY in
-  scaled integers so both engines agree bit-for-bit before the final
-  division;
+- marketing attribution: LINEAR multi-touch credit over per-user touch
+  paths (time-banded join + one window — the multi-touch complement to
+  analytics.py's single-scalar last-touch tier);
+- level-shift detection: per-series CUSUM split-point summary, computed
+  EXACTLY in scaled integers so both engines agree bit-for-bit before
+  the final division (the per-key screening tier over analytics.py's
+  global CUSUM curve);
 - robust regression: Theil-Sen slope (lower median of pairwise slopes)
   per series, pair expansion IN-ROW;
 - lake ops: small-file compaction planning (bin-pack docs into
   target-size output files via running cumsum — the OPTIMIZE/compaction
   planner as a plain window query);
-- corpus forensics: cross-source exact-overlap matrix (which sources
-  share identical documents, Jaccard over content-hash sets).
+- corpus forensics: cross-source bigram-overlap matrix (which sources
+  share n-gram content, Jaccard over distinct-shingle sets).
 
 All hot paths are built-in column expressions inside whole-stage codegen;
 every double that reaches the output is rounded through
@@ -129,7 +131,7 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ts_cusum_changepoints",
+    "ts_level_shift_by_type",
     tags=("timeseries", "window", "analytics"),
     oracle=f"""
     WITH daily AS (
@@ -169,11 +171,16 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM best WHERE rn = 1
     """,
 )
-def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection per daily event-type series: the
-    changepoint is the day maximizing |S_d| where S_d = Σ_{{i<=d}}(y_i - μ)
-    (Page 1954's cumulative-sum statistic; the split point of a
-    one-changepoint binary segmentation). Cross-engine exactness: S_d·n
+def ts_level_shift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SERIES level-shift report: for each event_type's daily
+    series, the split day maximizing |S_d| where S_d = Σ_{{i<=d}}(y_i - μ)
+    (Page 1954's CUSUM statistic; the split point of a one-changepoint
+    binary segmentation), with the segment means either side of it.
+    Complements ts_changepoint_cusum (queries/analytics.py), which emits
+    the full float CUSUM CURVE of the single global series; this one is
+    the per-series SUMMARY tier — one row per series, suitable as the
+    per-key screening pass a 100 TB monitor runs before drilling into a
+    curve. Cross-engine exactness: S_d·n
     = n·cumsum(y) - d·total is computed in INT64 (counts are integers),
     so the argmax — including the deterministic earliest-day tie-break —
     is integer-exact on both engines; doubles appear only in the final
@@ -223,101 +230,99 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- marketing attribution: last-touch over per-user timelines ---------------
+# --- marketing attribution: linear multi-touch credit ------------------------
 
 _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
 
 
 @register(
-    "events_attribution_lasttouch",
-    tags=("events", "window", "analytics"),
+    "events_attribution_linear",
+    tags=("events", "join", "analytics"),
     oracle=f"""
-    WITH e AS (
-      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
-      FROM events
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'purchase'
     ),
     m AS (
-      SELECT *,
-             LAST_VALUE(CASE WHEN event_type = 'click'  THEN us * 8 + 1
-                             WHEN event_type = 'view'   THEN us * 8 + 2
-                             WHEN event_type = 'signup' THEN us * 8 + 3
-                        END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS packed
-      FROM e
+      SELECT user_id, epoch_us(ts) AS us, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
     ),
-    conv AS (
-      SELECT CASE WHEN packed IS NULL
-                    OR us - packed // 8 > {_ATTR_WINDOW_US} THEN 'direct'
-                  WHEN packed % 8 = 1 THEN 'click'
-                  WHEN packed % 8 = 2 THEN 'view'
-                  ELSE 'signup' END AS channel,
-             value,
-             CASE WHEN packed IS NOT NULL
-                    AND us - packed // 8 <= {_ATTR_WINDOW_US}
-                  THEN (us - packed // 8) / 1e6 END AS latency_s
-      FROM m WHERE event_type = 'purchase'
+    tj AS (
+      SELECT p.pid, p.value, m.channel
+      FROM p LEFT JOIN m
+        ON m.user_id = p.user_id
+       AND m.us >= p.us - {_ATTR_WINDOW_US}
+       AND m.us < p.us
+    ),
+    sh AS (
+      SELECT pid, value, COALESCE(channel, 'direct') AS channel,
+             CASE WHEN channel IS NULL THEN 1e0
+                  ELSE 1e0 / COUNT(channel) OVER (PARTITION BY pid)
+             END AS share
+      FROM tj
     )
-    SELECT channel, CAST(COUNT(*) AS BIGINT) AS conversions,
-           {sql_r2("SUM(value)")} AS revenue,
-           {sql_r2("AVG(latency_s)")} AS avg_latency_s
-    FROM conv GROUP BY 1
+    SELECT channel,
+           {sql_r4("SUM(share)")} AS credited_conversions,
+           {sql_r2("SUM(value * share)")} AS credited_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sh GROUP BY 1
     """,
 )
-def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch marketing attribution: each purchase is credited to the
-    user's most recent preceding marketing touch (click/view/signup)
-    within a 7-day window, else 'direct'; channels report conversions,
-    attributed revenue, and mean touch-to-purchase latency. Engine shape:
-    ONE window pass per user timeline — the candidate touch rides forward
-    as last(non-null) over ROWS UNBOUNDED PRECEDING..1 PRECEDING, packed
-    into a single BIGINT (ts_us*8 + channel_code) so the window state is
-    one comparable scalar on both engines (struct MAX semantics differ;
-    a packed int does not). No self-join, no explode: at 100 TB this is
-    one shuffle on user_id and per-user sorted scans — the same shape
-    whether the timeline has ten events or ten million."""
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's credit splits
+    EQUALLY across every marketing touch (click/view/signup) in its 7-day
+    lookback — the equal-weight member of the multi-touch family, the
+    standard complement to single-touch models (the last-touch tier is
+    events_attribution_last_touch in queries/analytics.py; this one
+    requires the full touch PATH, not a single running scalar, hence the
+    time-banded join). Per channel: fractional credited conversions
+    (shares sum to 1 per touched purchase), credited revenue, and the
+    contributing row count. Engine shape: purchases x touches join on
+    user_id with a time-band predicate (bounded by touches-per-user-week
+    — never a cross join), then one window over the purchase key assigns
+    equal shares. Float caveat: per-share terms are identical doubles on
+    both engines but their SUM order is engine-chosen; the r4/r2 rounding
+    grid absorbs the ulp spread (same contract as the fit-sigma oracle).
+    At 100 TB: two shuffles (join on user_id, window on pid); skewed
+    mega-users are bounded by the 7-day band and the marketing-type
+    filter before the join."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
         "value",
-        F.unix_micros("ts").alias("us"),
     )
-    code = (
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "view", 2)
-        .when(F.col("event_type") == "signup", 3)
+    m = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("m_user"),
+        F.unix_micros("ts").alias("m_us"),
+        F.col("event_type").alias("channel"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    tj = p.join(
+        m,
+        (F.col("m_user") == F.col("p_user"))
+        & (F.col("m_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+        & (F.col("m_us") < F.col("p_us")),
+        "left",
     )
-    packed = F.last(
-        F.when(code.isNotNull(), F.col("us") * 8 + code), ignorenulls=True
-    ).over(w)
-    m = e.withColumn("packed", packed).filter(F.col("event_type") == "purchase")
-    lt_us = F.expr("packed div 8")
-    in_window = F.col("packed").isNotNull() & (
-        (F.col("us") - lt_us) <= _ATTR_WINDOW_US
-    )
-    conv = m.select(
-        F.when(~in_window, "direct")
-        .when(F.expr("packed % 8") == 1, "click")
-        .when(F.expr("packed % 8") == 2, "view")
-        .otherwise("signup")
-        .alias("channel"),
+    wp = Window.partitionBy("pid")
+    sh = tj.select(
+        "pid",
         "value",
-        F.when(in_window, (F.col("us") - lt_us) / 1e6).alias("latency_s"),
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        F.when(F.col("channel").isNull(), F.lit(1.0))
+        .otherwise(F.lit(1.0) / F.count("channel").over(wp))
+        .alias("share"),
     )
-    return conv.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("long").alias("conversions"),
-        r2(F.sum("value")).alias("revenue"),
-        r2(F.avg("latency_s")).alias("avg_latency_s"),
+    return sh.groupBy("channel").agg(
+        r4(F.sum("share")).alias("credited_conversions"),
+        r2(F.sum(F.col("value") * F.col("share"))).alias("credited_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
 
 
 # --- robust regression: Theil-Sen slope (lower median, bit-exact) ------------

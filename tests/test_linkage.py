@@ -82,7 +82,7 @@ def test_cusum_matches_pure_python(spark):
         expected[et] = (best[1], best[2], best[3])
     got = {
         r.event_type: (r.cp_day, r.max_abs_s, r.n_days)
-        for r in REGISTRY["ts_cusum_changepoints"].fn(spark, SF_SMALL).collect()
+        for r in REGISTRY["ts_level_shift_by_type"].fn(spark, SF_SMALL).collect()
     }
     assert set(got) == set(expected)
     for et, (day, s_abs, n) in expected.items():
@@ -93,26 +93,27 @@ def test_cusum_matches_pure_python(spark):
         assert gmax == math.floor(s_abs / n * 1e4 + 0.5) / 1e4
 
 
-def test_attribution_partitions_all_purchases(spark):
-    """Every purchase is attributed to exactly one channel (the channel
-    rows partition the purchase set), and only marketing channels plus
-    'direct' appear."""
+def test_linear_attribution_conserves_credit(spark):
+    """Linear multi-touch credit is conservative: every purchase hands
+    out exactly 1.0 conversion credit (split over its touches, or all to
+    'direct'), so channel credits must sum to the purchase count up to
+    the per-channel rounding grid; revenue credits must likewise sum to
+    total purchase revenue."""
     from move_forecast_ind_spark.queries import REGISTRY
     from move_forecast_ind_spark.sources import load_table
 
-    rows = REGISTRY["events_attribution_lasttouch"].fn(spark, SF_SMALL).collect()
-    n_purch = (
+    rows = REGISTRY["events_attribution_linear"].fn(spark, SF_SMALL).collect()
+    assert {r.channel for r in rows} <= {"click", "view", "signup", "direct"}
+    purch = (
         load_table(spark, SF_SMALL, "events")
         .filter(F.col("event_type") == "purchase")
-        .count()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("rev"))
+        .collect()[0]
     )
-    assert sum(r.conversions for r in rows) == n_purch
-    assert {r.channel for r in rows} <= {"click", "view", "signup", "direct"}
+    assert abs(sum(r.credited_conversions for r in rows) - purch.n) < 1e-2
+    assert abs(sum(r.credited_revenue for r in rows) - purch.rev) < 1e-1
     for r in rows:
-        if r.channel == "direct":
-            assert r.avg_latency_s is None
-        else:
-            assert 0 <= r.avg_latency_s <= 7 * 24 * 3600
+        assert r.credited_conversions > 0
 
 
 def test_compaction_plan_partitions_docs(spark):
