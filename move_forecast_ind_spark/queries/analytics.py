@@ -4882,3 +4882,122 @@ def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- community detection: synchronous label propagation ---------------------
+
+_LP_ROUNDS = 3
+
+
+def _labelprop_oracle() -> str:
+    """Unrolled synchronous-LPA replica: same co-activity graph as the
+    pagerank oracle, then _LP_ROUNDS rounds where every node adopts its
+    neighbors' most frequent label (count DESC, label ASC tie-break) —
+    pure integer label arithmetic, exact."""
+    parts = [
+        """
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    lab0 AS (SELECT user_id, user_id AS lab FROM nodes)"""
+    ]
+    for t in range(1, _LP_ROUNDS + 1):
+        parts.append(
+            f""",
+    mode{t} AS (
+      SELECT src AS user_id, lab FROM (
+        SELECT e.src, l.lab,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+        FROM edges e JOIN lab{t - 1} l ON l.user_id = e.dst
+        GROUP BY e.src, l.lab
+      ) WHERE rn = 1
+    ),
+    lab{t} AS (
+      SELECT v.user_id, COALESCE(m.lab, v.lab) AS lab
+      FROM lab{t - 1} v LEFT JOIN mode{t} m ON m.user_id = v.user_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT l.user_id, l.lab AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.lab) AS BIGINT)
+             AS community_size
+    FROM lab{_LP_ROUNDS} l"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "events_label_propagation",
+    tags=("events", "graph", "iterative"),
+    oracle=_labelprop_oracle(),
+)
+def events_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) over the user co-activity graph: every node starts as its
+    own community (label = user_id) and for a fixed number of rounds
+    simultaneously adopts the most frequent label among its neighbors
+    (deterministic tie-break: highest count, then smallest label —
+    synchronous + fixed rounds + total tie order makes the notoriously
+    order-sensitive LPA bit-reproducible, the same determinism doctrine
+    as the fixed-point k-means/PCA/pagerank tier). Complements the graph
+    family: connected components finds reachability classes,
+    LPA finds DENSITY clusters inside them.
+
+    Engine shape (the pagerank idiom): the shared index-encoded
+    adjacency compiles once (_coactivity_adjacency); each round is ONE
+    |V|-sized one-row broadcast (the sorted label vector) plus a
+    map-only in-row pass — the per-node neighbor-label mode runs over
+    the sorted neighbor-label array with an ascending-distinct fold
+    (strict > keeps the smallest label on count ties). Zero joins, zero
+    shuffles per round. At 100 TB: per-round state is the |V| label
+    vector (same |V| ≪ |E| broadcast assumption as pagerank; swap for a
+    shuffle join on billion-node graphs); the mode fold is O(deg²) per
+    node, bounded by the same hot-bucket fence as the adjacency build."""
+    tune(spark)
+    full = _coactivity_adjacency(spark, sf_dir)
+    lab = full.select("i", F.col("user_id").cast("long").alias("lab"))
+    for _t in range(_LP_ROUNDS):
+        lvec = lab.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "lab"))),
+                lambda s: s["lab"],
+            ).alias("larr")
+        )
+        # mode of neighbor labels: fold over ascending distinct labels,
+        # strict > keeps the smallest label among equally-frequent ones.
+        # The node's own previous label is element_at(larr, i+1) — the
+        # broadcast vector carries it, so (like pagerank's rank rebuild)
+        # no round ever joins back to the previous label frame.
+        mode = (
+            "CASE WHEN size(nbrs) = 0 THEN element_at(larr, i + 1) ELSE "
+            "aggregate(array_distinct(array_sort(nlabs)), "
+            "struct(CAST(-1 AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
+            "(acc, v) -> CASE WHEN size(filter(nlabs, x -> x = v)) > acc.mc "
+            "THEN struct(v AS ml, CAST(size(filter(nlabs, x -> x = v)) "
+            "AS BIGINT) AS mc) ELSE acc END, acc -> acc.ml) END"
+        )
+        lab = (
+            full.crossJoin(F.broadcast(lvec))
+            .withColumn(
+                "nlabs",
+                F.transform("nbrs", lambda nb: F.element_at("larr", nb + 1)),
+            )
+            .select("i", F.expr(mode).alias("lab"))
+        )
+    sized = lab.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long"),
+    )
+    return full.select("user_id", "i").join(sized, "i").select(
+        "user_id", F.col("lab").alias("community"), "community_size"
+    )

@@ -1211,3 +1211,123 @@ def ml_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, h int, day date, level double, "
         "trend double, seasonal double, forecast double",
     )
+
+
+# --- isotonic regression: per-series PAVA with a minimax oracle -------------
+
+# Series are fenced to their most recent _ISO_MAX_DAYS days: the oracle's
+# closed-form replica is O(n^3) in series length (fine for the per-key
+# screening series this targets; PAVA itself is O(n)). Inactive at fixture
+# SFs (~30-day series); mirrored EXACTLY in the oracle.
+_ISO_MAX_DAYS = 120
+
+
+def _isotonic_oracle() -> str:
+    """Closed-form minimax replica of PAVA: for the L2 nondecreasing fit,
+    fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) (Robertson/Wright/
+    Dykstra 1988, eq. 1.9-1.13). Every candidate mean is the SAME
+    integer-sum / integer-count division the PAVA pool computes, so the
+    selected double is bit-identical; distinct rational means on integer
+    daily counts differ by >= 1/n^2 — far above double noise — so the
+    max/min comparisons are exact too."""
+    return f"""
+    WITH daily0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    fenced AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day DESC) AS rdesc
+        FROM daily0
+      ) WHERE rdesc <= {_ISO_MAX_DAYS}
+    ),
+    daily AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS i,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS s
+      FROM fenced
+    ),
+    avgs AS (
+      SELECT j.event_type, j.i AS j, k.i AS k,
+             CAST(k.s - j.s + j.y AS DOUBLE) / (k.i - j.i + 1) AS mu
+      FROM daily j JOIN daily k
+        ON k.event_type = j.event_type AND k.i >= j.i
+    ),
+    inner_min AS (
+      SELECT a.event_type, a.j, g.i, MIN(a.mu) AS mn
+      FROM avgs a JOIN daily g
+        ON g.event_type = a.event_type AND g.i BETWEEN a.j AND a.k
+      GROUP BY 1, 2, 3
+    ),
+    fit AS (
+      SELECT event_type, i, MAX(mn) AS f
+      FROM inner_min GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.y,
+           FLOOR(f.f * 1e6 + 0.5) / 1e6 AS fitted
+    FROM daily d JOIN fit f ON f.event_type = d.event_type AND f.i = d.i
+    """
+
+
+@register(
+    "ml_isotonic_trend",
+    tags=("ml", "timeseries", "analytics"),
+    oracle=_isotonic_oracle(),
+)
+def ml_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing L2) regression of each
+    event_type's daily-count series via the Pool-Adjacent-Violators
+    Algorithm — the shape-constrained trend fit (and the standard
+    probability-calibration primitive) the smoothing family lacks:
+    unlike EWMA/Holt it imposes ORDER, not recency decay. Pools carry
+    EXACT integer (sum, count) state — violator merges compare pools by
+    integer cross-multiplication, division happens once per final pool —
+    so the emitted doubles are the same integer-ratio divisions the
+    oracle's closed-form minimax formula (fitted[i] = max_{{j<=i}}
+    min_{{k>=i}} mean(y[j..k])) selects: bit-identical before the
+    rounding grid. Engine shape: groupBy(event_type).applyInPandas, the
+    canonical per-series sequential-algorithm tier (same topology as
+    holt_winters); parallelism = number of series; O(n) per series with
+    the `_ISO_MAX_DAYS` fence (mirrored in the oracle) bounding the
+    oracle's O(n^3) replica."""
+    import pandas as pd
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day").tail(_ISO_MAX_DAYS).reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        # PAVA with exact integer pool state: (sum, count) per pool;
+        # merge while the new pool's mean undercuts its predecessor's
+        # (integer cross-multiplication — no division until emission).
+        pools: list[list[int]] = []  # [sum, count]
+        for y in ys:
+            pools.append([y, 1])
+            while len(pools) > 1 and (
+                pools[-1][0] * pools[-2][1] < pools[-2][0] * pools[-1][1]
+            ):
+                s2, c2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += c2
+        fitted: list[float] = []
+        for s, c in pools:
+            mu = s / c
+            fitted.extend([math.floor(mu * 1e6 + 0.5) / 1e6] * c)
+        out = pdf[["event_type", "day", "y"]].copy()
+        out["fitted"] = fitted
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit, schema="event_type string, day date, y long, fitted double"
+    )

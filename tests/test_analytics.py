@@ -436,3 +436,30 @@ def test_assoc_rules_identities(spark):
         assert r.support == mirror.support
         assert abs(r.confidence - r.c_ab / r.c_ante) < 2e-6
         assert 0 < r.support <= 1 and 0 < r.confidence <= 1
+
+
+def test_label_propagation_invariants(spark):
+    """LPA output must be a partition of the node set into communities
+    labeled by member user_ids, deterministic across runs (the
+    synchronous + total-tie-order construction)."""
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    fn = REGISTRY["events_label_propagation"].fn
+    rows = fn(spark, SF_SMALL).collect()
+    users = {
+        r.user_id
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert {r.user_id for r in rows} == users
+    assert {r.community for r in rows} <= users  # labels are member ids
+    from collections import Counter
+
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community_size == sizes[r.community]
+    again = fn(spark, SF_SMALL).collect()
+    assert sorted(map(repr, rows)) == sorted(map(repr, again))

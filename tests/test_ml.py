@@ -196,3 +196,37 @@ def test_holt_winters_seasonal_consistency(spark):
         assert len({(r.level, r.trend) for r in rs}) == 1
         ring = [r.seasonal for r in sorted(rs, key=lambda r: r.h)]
         assert max(abs(s) for s in ring) <= max_daily[et]
+
+
+def test_isotonic_fit_properties(spark):
+    """The PAVA fit must be (a) nondecreasing within each series, (b)
+    sum-preserving (L2 isotonic projection keeps the total), and (c)
+    piecewise-constant with each block's value equal to the mean of its
+    observations."""
+    from collections import defaultdict
+
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    rows = REGISTRY["ml_isotonic_trend"].fn(spark, SF_SMALL).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.day, r.y, r.fitted))
+    assert series
+    for et, pts in series.items():
+        pts.sort()
+        fits = [f for _, _, f in pts]
+        assert fits == sorted(fits), f"{et}: not monotone"
+        assert abs(sum(fits) - sum(y for _, y, _ in pts)) < 1e-3 * len(pts)
+        # block means: consecutive equal fitted values form pools whose
+        # mean equals the fitted value
+        i = 0
+        while i < len(pts):
+            j = i
+            while j < len(pts) and pts[j][2] == pts[i][2]:
+                j += 1
+            block = [y for _, y, _ in pts[i:j]]
+            import math
+
+            mu = sum(block) / len(block)
+            assert pts[i][2] == math.floor(mu * 1e6 + 0.5) / 1e6
+            i = j
