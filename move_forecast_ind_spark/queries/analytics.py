@@ -4938,6 +4938,7 @@ def _labelprop_oracle() -> str:
 
 @register(
     "events_label_propagation",
+    bench=True,  # round-6 representative of the zero-join-per-round graph tier
     tags=("events", "graph", "iterative"),
     oracle=_labelprop_oracle(),
 )

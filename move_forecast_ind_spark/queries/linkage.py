@@ -54,6 +54,7 @@ _ER_BLOCK_CAP = 512
 
 @register(
     "er_blocking_pairs",
+    bench=True,  # round-6 representative: the heavy in-row ER pair expansion
     tags=("linkage", "join", "dedup"),
     oracle=f"""
     WITH p AS (
@@ -102,6 +103,13 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN slice(arr, 1, {_ER_BLOCK_CAP}) ELSE arr END"
         ),
     )
+    # AQE coalesces the tiny block frame (~400 rows) to ONE partition,
+    # which would serialize the 100x-larger pair fan-out + levenshtein
+    # behind a single core; spread the blocks back out before exploding
+    # (A/B at sf0.1: 0.98 s -> 0.43 s). A length-difference prefilter
+    # inside the pair lambda was measured flat (0.98 vs 1.00 s) and
+    # rejected — block members have near-uniform name lengths.
+    blocks = blocks.repartition(32)
     pairs = blocks.select(
         "blk",
         "p_size",
@@ -492,6 +500,7 @@ def s_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_source_overlap",
+    bench=True,  # round-6 representative: shingle-grain matrix aggregation
     tags=("corpus", "dedup", "analytics"),
     oracle=f"""
     WITH t AS (
