@@ -22,6 +22,7 @@ for _mod in (
     "curation",
     "analytics",
     "linkage",
+    "retrieval",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
