@@ -104,3 +104,66 @@ def test_rrf_fusion_invariants(spark):
         rs.sort(key=lambda r: r.fused_rank)
         for a, b in zip(rs, rs[1:]):
             assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
+
+
+def test_kcore_peel_matches_python_and_converges(spark):
+    """The k-core peel must equal an independent Python synchronous-peel
+    replica on the same graph (exact layers), reach its fixpoint before
+    the final unrolled round, and satisfy the core invariants
+    (in_core <=> core_deg >= k; deg0 < k => peeled in round 1)."""
+    from collections import defaultdict
+
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import (
+        _KCORE_ROUNDS,
+        _TRI_BUCKET_S,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["events_kcore_peel"].fn(spark, SF_SMALL).collect()
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            f"CAST(FLOOR(unix_timestamp(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h",
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = defaultdict(set)
+    for r in ev:
+        buckets[(r.event_type, r.h)].add(r.user_id)
+    adj = defaultdict(set)
+    users = {r.user_id for r in ev}
+    for us in buckets.values():
+        for a in us:
+            for b in us:
+                if a != b:
+                    adj[a].add(b)
+    deg = {u: len(adj[u]) for u in users}
+    sd = sorted(deg.values())
+    k = max(sd[(len(sd) + 1) // 2 - 1], 1)
+    alive = set(users)
+    layers = {}
+    last_change = 0
+    for t in range(1, _KCORE_ROUNDS + 1):
+        na = {u for u in alive if len(adj[u] & alive) >= k}
+        for u in alive - na:
+            layers[u] = t
+            last_change = t
+        alive = na
+    assert last_change < _KCORE_ROUNDS  # fixpoint before the last round
+
+    assert len(rows) == len(users)
+    for r in rows:
+        assert r.k == k
+        assert r.deg0 == deg[r.user_id]
+        assert r.in_core == (r.user_id in alive)
+        assert r.peel_round == layers.get(r.user_id)
+        assert r.core_deg == len(adj[r.user_id] & alive)
+        if r.in_core:
+            assert r.core_deg >= k
+        if r.deg0 < k:
+            assert r.peel_round == 1
