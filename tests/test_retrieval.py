@@ -167,3 +167,62 @@ def test_kcore_peel_matches_python_and_converges(spark):
             assert r.core_deg >= k
         if r.deg0 < k:
             assert r.peel_round == 1
+
+
+def test_mmr_select_matches_python_greedy(spark):
+    """The in-plan greedy MMR must equal an independent Python replica
+    (same pool, same λ, same smallest-id tie-break), with distinct picks
+    and step 1 = pure top relevance."""
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.retrieval import (
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _MMR_SEED,
+        _MMR_SELECT,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["emb_mmr_select"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == _MMR_SELECT
+    assert len({r.vec_id for r in rows}) == _MMR_SELECT
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    seed = emb[_MMR_SEED]
+    rel = {i: cos(seed, v) for i, v in emb.items() if i != _MMR_SEED}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    sel, scores = [], []
+    for _step in range(_MMR_SELECT):
+        best, best_sc = None, None
+        for c in pool:
+            if c in sel:
+                continue
+            maxsim = max(
+                (cos(emb[c], emb[s]) for s in sel), default=0.0
+            )
+            sc = _MMR_LAMBDA * rel[c] - (1.0 - _MMR_LAMBDA) * maxsim
+            if best is None or sc > best_sc:
+                best, best_sc = c, sc
+        sel.append(best)
+        scores.append(best_sc)
+
+    got = sorted(rows, key=lambda r: r.step)
+    assert [r.vec_id for r in got] == sel
+    assert got[0].rel == max(
+        math.floor(v * 1e6 + 0.5) / 1e6 for v in rel.values()
+    )
+    for r, sc in zip(got, scores):
+        assert r.mmr == math.floor(sc * 1e6 + 0.5) / 1e6
+        assert r.rel == math.floor(rel[r.vec_id] * 1e6 + 0.5) / 1e6
