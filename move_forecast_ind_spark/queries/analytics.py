@@ -5179,3 +5179,79 @@ def events_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("core_deg"),
         )
     )
+
+
+# --- behavioral sequence-pattern matching (MATCH_RECOGNIZE analog) -----------
+
+# signup, then any run of clicks/views (no error, no other purchase), then
+# purchase — the "clean conversion journey" motif. The alphabet is each
+# event type's first letter (all distinct: c,p,e,s,v).
+_SEQ_PATTERN = "s[cv]*p"
+
+
+@register(
+    "events_sequence_match",
+    tags=("events", "window", "analytics"),
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}'))
+                AS BIGINT) AS n_matches,
+           len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) > 0 AS matched,
+           regexp_extract(journey, '{_SEQ_PATTERN}') AS first_match,
+           CAST(strpos(journey, regexp_extract(journey, '{_SEQ_PATTERN}'))
+                AS BIGINT) AS first_pos
+    FROM seq
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE / funnel-regex analog Spark SQL lacks: each user's
+    events compress to an ordered type string (first letter per type;
+    deterministic (ts, event_id) order), and the conversion motif
+    '{_SEQ_PATTERN}' (signup → clicks/views only → purchase) is counted
+    and located with ordinary regex functions. Regex determinism:
+    the pattern is over a finite 5-letter alphabet with no alternation
+    ambiguity, so leftmost-greedy matching (Java regex and DuckDB RE2
+    agree) yields identical non-overlapping match sets. Complements
+    events_funnel (stage progression counts) and events_top_sequences
+    (frequent transitions) with arbitrary-motif matching. Engine shape:
+    ONE groupBy(user) builds the journey in-row (sort_array of
+    (ts, event_id, char) structs → join), then pure string expressions;
+    per-user state is bounded by the journey length (cap journeys like
+    the hot-bucket fences if a 100 TB user exceeds memory — the motif
+    only needs the event-type stream, bytes per event)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    pat = F.lit(_SEQ_PATTERN)
+    first = F.regexp_extract("journey", _SEQ_PATTERN, 0)
+    return seq.select(
+        "user_id",
+        F.length("journey").cast("long").alias("seq_len"),
+        F.regexp_count("journey", pat).cast("long").alias("n_matches"),
+        (F.regexp_count("journey", pat) > 0).alias("matched"),
+        first.alias("first_match"),
+        F.instr(F.col("journey"), first).cast("long").alias("first_pos"),
+    )

@@ -541,9 +541,12 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(F.col("v")).alias("nv"),
         )
     )
-    wp = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
-    pool = scored.withColumn("rn", F.row_number().over(wp)).filter(
-        F.col("rn") <= _MMR_POOL
+    # TakeOrderedAndProject (orderBy + limit), NOT a global row_number
+    # window: the window form moves every row to one partition; take-k
+    # keeps per-partition heaps and merges k rows on the driver side of
+    # the exchange — the scale-safe top-k.
+    pool = scored.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(
+        _MMR_POOL
     )
     one = pool.agg(
         F.sort_array(

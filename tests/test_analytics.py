@@ -463,3 +463,37 @@ def test_label_propagation_invariants(spark):
         assert r.community_size == sizes[r.community]
     again = fn(spark, SF_SMALL).collect()
     assert sorted(map(repr, rows)) == sorted(map(repr, again))
+
+
+def test_sequence_match_equals_python_regex(spark):
+    """The journey string and all pattern metrics must equal a pure-Python
+    re replica over the same deterministically ordered events."""
+    import re
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import _SEQ_PATTERN
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["events_sequence_match"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type[0]))
+    assert len(rows) == len(per_user)
+    for r in rows:
+        journey = "".join(c for _, _, c in sorted(per_user[r.user_id]))
+        assert r.seq_len == len(journey)
+        matches = re.findall(_SEQ_PATTERN, journey)
+        assert r.n_matches == len(matches)
+        assert r.matched == (len(matches) > 0)
+        if matches:
+            m = re.search(_SEQ_PATTERN, journey)
+            assert r.first_match == m.group(0)
+            assert r.first_pos == journey.index(m.group(0)) + 1
+        else:
+            assert r.first_match == ""
+            assert r.first_pos == 0

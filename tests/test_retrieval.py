@@ -226,3 +226,13 @@ def test_mmr_select_matches_python_greedy(spark):
     for r, sc in zip(got, scores):
         assert r.mmr == math.floor(sc * 1e6 + 0.5) / 1e6
         assert r.rel == math.floor(rel[r.vec_id] * 1e6 + 0.5) / 1e6
+
+
+def test_mmr_pool_is_take_ordered_not_global_window(spark):
+    """The relevance pool must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global single-partition row_number window."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["emb_mmr_select"].fn(spark, SF_SMALL))
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
