@@ -1331,3 +1331,99 @@ def ml_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         fit, schema="event_type string, day date, y long, fitted double"
     )
+
+
+# --- intermittent-demand forecasting: Croston's method ----------------------
+
+_CR_ALPHA = 0.25  # dyadic smoothing gain (exact in binary floating point)
+
+
+@register(
+    "ml_croston_intermittent",
+    tags=("ml", "timeseries", "forecast"),
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT user_id, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS j,
+             COUNT(*) OVER (PARTITION BY user_id) AS m,
+             date_diff('day',
+                       LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                       day) AS gap
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, CAST(MIN(m) AS BIGINT) AS n_demands,
+             SUM(CASE WHEN j = 1 THEN power(0.75e0, m - 1) * y
+                      ELSE 0.25e0 * power(0.75e0, m - j) * y END) AS z,
+             SUM(CASE WHEN j = 2 THEN power(0.75e0, m - 2) * gap
+                      WHEN j > 2 THEN 0.25e0 * power(0.75e0, m - j) * gap
+                      ELSE 0e0 END) AS p
+      FROM idx GROUP BY user_id HAVING MIN(m) >= 2
+    )
+    SELECT user_id, n_demands,
+           FLOOR(z * 1e6 + 0.5) / 1e6 AS demand_size,
+           FLOOR(p * 1e6 + 0.5) / 1e6 AS demand_interval,
+           FLOOR(z / p * 1e6 + 0.5) / 1e6 AS forecast_rate
+    FROM s
+    """,
+)
+def ml_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    forecaster the smoothing family (Holt, Holt-Winters, seasonal naive,
+    AR(1)) lacks: when a series is mostly zeros (spare parts, per-user
+    purchases), smooth the nonzero demand SIZES and the inter-demand
+    INTERVALS separately and forecast their ratio z/p. Series = per-user
+    daily purchase counts (median ~11 demand days — genuinely sparse).
+    Exactness: because exponential smoothing over only the m demand
+    events telescopes to z_m = (1-a)^(m-1) y_1 + a Σ (1-a)^(m-j) y_j
+    (init z=y_1; intervals analogously with init p=gap_2), BOTH engines
+    compute identical per-term doubles (a=0.25 dyadic, power of an
+    exact base) and only the engine-ordered SUM carries ulp noise —
+    absorbed by the r6 grid, the same contract as the attribution and
+    fit-sigma oracles. Engine shape: one groupBy((user, day)) builds
+    demand events, one groupBy(user) folds the closed form IN-ROW over
+    the sorted (day, y) array — no window pass, no join, no recursion;
+    per-series state is the demand-event array (sparse by definition).
+    At 100 TB parallelism is per-series, the intermittent-series shape
+    (most days contribute no row at all)."""
+    tune(spark)
+    a, b = _CR_ALPHA, 1.0 - _CR_ALPHA
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = d.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr")
+    ).filter(F.size("arr") >= 2)
+    zexpr = (
+        "aggregate(transform(sequence(1, size(arr)), j -> CASE WHEN j = 1 "
+        f"THEN power({b}D, size(arr) - 1) * element_at(arr, 1).y "
+        f"ELSE {a}D * power({b}D, size(arr) - j) * element_at(arr, j).y END), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    pexpr = (
+        "aggregate(transform(sequence(2, size(arr)), j -> CASE WHEN j = 2 "
+        f"THEN power({b}D, size(arr) - 2) "
+        "     * datediff(element_at(arr, 2).day, element_at(arr, 1).day) "
+        f"ELSE {a}D * power({b}D, size(arr) - j) "
+        "     * datediff(element_at(arr, j).day, element_at(arr, j - 1).day) "
+        "END), 0D, (acc, x) -> acc + x)"
+    )
+    s = g.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_demands"),
+        F.expr(zexpr).alias("z"),
+        F.expr(pexpr).alias("p"),
+    )
+    return s.select(
+        "user_id",
+        "n_demands",
+        r6(F.col("z")).alias("demand_size"),
+        r6(F.col("p")).alias("demand_interval"),
+        r6(F.col("z") / F.col("p")).alias("forecast_rate"),
+    )

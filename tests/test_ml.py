@@ -230,3 +230,44 @@ def test_isotonic_fit_properties(spark):
             mu = sum(block) / len(block)
             assert pts[i][2] == math.floor(mu * 1e6 + 0.5) / 1e6
             i = j
+
+
+def test_croston_closed_form_equals_recurrence(spark):
+    """The telescoped closed form must equal the textbook Croston
+    recurrence (z' = z + a(y - z); p' = p + a(gap - p), updated only on
+    demand days) run as a pure-Python fold — to within fold-order ulps
+    under the 1e-6 grid."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.ml import _CR_ALPHA
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["ml_croston_intermittent"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        "event_type = 'purchase'"
+    ).selectExpr("user_id", "CAST(ts AS DATE) AS day").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.user_id][r.day] += 1
+    expected = {}
+    for u, dd in daily.items():
+        days = sorted(dd)
+        if len(days) < 2:
+            continue
+        z = float(dd[days[0]])
+        p = float((days[1] - days[0]).days)
+        for i, day in enumerate(days[1:], start=1):
+            gap = (day - days[i - 1]).days
+            z = z + _CR_ALPHA * (dd[day] - z)
+            if i >= 2:
+                p = p + _CR_ALPHA * (gap - p)
+        expected[u] = (len(days), z, p)
+    assert {r.user_id for r in rows} == set(expected)
+    for r in rows:
+        m, z, p = expected[r.user_id]
+        assert r.n_demands == m
+        assert abs(r.demand_size - z) < 2e-6
+        assert abs(r.demand_interval - p) < 2e-6
+        assert abs(r.forecast_rate - z / p) < 2e-6
