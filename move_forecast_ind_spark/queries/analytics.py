@@ -5255,3 +5255,162 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.alias("first_match"),
         F.instr(F.col("journey"), first).cast("long").alias("first_pos"),
     )
+
+
+# --- survival analysis: Kaplan-Meier time-to-repurchase ----------------------
+
+
+@register(
+    "events_kaplan_meier",
+    tags=("events", "timeseries", "analytics"),
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hz AS (SELECT MAX(day) AS horizon FROM d),
+    gaps AS (
+      SELECT user_id,
+             date_diff('day',
+                       LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                       day) AS dur,
+             1 AS ev
+      FROM d
+    ),
+    tails AS (
+      SELECT d.user_id,
+             date_diff('day', MAX(d.day), MIN(hz.horizon)) AS dur,
+             0 AS ev
+      FROM d CROSS JOIN hz
+      GROUP BY d.user_id
+    ),
+    durs AS (
+      SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+      UNION ALL
+      SELECT dur, ev FROM tails WHERE dur > 0
+    ),
+    agg AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM durs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d_events,
+             CAST(SUM(c) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+      FROM agg
+    ),
+    km AS (
+      SELECT dur, d_events, n_risk,
+             CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    = 1
+                  THEN 0e0
+                  ELSE exp(SUM(CASE WHEN d_events = n_risk THEN 0e0
+                               ELSE ln(1e0 - CAST(d_events AS DOUBLE)
+                                       / n_risk) END)
+                           OVER (ORDER BY dur
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+             END AS surv
+      FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n_risk, d_events,
+           FLOOR(surv * 1e6 + 0.5) / 1e6 AS survival
+    FROM km WHERE d_events > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) for
+    time-to-repurchase: observed durations are gaps between a user's
+    consecutive purchase days; each user's tail (last purchase to the
+    global horizon = max purchase day) enters RIGHT-CENSORED — the churn
+    / retention curve estimated the statistically correct way instead of
+    naively dropping open intervals. S(t) = Π_{t_i <= t} (1 - d_i/n_i)
+    over event times, with censored rows shrinking the risk set but
+    contributing no factor (their ln-term is exactly ln(1) = 0, so the
+    cumulative form needs no special-casing). Cross-engine: counts are
+    exact integers; the product is exp(Σ ln(1 - d/n)) where each term is
+    an identical double and both engines accumulate the ordered prefix
+    window sequentially — residual libm/fold ulps sit far inside the r6
+    grid. Engine shape: one distinct + one lag window per user partition
+    builds durations, one groupBy(dur) collapses to the KM table, and
+    the two cumulative windows run over DISTINCT DURATIONS ONLY (bounded
+    by the horizon in days — tens of rows regardless of corpus size), so
+    the single-partition window frame is metadata-scale by construction.
+    At 100 TB: the only data-sized stages are per-user windows and the
+    dur collapse."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    hz = d.agg(F.max("day").alias("horizon"))
+    wu = Window.partitionBy("user_id").orderBy("day")
+    gaps = d.select(
+        F.datediff(F.col("day"), F.lag("day").over(wu)).alias("dur"),
+        F.lit(1).alias("ev"),
+    ).filter(F.col("dur").isNotNull())
+    tails = (
+        d.groupBy("user_id")
+        .agg(F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.datediff(F.col("horizon"), F.col("last_day")).alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+        .filter(F.col("dur") > 0)
+    )
+    agg = (
+        gaps.unionByName(tails)
+        .groupBy("dur")
+        .agg(
+            F.sum("ev").cast("long").alias("d_events"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w_risk = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = agg.withColumn(
+        "n_risk", F.sum("c").over(w_risk).cast("long")
+    ).withColumn(
+        # a zero factor (d == n_risk, possible only once the risk set is
+        # exhausted) would be ln(0): pin survival to exactly 0 from that
+        # row on, and keep it out of the log sum — mirrored in the oracle
+        "surv",
+        F.when(
+            F.max(
+                F.when(F.col("d_events") == F.col("n_risk"), 1).otherwise(0)
+            ).over(w_cum)
+            == 1,
+            F.lit(0.0),
+        ).otherwise(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("d_events") == F.col("n_risk"), F.lit(0.0)
+                    ).otherwise(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d_events").cast("double")
+                            / F.col("n_risk")
+                        )
+                    )
+                ).over(w_cum)
+            )
+        ),
+    )
+    return km.filter(F.col("d_events") > 0).select(
+        F.col("dur").cast("long").alias("duration_days"),
+        "n_risk",
+        "d_events",
+        r6(F.col("surv")).alias("survival"),
+    )

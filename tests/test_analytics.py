@@ -497,3 +497,57 @@ def test_sequence_match_equals_python_regex(spark):
         else:
             assert r.first_match == ""
             assert r.first_pos == 0
+
+
+def test_kaplan_meier_matches_python_replica(spark):
+    """The KM table must equal a pure-Python product-limit estimator over
+    the same durations (gaps observed, tails censored), with survival
+    non-increasing and the risk set non-increasing in t."""
+    from collections import Counter, defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = sorted(
+        REGISTRY["events_kaplan_meier"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.duration_days,
+    )
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        "event_type = 'purchase'"
+    ).selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct().collect()
+    per_user = defaultdict(set)
+    for r in ev:
+        per_user[r.user_id].add(r.day)
+    horizon = max(d for ds in per_user.values() for d in ds)
+    observed, censored = Counter(), Counter()
+    for ds in per_user.values():
+        days = sorted(ds)
+        for a, b in zip(days, days[1:]):
+            observed[(b - a).days] += 1
+        tail = (horizon - days[-1]).days
+        if tail > 0:
+            censored[tail] += 1
+    all_durs = sorted(set(observed) | set(censored))
+    total = sum(observed.values()) + sum(censored.values())
+    at_risk = total
+    surv = 1.0
+    expect = {}
+    for t in all_durs:
+        d = observed.get(t, 0)
+        if d > 0:
+            surv *= 1.0 - d / at_risk
+            expect[t] = (at_risk, d, surv)
+        at_risk -= d + censored.get(t, 0)
+    assert [r.duration_days for r in rows] == sorted(expect)
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        n, d, s = expect[r.duration_days]
+        assert r.n_risk == n
+        assert r.d_events == d
+        assert abs(r.survival - s) < 2e-6
+        assert r.survival <= prev_s
+        prev_s = r.survival
+        if prev_n is not None:
+            assert r.n_risk <= prev_n
+        prev_n = r.n_risk
