@@ -5414,3 +5414,63 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_events",
         r6(F.col("surv")).alias("survival"),
     )
+
+
+# --- privacy audit: k-anonymity over quasi-identifiers -----------------------
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("dq", "aggregate", "privacy"),
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000e0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, n,
+           n >= {_KANON_K} AS k_anonymous,
+           CAST(CASE WHEN n >= {_KANON_K} THEN 0 ELSE n END AS BIGINT)
+             AS rows_to_suppress,
+           FLOOR(1e0 / n * 1e6 + 0.5) / 1e6 AS reidentification_risk
+    FROM g
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer master's
+    quasi-identifier combination (nation, market segment, account-balance
+    band): every equivalence class is reported with its size, whether it
+    meets k={k}, the row count a suppression pass would have to remove,
+    and the worst-case re-identification risk 1/n — the privacy gate a
+    pipeline runs BEFORE releasing or training on tabular microdata (the
+    redaction tier handles free text; this is its structured twin).
+    Engine shape: one map-side-combinable groupBy over the QI columns —
+    a single shuffle carrying one row per equivalence class regardless
+    of table size; generalization ladders (coarser bands) re-run the
+    same plan with a different banding expression. At 100 TB this is
+    the cheapest query in the privacy stack, by design."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n",
+        (F.col("n") >= _KANON_K).alias("k_anonymous"),
+        F.when(F.col("n") >= _KANON_K, F.lit(0))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("rows_to_suppress"),
+        r6(F.lit(1.0) / F.col("n")).alias("reidentification_risk"),
+    )
+
+
+dq_k_anonymity.__doc__ = dq_k_anonymity.__doc__.format(k=_KANON_K)

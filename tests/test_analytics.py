@@ -551,3 +551,22 @@ def test_kaplan_meier_matches_python_replica(spark):
         if prev_n is not None:
             assert r.n_risk <= prev_n
         prev_n = r.n_risk
+
+
+def test_k_anonymity_partitions_the_table(spark):
+    """Equivalence classes must partition the customer table exactly, and
+    the flag / suppression / risk columns must be consistent with n."""
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import _KANON_K
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["dq_k_anonymity"].fn(spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r.n for r in rows) == total
+    keys = {(r.c_nationkey, r.c_mktsegment, r.bal_band) for r in rows}
+    assert len(keys) == len(rows)
+    for r in rows:
+        assert r.k_anonymous == (r.n >= _KANON_K)
+        assert r.rows_to_suppress == (0 if r.k_anonymous else r.n)
+        assert abs(r.reidentification_risk - 1.0 / r.n) < 1e-6
