@@ -1427,3 +1427,227 @@ def ml_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("p")).alias("demand_interval"),
         r6(F.col("z") / F.col("p")).alias("forecast_rate"),
     )
+
+
+# --- model evaluation: calibration + discrimination --------------------------
+#
+# Target construction for the eval tier: the hashed bag-of-words classifier
+# (curation.text_hashed_classifier) predicts quality_prob; "ground truth" is
+# whether the document's composite quality heuristic clears the corpus
+# lower-median — the distillation-eval framing (does the cheap hashed model
+# recover the expensive heuristic?). Both the probabilities and the labels
+# are bit-identical cross-engine, so ranks, counts, and the AUC rational are
+# exact; only the Brier/mean sums lean on the r6 grid.
+
+_EVAL_QUALITY_SQL = """
+      LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 64e0,
+            1e0) * 0.5e0
+      + LEAST(CAST(len(list_intersect(
+            list_distinct(string_split_regex(trim(text), '\\s+')),
+            ['the', 'and', 'of', 'is', 'a'])) AS DOUBLE) / 3e0, 1e0) * 0.3e0
+      + (1e0 - LEAST((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      AS DOUBLE)
+                      / GREATEST(CAST(length(text) AS DOUBLE), 1e0)) * 1e1,
+                     1e0)) * 0.2e0
+"""
+
+
+def _eval_pairs_sql() -> str:
+    """Shared oracle CTE block producing j(doc_id, y, p): the classifier
+    probability (replicating curation's oracle term-for-term, incl. its
+    r6 rounding) joined to the median-threshold label."""
+    from .curation import _CLS_BUCKETS, _CLS_MIX, _CLS_WMOD
+
+    return f"""
+    WITH q0 AS (
+      SELECT doc_id, ({_EVAL_QUALITY_SQL}) AS q FROM documents
+    ),
+    med AS (
+      SELECT q AS m FROM (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY q) AS rn,
+               COUNT(*) OVER () AS n
+        FROM q0
+      ) WHERE rn = (n + 1) // 2
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN q >= (SELECT m FROM med) THEN 1 ELSE 0 END AS y
+      FROM q0
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_CLS_BUCKETS}
+               AS bucket
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST((bucket * {_CLS_MIX}) % {_CLS_WMOD} AS DOUBLE)
+                 / {_CLS_WMOD}e0 - 5e-1) AS raw,
+             COUNT(*) AS n_tokens
+      FROM feat GROUP BY 1
+    ),
+    preds AS (
+      SELECT doc_id,
+             FLOOR(1e0 / (1e0 + exp(-(raw / n_tokens) * 8e0)) * 1e6 + 0.5)
+               / 1e6 AS p
+      FROM scored
+    ),
+    j AS (
+      SELECT l.doc_id, l.y, preds.p FROM lab l JOIN preds USING (doc_id)
+    )"""
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_eval_pairs_sql`: (doc_id, y, p)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score
+    from .curation import text_hashed_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    q0 = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    # exact lower-median threshold: a full sort for the oracle contract;
+    # a production threshold at 100 TB would be a broadcast approx
+    # quantile (percentile_approx) — the eval math downstream is
+    # unchanged. The sorted frame carries ONE double column.
+    wq = Window.orderBy("q")
+    med = (
+        q0.select(
+            "q",
+            F.row_number().over(wq).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("q").alias("m"))
+    )
+    lab = q0.crossJoin(F.broadcast(med)).select(
+        "doc_id", F.when(F.col("q") >= F.col("m"), 1).otherwise(0).alias("y")
+    )
+    preds = text_hashed_classifier(spark, sf_dir).select(
+        "doc_id", F.col("quality_prob").alias("p")
+    )
+    return lab.join(preds, "doc_id").select("doc_id", "y", "p")
+
+
+@register(
+    "ml_classifier_auc",
+    tags=("ml", "aggregate", "eval"),
+    oracle=_eval_pairs_sql()
+    + """,
+    r AS (
+      SELECT y, p,
+             RANK() OVER (ORDER BY p) AS rmin,
+             COUNT(*) OVER (PARTITION BY p) AS cnt
+      FROM j
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN y = 1 THEN rmin + (cnt - 1) / 2e0 ELSE 0e0 END)
+               AS sumr,
+             SUM((p - y) * (p - y)) AS brier_sum
+      FROM r
+    )
+    SELECT n, n_pos, n_neg,
+           FLOOR((sumr - n_pos * (n_pos + 1) / 2e0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6 AS auc,
+           FLOOR(brier_sum / n * 1e6 + 0.5) / 1e6 AS brier
+    FROM s
+    """,
+)
+def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier discrimination + accuracy summary: tie-aware rank-based
+    ROC AUC (the Mann-Whitney identity AUC = (Σ ranks_pos − n₁(n₁+1)/2)
+    / n₁n₀ with average ranks for ties — exact, no curve integration)
+    and the Brier score, for the hashed quality classifier against the
+    median-quality distillation target. Cross-engine exactness: min-rank
+    + tie-count are integers over bit-identical probabilities, average
+    ranks are exact half-integers whose sum is order-independent in
+    doubles, so AUC is the identical rational on both engines; the Brier
+    sum alone rides the r6 grid. Engine shape: one rank window over the
+    probability order + one global aggregate; the label median is the
+    one full sort (documented: approx-quantile at 100 TB). Output: one
+    row (n, n_pos, n_neg, auc, brier)."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    jf = _eval_pairs(spark, sf_dir)
+    r = jf.select(
+        "y",
+        "p",
+        F.rank().over(Window.orderBy("p")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("p")).alias("cnt"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("rmin") + (F.col("cnt") - 1) / F.lit(2.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("sumr"),
+        F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "brier_sum"
+        ),
+    )
+    return s.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        r6(
+            (F.col("sumr") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("auc"),
+        r6(F.col("brier_sum") / F.col("n")).alias("brier"),
+    )
+
+
+@register(
+    "ml_reliability_bins",
+    tags=("ml", "aggregate", "eval"),
+    oracle=_eval_pairs_sql()
+    + """
+    SELECT CAST(LEAST(CAST(FLOOR(p * 10e0) AS BIGINT) + 1, 10) AS BIGINT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(p) * 1e6 + 0.5) / 1e6 AS mean_prob,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS frac_positive
+    FROM j GROUP BY 1
+    """,
+)
+def ml_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for the hashed quality
+    classifier: predictions bucket into 10 equal-width probability bins;
+    each bin reports its size, mean predicted probability, and observed
+    positive rate — a calibrated model has mean_prob ≈ frac_positive per
+    bin (the curve isotonic regression / Platt scaling would then fit;
+    ml_isotonic_trend is the in-repo calibrator). Counts and the
+    frac_positive rational are exact; mean_prob rides the r6 grid.
+    Engine shape: one map-side-combinable groupBy over the bin id —
+    beyond the shared pair construction, the cheapest eval in the
+    stack."""
+    tune(spark)
+    jf = _eval_pairs(spark, sf_dir)
+    return jf.groupBy(
+        F.least(
+            F.floor(F.col("p") * 10.0).cast("long") + 1, F.lit(10)
+        ).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(F.avg("p")).alias("mean_prob"),
+        r6(F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+            "frac_positive"
+        ),
+    )

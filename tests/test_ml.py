@@ -271,3 +271,40 @@ def test_croston_closed_form_equals_recurrence(spark):
         assert abs(r.demand_size - z) < 2e-6
         assert abs(r.demand_interval - p) < 2e-6
         assert abs(r.forecast_rate - z / p) < 2e-6
+
+
+def test_classifier_eval_matches_pairwise_auc(spark):
+    """The rank-based AUC must equal the O(n²) pairwise definition
+    (ties counted half) on the same (p, y) pairs, Brier must match a
+    direct mean, and the reliability bins must partition the pairs."""
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.ml import _eval_pairs
+
+    pairs = [(r.p, r.y) for r in _eval_pairs(spark, SF_SMALL).collect()]
+    pos = [p for p, y in pairs if y == 1]
+    neg = [p for p, y in pairs if y == 0]
+    wins = sum(1.0 if pp > pn else 0.5 if pp == pn else 0.0
+               for pp in pos for pn in neg)
+    auc = wins / (len(pos) * len(neg))
+    brier = sum((p - y) ** 2 for p, y in pairs) / len(pairs)
+
+    row = REGISTRY["ml_classifier_auc"].fn(spark, SF_SMALL).collect()[0]
+    assert row.n == len(pairs)
+    assert row.n_pos == len(pos)
+    assert row.n_neg == len(neg)
+    assert abs(row.auc - auc) < 2e-6
+    assert abs(row.brier - brier) < 2e-6
+
+    bins = REGISTRY["ml_reliability_bins"].fn(spark, SF_SMALL).collect()
+    assert sum(b.n for b in bins) == len(pairs)
+    for b in bins:
+        members = [
+            (p, y) for p, y in pairs
+            if min(int(p * 10) + 1, 10) == b.bin
+        ]
+        assert b.n == len(members)
+        assert abs(b.mean_prob - sum(p for p, _ in members) / b.n) < 2e-6
+        assert abs(
+            b.frac_positive - sum(y for _, y in members) / b.n
+        ) < 2e-6
