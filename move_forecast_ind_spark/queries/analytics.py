@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import r2, r6, sql_r2, sql_r6
+from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -5474,3 +5474,138 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dq_k_anonymity.__doc__ = dq_k_anonymity.__doc__.format(k=_KANON_K)
+
+
+# --- experimentation: CUPED variance-reduced lift readout --------------------
+
+
+@register(
+    "events_cuped_adjustment",
+    tags=("events", "aggregate", "analytics"),
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0,
+             MIN(CAST(ts AS DATE))
+               + CAST(FLOOR(date_diff('day', MIN(CAST(ts AS DATE)),
+                                      MAX(CAST(ts AS DATE))) / 2e0)
+                      AS BIGINT) * INTERVAL 1 DAY AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant,
+             SUM(CASE WHEN CAST(e.ts AS DATE) <= s.mid
+                      AND e.event_type = 'purchase'
+                      THEN e.value ELSE 0e0 END) AS pre,
+             SUM(CASE WHEN CAST(e.ts AS DATE) > s.mid
+                      AND e.event_type = 'purchase'
+                      THEN e.value ELSE 0e0 END) AS post
+      FROM events e CROSS JOIN span s
+      GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+             AVG(pre) AS pre_mean,
+             corr(pre, post) AS rho
+      FROM per_user
+    )
+    SELECT CAST(u.variant AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(AVG(u.post) * 1e4 + 0.5) / 1e4 AS mean_post,
+           FLOOR(AVG(u.post - p.theta * (u.pre - p.pre_mean)) * 1e4 + 0.5)
+             / 1e4 AS mean_adjusted,
+           FLOOR(p.theta * 1e6 + 0.5) / 1e6 AS theta,
+           FLOOR((1e0 - p.rho * p.rho) * 1e6 + 0.5) / 1e6
+             AS residual_var_ratio
+    FROM per_user u CROSS JOIN pooled p
+    GROUP BY u.variant, p.theta, p.pre_mean, p.rho
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) for an
+    A/B readout: per-user purchase revenue splits into a PRE period
+    (first half of the event span — the pre-experiment covariate) and a
+    POST period (the experiment metric); the adjusted metric
+    post − θ(pre − mean(pre)) with pooled θ = cov(pre,post)/var(pre)
+    removes the pre-period component of the variance (residual ratio
+    1 − ρ²). Variant assignment is the deterministic md5-parity bucket
+    (the hashed-classifier trick — both engines derive it identically,
+    no rand()). Doubles: θ/ρ come from each engine's one-pass co-moment
+    accumulation and the adjusted means average engine-ordered sums —
+    all output through the rounding grid (r4 means, r6 ratios), the
+    standard sum-order contract. Engine shape: one groupBy(user) with
+    conditional aggregates (the span scalar broadcast-crossed), one
+    2-row pooled-moment aggregate broadcast back, one groupBy(variant)
+    — three shuffles, each map-side combinable; nothing is ever
+    per-event after the first aggregate. At 100 TB this is the
+    experimentation readout shape: metric state is one (pre, post) pair
+    per user."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            F.floor(
+                F.datediff(
+                    F.max(F.col("ts").cast("date")),
+                    F.min(F.col("ts").cast("date")),
+                )
+                / 2.0
+            ).cast("int"),
+        ).alias("mid"),
+    )
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    day = F.col("ts").cast("date")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", variant.alias("variant"))
+        .agg(
+            F.sum(
+                F.when(is_p & (day <= F.col("mid")), F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("pre"),
+            F.sum(
+                F.when(is_p & (day > F.col("mid")), F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("post"),
+        )
+    )
+    pooled = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("pre_mean"),
+        F.corr("pre", "post").alias("rho"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(pooled))
+        .groupBy("variant", "theta", "pre_mean", "rho")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            r4(F.avg("post")).alias("mean_post"),
+            r4(
+                F.avg(
+                    F.col("post")
+                    - F.col("theta") * (F.col("pre") - F.col("pre_mean"))
+                )
+            ).alias("mean_adjusted"),
+        )
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_users",
+            "mean_post",
+            "mean_adjusted",
+            r6(F.col("theta")).alias("theta"),
+            r6(F.lit(1.0) - F.col("rho") * F.col("rho")).alias(
+                "residual_var_ratio"
+            ),
+        )
+    )

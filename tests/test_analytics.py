@@ -570,3 +570,59 @@ def test_k_anonymity_partitions_the_table(spark):
         assert r.k_anonymous == (r.n >= _KANON_K)
         assert r.rows_to_suppress == (0 if r.k_anonymous else r.n)
         assert abs(r.reidentification_risk - 1.0 / r.n) < 1e-6
+
+
+def test_cuped_matches_python_and_reduces_variance(spark):
+    """CUPED outputs must match a pure-Python replica (same md5-parity
+    variants, same pooled theta), and the adjustment must not increase
+    the pooled residual variance (1 - rho^2 <= 1)."""
+    import hashlib
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["events_cuped_adjustment"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").selectExpr(
+        "user_id", "CAST(ts AS DATE) AS day", "event_type", "value"
+    ).collect()
+    d0 = min(r.day for r in ev)
+    d1 = max(r.day for r in ev)
+    mid_days = (d1 - d0).days // 2
+    pre, post = defaultdict(float), defaultdict(float)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            if (r.day - d0).days <= mid_days:
+                pre[r.user_id] += r.value
+            else:
+                post[r.user_id] += r.value
+    xs = sorted(users)
+    pv = [pre[u] for u in xs]
+    qv = [post[u] for u in xs]
+    n = len(xs)
+    mp, mq = sum(pv) / n, sum(qv) / n
+    cov = sum((a - mp) * (b - mq) for a, b in zip(pv, qv)) / n
+    var = sum((a - mp) ** 2 for a in pv) / n
+    theta = cov / var
+    rho2 = cov * cov / (var * (sum((b - mq) ** 2 for b in qv) / n))
+
+    def variant(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    by_v = defaultdict(list)
+    for u in xs:
+        by_v[variant(u)].append(u)
+    assert {r.variant for r in rows} == set(by_v)
+    for r in rows:
+        us = by_v[r.variant]
+        assert r.n_users == len(us)
+        mpost = sum(post[u] for u in us) / len(us)
+        madj = sum(post[u] - theta * (pre[u] - mp) for u in us) / len(us)
+        assert abs(r.mean_post - mpost) < 2e-4
+        assert abs(r.mean_adjusted - madj) < 2e-4
+        assert abs(r.theta - theta) < 2e-6
+        assert abs(r.residual_var_ratio - (1 - rho2)) < 2e-6
+        assert 0.0 <= r.residual_var_ratio <= 1.0 + 1e-9
