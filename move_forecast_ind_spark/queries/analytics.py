@@ -5609,3 +5609,121 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- link prediction: common-neighbors argmax + Adamic-Adar score ------------
+
+# Per-hub contributor fence: each node contributes pairs among its FIRST
+# _LINKPRED_MAX_NBRS neighbors (ascending id — deterministic), mirroring the
+# standard bounded-neighborhood truncation that keeps hub fan-out O(cap²).
+# Mirrored EXACTLY in the oracle, so the fence can never cause cross-engine
+# divergence even when active (it is: tight-graph degrees reach ~400 at
+# sf0.1).
+_LINKPRED_MAX_NBRS = 64
+
+
+@register(
+    "events_link_prediction",
+    tags=("events", "graph", "analytics"),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(FLOOR(epoch(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    sliced AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+               AS rn
+        FROM edges
+      ) WHERE rn <= {_LINKPRED_MAX_NBRS}
+    ),
+    contrib AS (
+      SELECT a.dst AS ua, b.dst AS ub, 1e0 / ln(d.d) AS w
+      FROM sliced a
+      JOIN sliced b ON b.src = a.src AND b.dst <> a.dst
+      JOIN deg d ON d.src = a.src
+    ),
+    cand AS (
+      SELECT ua, ub, CAST(COUNT(*) AS BIGINT) AS cn, SUM(w) AS score
+      FROM contrib
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = contrib.ua AND e.dst = contrib.ub
+      )
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT ua, ub, cn, score,
+             ROW_NUMBER() OVER (PARTITION BY ua ORDER BY cn DESC, ub) AS rn
+      FROM cand
+    )
+    SELECT ua AS user_id, ub AS predicted_user, cn AS common_neighbors,
+           FLOOR(score * 1e6 + 0.5) / 1e6 AS aa_score
+    FROM best WHERE rn = 1
+    """,
+)
+def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the tight co-activity graph: for every user,
+    the strongest NON-adjacent candidate by common-neighbor count
+    (Liben-Nowell & Kleinberg 2003's CN baseline; deterministic
+    (cn DESC, id ASC) argmax — pure integers, so the pick is bit-exact),
+    with the Adamic-Adar score Σ 1/ln(deg(via)) reported alongside
+    (engine-ordered float sum — reported through the r6 grid, never used
+    for ordering). Hub fan-out is fenced: each 'via' node contributes
+    pairs among its first {m} neighbors only (ascending id, mirrored in
+    the oracle — the bounded-neighborhood truncation every web-scale CN
+    implementation applies). Engine shape: the shared adjacency compiles
+    once; contributor pairs expand IN-ROW from the sliced neighbor
+    arrays (never the oracle's posting self-join), candidate aggregation
+    is one map-side-combinable shuffle, existing edges leave via one
+    anti join, and the per-user argmax is a window. At 100 TB: pair
+    volume is |V|·cap² worst-case, the fence's purpose; everything else
+    shuffles one row per surviving candidate."""
+    tune(spark)
+    full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
+    sl = full.select(
+        "i",
+        "user_id",
+        "deg",
+        F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
+    )
+    contrib = sl.filter(F.col("deg") >= 2).select(
+        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sn, a -> "
+                "transform(filter(sn, b -> b != a), "
+                "b -> struct(a AS ia, b AS ib))))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"), "w")
+    cand = contrib.groupBy("ia", "ib").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("w").alias("score"),
+    )
+    edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
+    cand = cand.join(edges, ["ia", "ib"], "left_anti")
+    wb = Window.partitionBy("ia").orderBy(F.col("cn").desc(), F.col("ib"))
+    best = cand.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    ids = full.select("i", "user_id")
+    ia_map = ids.withColumnsRenamed({"i": "ia", "user_id": "user_id_a"})
+    ib_map = ids.withColumnsRenamed({"i": "ib", "user_id": "user_id_b"})
+    return (
+        best.join(F.broadcast(ia_map), "ia")
+        .join(F.broadcast(ib_map), "ib")
+        .select(
+            F.col("user_id_a").alias("user_id"),
+            F.col("user_id_b").alias("predicted_user"),
+            F.col("cn").alias("common_neighbors"),
+            r6(F.col("score")).alias("aa_score"),
+        )
+    )

@@ -626,3 +626,64 @@ def test_cuped_matches_python_and_reduces_variance(spark):
         assert abs(r.theta - theta) < 2e-6
         assert abs(r.residual_var_ratio - (1 - rho2)) < 2e-6
         assert 0.0 <= r.residual_var_ratio <= 1.0 + 1e-9
+
+
+def test_link_prediction_matches_python_replica(spark):
+    """Per-user CN argmax must equal a pure-Python replica (same sliced
+    contributor fence, same (cn desc, id asc) tie-break), predictions
+    must never be existing edges, and AA scores must match the replica."""
+    import math as _math
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import (
+        _LINKPRED_MAX_NBRS,
+        _TRI_BUCKET_S,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["events_link_prediction"].fn(spark, SF_SMALL).collect()
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            f"CAST(FLOOR(unix_timestamp(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h",
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = defaultdict(set)
+    for r in ev:
+        buckets[(r.event_type, r.h)].add(r.user_id)
+    adj = defaultdict(set)
+    for us in buckets.values():
+        for a in us:
+            for b in us:
+                if a != b:
+                    adj[a].add(b)
+    cand = defaultdict(lambda: [0, 0.0])  # (a,b) -> [cn, score]
+    for via, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        sliced = sorted(nbrs)[:_LINKPRED_MAX_NBRS]
+        w = 1.0 / _math.log(len(nbrs))
+        for a in sliced:
+            for b in sliced:
+                if a != b and b not in adj[a]:
+                    cand[(a, b)][0] += 1
+                    cand[(a, b)][1] += w
+    best = {}
+    for (a, b), (cn, sc) in cand.items():
+        cur = best.get(a)
+        if cur is None or (cn, -b) > (cur[0], -cur[1]):
+            best[a] = (cn, b, sc)
+    assert {r.user_id for r in rows} == set(best)
+    for r in rows:
+        cn, b, sc = best[r.user_id]
+        assert r.predicted_user == b
+        assert r.common_neighbors == cn
+        assert abs(r.aa_score - sc) < 2e-6
+        assert r.predicted_user not in adj[r.user_id] or True  # anti-join
+        assert b not in adj[r.user_id]
