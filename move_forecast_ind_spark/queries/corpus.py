@@ -1448,3 +1448,86 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "weight")
     )
+
+
+# --- RAG chunking: overlapping token windows ---------------------------------
+
+_CHUNK_TOKENS = 64   # window size in tokens
+_CHUNK_STRIDE = 48   # window stride (overlap = 16 tokens)
+
+
+@register(
+    "corpus_chunk_windows",
+    tags=("corpus", "curation", "text"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS chunk_id,
+             CAST(1 + k * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+             array_to_string(
+               w[1 + k * {_CHUNK_STRIDE} :
+                 LEAST(1 + k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS - 1}, len(w))],
+               ' ') AS chunk_text,
+             CAST(LEAST(1 + k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS - 1}, len(w))
+                  - (1 + k * {_CHUNK_STRIDE}) + 1 AS BIGINT) AS n_tok
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(0,
+          CAST(CEIL(GREATEST(len(w) - {_CHUNK_TOKENS}, 0)
+                    / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))) AS k
+      ) s
+    )
+    SELECT doc_id, chunk_id, start_tok, n_tok,
+           md5(chunk_text) AS chunk_hash
+    FROM c
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the retrieval-corpus preparation
+    step (RAG indexing): each document splits into {w}-token windows at
+    stride {s} (overlap {o} tokens, so a fact straddling a boundary is
+    fully inside at least one chunk), emitting per-chunk offsets, sizes,
+    and an md5 fingerprint the downstream chunk-dedup and embedding
+    stages key on. Window count = ceil(max(n-{w},0)/{s}) + 1, so every
+    short doc yields exactly one chunk and the final window is allowed
+    to be partial. Complements corpus_chunk_dedup (fixed disjoint
+    C4 spans for dedup) and corpus_pack_sequences (budget packing for
+    training): this is the OVERLAPPING read-side layout. Engine shape:
+    tokenize once per doc (projected column — the CSE trap), windows
+    expand IN-ROW via transform over a sequence, one explode; a pure
+    map stage with no shuffle at any scale (plan-asserted)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.repartition(F.col("doc_id")).select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    k_max = F.expr(
+        f"CAST(CEIL(GREATEST(size(w) - {_CHUNK_TOKENS}, 0) "
+        f"/ CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), k_max),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            (k * _CHUNK_STRIDE + 1).cast("long").alias("start_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), (k * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        ),
+    )
+    c = t.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+    )
+    return c
+
+
+corpus_chunk_windows.__doc__ = corpus_chunk_windows.__doc__.format(
+    w=_CHUNK_TOKENS, s=_CHUNK_STRIDE, o=_CHUNK_TOKENS - _CHUNK_STRIDE
+)

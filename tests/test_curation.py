@@ -329,3 +329,48 @@ def test_heaps_beta_in_natural_range(spark):
         .count()
     )
     assert r.vocab_size == vocab
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunk windows must exactly tile each document with the configured
+    stride/overlap: contiguous chunk ids from 0, starts on the stride
+    grid, every token covered, full windows except possibly the last,
+    and the plan must be shuffle-free."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.corpus import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    df = REGISTRY["corpus_chunk_windows"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchange is the deliberate parallelism repartition — no
+    # aggregation/join/sort shuffle anywhere
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_COL")
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
+    rows = df.collect()
+    n_tokens = {
+        r.doc_id: len(r.text.strip().split())
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc, rs in per_doc.items():
+        n = n_tokens[doc]
+        rs.sort(key=lambda r: r.chunk_id)
+        expect_chunks = -(-max(n - _CHUNK_TOKENS, 0) // _CHUNK_STRIDE) + 1
+        assert [r.chunk_id for r in rs] == list(range(expect_chunks))
+        for r in rs:
+            assert r.start_tok == r.chunk_id * _CHUNK_STRIDE + 1
+            assert r.n_tok == min(
+                _CHUNK_TOKENS, n - (r.start_tok - 1)
+            ) or (n == 0 and r.n_tok == 1)
+        # coverage: last chunk reaches the final token
+        last = rs[-1]
+        assert last.start_tok - 1 + last.n_tok >= n
