@@ -5727,3 +5727,142 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("score")).alias("aa_score"),
         )
     )
+
+
+# --- resampling inference: deterministic Poisson bootstrap -------------------
+
+_BOOT_B = 100  # bootstrap replicas
+
+# Poisson(1) CDF thresholds for the inverse-CDF draw (identical decimal
+# literals parse to identical doubles on both engines; tail clamps at 8).
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253",
+)
+
+
+def _pois_case(u: str) -> str:
+    """CASE chain mapping a uniform draw to a Poisson(1) weight."""
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {whens} ELSE 8 END"
+
+
+@register(
+    "a_bootstrap_ci",
+    tags=("aggregate", "analytics", "stats"),
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    draws AS (
+      SELECT b.b, p.value,
+             {_pois_case(
+                 "(CAST(('0x' || substr(md5(CAST(p.event_id AS VARCHAR)"
+                 " || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)"
+                 " / 4294967296e0)")} AS w
+      FROM p CROSS JOIN (
+        SELECT unnest(generate_series(1, {_BOOT_B})) AS b
+      ) b
+    ),
+    reps AS (
+      SELECT b, SUM(w * value) / SUM(w) AS m
+      FROM draws GROUP BY b HAVING SUM(w) > 0
+    ),
+    srt AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM reps
+    ),
+    summ AS (
+      SELECT AVG(m) AS mbar,
+             sqrt(SUM((m - (SELECT AVG(m) FROM reps))
+                      * (m - (SELECT AVG(m) FROM reps)))
+                  / (COUNT(*) - 1)) AS se,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM reps
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, AVG(value) AS mean_value
+      FROM p
+    )
+    SELECT pt.n_rows, summ.nb AS n_replicas,
+           FLOOR(pt.mean_value * 1e4 + 0.5) / 1e4 AS mean_value,
+           FLOOR(summ.se * 1e6 + 0.5) / 1e6 AS bootstrap_se,
+           FLOOR((SELECT m FROM srt WHERE rn = 3) * 1e4 + 0.5) / 1e4
+             AS ci_lo,
+           FLOOR((SELECT m FROM srt WHERE rn = 98) * 1e4 + 0.5) / 1e4
+             AS ci_hi
+    FROM pt CROSS JOIN summ
+    """,
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed-bootstrap standard: per-row
+    Poisson(1) replica weights instead of global multinomial resampling,
+    so no replica ever needs the whole sample co-located) for the mean
+    purchase value: {b} replicas, weights drawn DETERMINISTICALLY by
+    inverse-CDF over an md5 uniform keyed on (event_id, replica) — the
+    house no-rand() doctrine, so both engines materialize the identical
+    resample and the result is replay/speculation-safe. Reports the
+    point estimate, bootstrap SE (sample stddev of replica means), and
+    the percentile CI (3rd / 98th order statistics of the {b} replica
+    means — the (Bα)+1 convention at α=0.025). Replica means carry
+    engine-ordered sum ulps; they are ~SE apart, so their ORDER is
+    stable and only the reported magnitudes lean on the rounding grid.
+    Engine shape: one in-row fan-out of {b} (row, replica) weights, one
+    map-side-combinable groupBy(replica) to {b} rows, then scalar
+    passes — bootstrap at 100 TB is exactly this shape (the fan-out
+    never shuffles raw rows; only {b} partial sums per partition
+    move)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    u = (
+        "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296D)"
+    )
+    draws = p.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).withColumn("w", F.expr(_pois_case(u)))
+    reps = (
+        draws.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("value")).alias("sw"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+        .select("b", (F.col("sw") / F.col("tw")).alias("m"))
+    )
+    summ = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.avg("m").alias("mbar"),
+        F.sort_array(F.collect_list("m")).alias("ms"),
+    ).select(
+        "nb",
+        "mbar",
+        "ms",
+        F.expr(
+            "sqrt(aggregate(ms, 0D, (acc, x) -> acc + (x - mbar) * (x - mbar))"
+            " / (nb - 1))"
+        ).alias("se"),
+        F.element_at("ms", 3).alias("lo"),
+        F.element_at("ms", 98).alias("hi"),
+    )
+    pt = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.avg("value").alias("mean_value"),
+    )
+    return pt.crossJoin(F.broadcast(summ)).select(
+        "n_rows",
+        F.col("nb").alias("n_replicas"),
+        r4(F.col("mean_value")).alias("mean_value"),
+        r6(F.col("se")).alias("bootstrap_se"),
+        r4(F.col("lo")).alias("ci_lo"),
+        r4(F.col("hi")).alias("ci_hi"),
+    )

@@ -687,3 +687,52 @@ def test_link_prediction_matches_python_replica(spark):
         assert abs(r.aa_score - sc) < 2e-6
         assert r.predicted_user not in adj[r.user_id] or True  # anti-join
         assert b not in adj[r.user_id]
+
+
+def test_bootstrap_ci_matches_python_replica(spark):
+    """The deterministic Poisson bootstrap must equal a pure-Python
+    replica (same md5 uniforms, same inverse-CDF thresholds): point
+    estimate, SE, and both CI order statistics."""
+    import hashlib
+    import math as _math
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import _BOOT_B, _POIS_CDF
+    from move_forecast_ind_spark.sources import load_table
+
+    row = REGISTRY["a_bootstrap_ci"].fn(spark, SF_SMALL).collect()[0]
+    p = load_table(spark, SF_SMALL, "events").filter(
+        "event_type = 'purchase'"
+    ).select("event_id", "value").collect()
+    thresholds = [float(t) for t in _POIS_CDF]
+
+    def pois(eid, b):
+        u = int(
+            hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        for k, t in enumerate(thresholds):
+            if u < t:
+                return k
+        return 8
+
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        sw = tw = 0.0
+        for r in p:
+            w = pois(r.event_id, b)
+            sw += w * r.value
+            tw += w
+        if tw > 0:
+            means.append(sw / tw)
+    means.sort()
+    nb = len(means)
+    mbar = sum(means) / nb
+    se = _math.sqrt(sum((m - mbar) ** 2 for m in means) / (nb - 1))
+    assert row.n_rows == len(p)
+    assert row.n_replicas == nb
+    assert abs(row.mean_value - sum(r.value for r in p) / len(p)) < 2e-4
+    assert abs(row.bootstrap_se - se) < 2e-6
+    assert abs(row.ci_lo - means[2]) < 2e-4
+    assert abs(row.ci_hi - means[97]) < 2e-4
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
