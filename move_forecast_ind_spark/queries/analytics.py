@@ -5866,3 +5866,101 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("lo")).alias("ci_lo"),
         r4(F.col("hi")).alias("ci_hi"),
     )
+
+
+# --- spectral analysis: discrete periodogram ---------------------------------
+
+_PGRAM_MIN_P, _PGRAM_MAX_P = 2, 14  # candidate periods (days)
+_PGRAM_TAU = "6.283185307179586"    # 2*pi as an exact shared literal
+
+
+@register(
+    "ts_periodogram",
+    tags=("timeseries", "analytics", "aggregate"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t,
+             AVG(y) OVER (PARTITION BY event_type) AS ybar,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    terms AS (
+      SELECT i.event_type, p.p, i.n,
+             SUM((i.y - i.ybar) * cos({_PGRAM_TAU} * i.t / p.p)) AS a,
+             SUM((i.y - i.ybar) * sin({_PGRAM_TAU} * i.t / p.p)) AS b
+      FROM idx i CROSS JOIN (
+        SELECT unnest(generate_series({_PGRAM_MIN_P}, {_PGRAM_MAX_P})) AS p
+      ) p
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(p AS BIGINT) AS period_days,
+           FLOOR((a * a + b * b) / n * 1e2 + 0.5) / 1e2 AS power
+    FROM terms
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of each event type's mean-removed daily
+    series at candidate periods {lo}-{hi} days: power(p) = (a² + b²)/n
+    with a = Σ ỹ_t·cos(2πt/p), b = Σ ỹ_t·sin(2πt/p) — the spectral
+    seasonality detector (Schuster 1898) complementing the
+    autocorrelation tier (ACF measures lag self-similarity; the
+    periodogram measures oscillation energy, catching periods ACF
+    smears). Cross-engine: t/p are integers, 2π is a shared exact
+    literal, so trig arguments are identical doubles; per-term libm
+    ulps and the engine-ordered sums both sit far inside the r2 grid on
+    O(100)-magnitude powers. Engine shape: one groupBy((type, day)),
+    one per-type window pass for (t, ȳ), then a map-side-combinable
+    groupBy((type, period)) over the 13-way in-row period fan-out — at
+    100 TB the fan-out multiplies the DAILY frame (one row per
+    series-day), never raw events."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wt).cast("long").alias("t"),
+        F.avg("y").over(wa).alias("ybar"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    tau = float(_PGRAM_TAU)
+    fan = idx.select(
+        "event_type",
+        "n",
+        ((F.col("y") - F.col("ybar"))).alias("yd"),
+        "t",
+        F.explode(
+            F.sequence(F.lit(_PGRAM_MIN_P), F.lit(_PGRAM_MAX_P))
+        ).alias("p"),
+    )
+    terms = fan.groupBy("event_type", "p", "n").agg(
+        F.sum(
+            F.col("yd") * F.cos(F.lit(tau) * F.col("t") / F.col("p"))
+        ).alias("a"),
+        F.sum(
+            F.col("yd") * F.sin(F.lit(tau) * F.col("t") / F.col("p"))
+        ).alias("b"),
+    )
+    return terms.select(
+        "event_type",
+        F.col("p").cast("long").alias("period_days"),
+        r2((F.col("a") * F.col("a") + F.col("b") * F.col("b")) / F.col("n")).alias(
+            "power"
+        ),
+    )
+
+
+ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
+    lo=_PGRAM_MIN_P, hi=_PGRAM_MAX_P
+)

@@ -1651,3 +1651,101 @@ def ml_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_positive"
         ),
     )
+
+
+# --- feature engineering: leakage-safe target encoding -----------------------
+
+_TE_FOLDS = 4
+_TE_SMOOTH = 10  # additive-smoothing pseudo-count toward the global mean
+
+
+@register(
+    "ml_target_encoding",
+    tags=("ml", "aggregate", "features"),
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS cat, o_totalprice AS y,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_TE_FOLDS} AS fold
+      FROM orders
+    ),
+    cf AS (
+      SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    ct AS (
+      SELECT cat, CAST(SUM(n) AS BIGINT) AS n_cat, SUM(s) AS s_cat
+      FROM cf GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, SUM(s) AS s_all FROM cf
+    )
+    SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, cf.n AS n_in_fold,
+           CAST(ct.n_cat - cf.n AS BIGINT) AS n_oof,
+           FLOOR(((ct.s_cat - cf.s)
+                  + {_TE_SMOOTH}e0 * ((g.s_all - cf.s) / (g.n_all - cf.n)))
+                 / ((ct.n_cat - cf.n) + {_TE_SMOOTH}e0) * 1e4 + 0.5) / 1e4
+             AS encoded
+    FROM cf JOIN ct USING (cat) CROSS JOIN g
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding of a categorical
+    feature: rows split into {k} deterministic md5 folds; the encoding a
+    fold's rows would receive is the SMOOTHED mean of the target over
+    the category's rows in the OTHER folds — (s_oof + m·ȳ_oof)/(n_oof +
+    m), m={m} — the standard K-fold mean-encoding recipe that prevents a
+    row's own target from leaking into its feature (the
+    train-time complement of the hashed-feature inference tier). Output
+    is the (category, fold) encoding table a join would apply
+    row-level. Cross-engine: fold ids and counts are exact integers;
+    the target sums are engine-ordered doubles behind the r4 grid.
+    Engine shape: ONE map-side-combinable groupBy((cat, fold)) —
+    category and global totals derive from the collapsed frame, so
+    nothing row-sized is ever re-shuffled; at 100 TB the whole encoder
+    is |cats|×{k} rows after the first aggregate."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _TE_FOLDS
+    )
+    cf = orders.groupBy(
+        F.col("o_orderpriority").alias("cat"), fold.alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    ct = cf.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("n_cat"), F.sum("s").alias("s_cat")
+    )
+    g = cf.agg(
+        F.sum("n").cast("long").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    oof_mean = (F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n"))
+    return (
+        cf.join(F.broadcast(ct), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").alias("n_in_fold"),
+            (F.col("n_cat") - F.col("n")).cast("long").alias("n_oof"),
+            r4(
+                (
+                    (F.col("s_cat") - F.col("s"))
+                    + F.lit(float(_TE_SMOOTH)) * oof_mean
+                )
+                / ((F.col("n_cat") - F.col("n")) + F.lit(float(_TE_SMOOTH)))
+            ).alias("encoded"),
+        )
+    )
+
+
+ml_target_encoding.__doc__ = ml_target_encoding.__doc__.format(
+    k=_TE_FOLDS, m=_TE_SMOOTH
+)

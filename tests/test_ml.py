@@ -308,3 +308,44 @@ def test_classifier_eval_matches_pairwise_auc(spark):
         assert abs(
             b.frac_positive - sum(y for _, y in members) / b.n
         ) < 2e-6
+
+
+def test_target_encoding_is_leakage_free(spark):
+    """Every (cat, fold) encoding must equal the smoothed mean computed
+    ONLY from other folds' rows (Python replica), and fold assignment
+    must match the md5 parity."""
+    import hashlib
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.ml import _TE_FOLDS, _TE_SMOOTH
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["ml_target_encoding"].fn(spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+
+    def fold(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % _TE_FOLDS
+
+    data = defaultdict(list)
+    for o in orders:
+        data[(o.o_orderpriority, fold(o.o_orderkey))].append(o.o_totalprice)
+    all_sum = sum(v for vs in data.values() for v in vs)
+    all_n = sum(len(vs) for vs in data.values())
+    assert {(r.cat, r.fold) for r in rows} == set(data)
+    for r in rows:
+        own = data[(r.cat, r.fold)]
+        assert r.n_in_fold == len(own)
+        oof = [
+            v
+            for (c, f), vs in data.items()
+            if c == r.cat and f != r.fold
+            for v in vs
+        ]
+        assert r.n_oof == len(oof)
+        gmean_oof = (all_sum - sum(own)) / (all_n - len(own))
+        enc = (sum(oof) + _TE_SMOOTH * gmean_oof) / (len(oof) + _TE_SMOOTH)
+        assert abs(r.encoded - enc) < 2e-4
