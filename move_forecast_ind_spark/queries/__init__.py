@@ -23,6 +23,7 @@ for _mod in (
     "analytics",
     "linkage",
     "retrieval",
+    "evaluation",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
