@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
+from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -325,3 +326,275 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.exp(-F.col("negent"))).alias("entropy_l"),
         (F.col("l_distinct") >= _LDIV_L).alias("l_diverse"),
     )
+
+
+# --- retrieval evaluation: graded-relevance NDCG@k ---------------------------
+
+_NDCG_K = 10
+_NDCG_QUERIES = 5  # vec_id < 5, matching the sim_ann_* query convention
+
+
+@register(
+    "ml_ndcg_eval",
+    tags=("ml", "similarity", "eval"),
+    oracle=f"""
+    WITH v AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, e.label, d.source
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {_NDCG_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_inner_product(q.vec, c.vec)
+               / (sqrt(list_inner_product(q.vec, q.vec))
+                  * sqrt(list_inner_product(c.vec, c.vec))) AS cos,
+             (CASE WHEN q.label = c.label THEN 2 ELSE 0 END
+              + CASE WHEN q.source = c.source THEN 1 ELSE 0 END) AS rel
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, cand_id) AS ideal_pos
+      FROM scored
+    ),
+    dcg AS (
+      SELECT query_id,
+             SUM(CASE WHEN pos <= {_NDCG_K}
+                      THEN (pow(2e0, rel) - 1e0)
+                           / (ln(CAST(pos + 1 AS DOUBLE)) / ln(2e0))
+                      ELSE 0e0 END) AS dcg,
+             SUM(CASE WHEN ideal_pos <= {_NDCG_K}
+                      THEN (pow(2e0, rel) - 1e0)
+                           / (ln(CAST(ideal_pos + 1 AS DOUBLE)) / ln(2e0))
+                      ELSE 0e0 END) AS idcg,
+             CAST(SUM(CASE WHEN pos <= {_NDCG_K} AND rel > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_in_k
+      FROM ranked GROUP BY 1
+    )
+    SELECT query_id, n_rel_in_k,
+           FLOOR(dcg * 1e6 + 0.5) / 1e6 AS dcg,
+           FLOOR(idcg * 1e6 + 0.5) / 1e6 AS idcg,
+           CASE WHEN idcg > 0e0
+                THEN FLOOR(dcg / idcg * 1e6 + 0.5) / 1e6
+                ELSE 0e0 END AS ndcg
+    FROM dcg
+    """,
+)
+def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance NDCG@{k} (Jarvelin & Kekalainen 2002) for the
+    semantic more-like-this ranking: each of the {nq} standard query
+    vectors ranks the rest of the corpus by exact cosine; relevance
+    grades derive deterministically from metadata (same embedding label
+    = +2, same document source = +1 — grades 0..3), IDCG is the
+    same gain sum over the relevance-sorted ideal ordering, and
+    NDCG = DCG/IDCG. This is the measurement leg of the retrieval stack
+    (RRF fusion and MMR reorder candidates; this scores a ranking) —
+    run it on an ANN variant vs this exact ranking and the NDCG delta
+    IS the recall/quality cost of the index. Cross-engine: cosines ride
+    the shared left-fold dot product (bit-identical to DuckDB's
+    list_inner_product), ordering ties break on candidate id, gains are
+    integer powers of two, and the <= {k}-term gain sums sit far inside
+    the r6 grid. Engine shape: the {nq}-row query side broadcasts; the
+    corpus never shuffles for scoring; per-query ranking is a window
+    over candidate partitions. At 100 TB the exact leg bounds to top-k
+    per partition via TakeOrdered; the ANN legs (sim_ann_lsh / ivf)
+    are the production path this evaluator certifies."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v = emb.join(docs, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec"), "label", "source"
+    )
+    q = v.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        F.col("source").alias("qsource"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+            (
+                F.when(F.col("qlabel") == F.col("label"), 2).otherwise(0)
+                + F.when(F.col("qsource") == F.col("source"), 1).otherwise(0)
+            ).alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "rel",
+        F.row_number().over(wr).alias("pos"),
+        F.row_number().over(wi).alias("ideal_pos"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") <= _NDCG_K,
+                gain / (F.log(F.col("pos").cast("double") + 1) / F.log(F.lit(2.0))),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_pos") <= _NDCG_K,
+                gain
+                / (F.log(F.col("ideal_pos").cast("double") + 1) / F.log(F.lit(2.0))),
+            ).otherwise(F.lit(0.0))
+        ).alias("idcg"),
+        F.sum(
+            F.when((F.col("pos") <= _NDCG_K) & (F.col("rel") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_rel_in_k"),
+    )
+    return dcg.select(
+        "query_id",
+        "n_rel_in_k",
+        r6(F.col("dcg")).alias("dcg"),
+        r6(F.col("idcg")).alias("idcg"),
+        F.when(F.col("idcg") > 0.0, r6(F.col("dcg") / F.col("idcg")))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+ml_ndcg_eval.__doc__ = ml_ndcg_eval.__doc__.format(k=_NDCG_K, nq=_NDCG_QUERIES)
+
+
+# --- forecast evaluation: pinball (quantile) loss ----------------------------
+
+_PINBALL_QS = (0.1, 0.5, 0.9)
+_PINBALL_HOLDOUT_DAYS = 7  # matches ml_forecast_backtest's split
+
+
+@register(
+    "ml_pinball_loss",
+    tags=("ml", "timeseries", "forecast", "eval"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    cutoff AS (SELECT MAX(day) - {_PINBALL_HOLDOUT_DAYS} AS cut FROM daily),
+    train AS (
+      SELECT isodow(day) AS dow, y FROM daily CROSS JOIN cutoff
+      WHERE day <= cut
+    ),
+    test AS (
+      SELECT isodow(day) AS dow, day, y FROM daily CROSS JOIN cutoff
+      WHERE day > cut
+    ),
+    ranked AS (
+      SELECT dow, y,
+             ROW_NUMBER() OVER (PARTITION BY dow ORDER BY y) AS rn,
+             COUNT(*) OVER (PARTITION BY dow) AS n
+      FROM train
+    ),
+    fc AS (
+      SELECT r.dow, t.q, r.y AS f
+      FROM ranked r
+      CROSS JOIN (SELECT unnest([{", ".join(f"{q}e0" for q in _PINBALL_QS)}])
+                    AS q) t
+      WHERE r.rn = GREATEST(1, CAST(CEIL(t.q * r.n) AS BIGINT))
+    ),
+    scored AS (
+      SELECT fc.q, t.y, fc.f,
+             CASE WHEN t.y >= fc.f THEN fc.q * (t.y - fc.f)
+                  ELSE (1e0 - fc.q) * (fc.f - t.y) END AS loss,
+             CASE WHEN t.y <= fc.f THEN 1 ELSE 0 END AS covered
+      FROM test t JOIN fc ON fc.dow = t.dow
+    )
+    SELECT FLOOR(q * 1e6 + 0.5) / 1e6 AS quantile,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           FLOOR(AVG(loss) * 1e6 + 0.5) / 1e6 AS mean_pinball,
+           FLOOR(CAST(SUM(covered) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS coverage
+    FROM scored GROUP BY q
+    """,
+)
+def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss backtest: hold out the last {h} days
+    (ml_forecast_backtest's split), forecast each test day's event count
+    with the per-ISO-day-of-week EXACT empirical train quantile at
+    q in {qs} (order statistic at rank ceil(q*n) — integer counts, so
+    forecasts are exact integers), and score with the pinball rule
+    L_q(y,f) = q(y-f) if y>=f else (1-q)(f-y) — the proper scoring rule
+    for quantile forecasts that MAE/MAPE point backtests can't grade;
+    coverage (frac of test days with y <= f) checks calibration (should
+    be ~q). Cross-engine: ranks, counts, and forecasts are exact
+    integers; per-row losses are products of a literal and an integer —
+    identical doubles — and only the <= {h}-term mean rides the r6 grid.
+    Engine shape: one groupBy to the daily frame, one rank window per
+    dow partition over the (tiny) training days, a broadcast join of
+    the 21-row forecast table to the test days — at 100 TB the daily
+    collapse is the only data-sized stage (same posture as the whole
+    forecast family)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    cutoff = daily.agg(
+        F.date_sub(F.max("day"), _PINBALL_HOLDOUT_DAYS).alias("cut")
+    )
+    base = daily.crossJoin(F.broadcast(cutoff))
+    train = base.filter(F.col("day") <= F.col("cut")).select(
+        (F.weekday("day") + F.lit(1)).alias("dow"), "y"
+    )
+    test = base.filter(F.col("day") > F.col("cut")).select(
+        (F.weekday("day") + F.lit(1)).alias("dow"), "day", "y"
+    )
+    wd = Window.partitionBy("dow").orderBy("y")
+    ranked = train.select(
+        "dow",
+        "y",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+    )
+    qcol = F.explode(F.array([F.lit(q) for q in _PINBALL_QS])).alias("q")
+    fc = (
+        ranked.select("dow", "y", "rn", "n", qcol)
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("long")
+            )
+        )
+        .select("dow", "q", F.col("y").alias("f"))
+    )
+    scored = test.join(F.broadcast(fc), "dow").select(
+        "q",
+        F.when(
+            F.col("y") >= F.col("f"),
+            F.col("q") * (F.col("y") - F.col("f")),
+        )
+        .otherwise((F.lit(1.0) - F.col("q")) * (F.col("f") - F.col("y")))
+        .alias("loss"),
+        F.when(F.col("y") <= F.col("f"), 1).otherwise(0).alias("covered"),
+    )
+    return scored.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        r6(F.avg("loss")).alias("mean_pinball"),
+        r6(F.sum("covered").cast("double") / F.count(F.lit(1))).alias(
+            "coverage"
+        ),
+    ).select(
+        r6(F.col("q")).alias("quantile"), "n_test", "mean_pinball", "coverage"
+    )
+
+
+ml_pinball_loss.__doc__ = ml_pinball_loss.__doc__.format(
+    h=_PINBALL_HOLDOUT_DAYS, qs=_PINBALL_QS
+)

@@ -1653,6 +1653,108 @@ def ml_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- classifier operating points: confusion-matrix threshold sweep -----------
+
+_SWEEP_THRESHOLDS = "[0.1e0, 0.2e0, 0.3e0, 0.4e0, 0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]"
+
+
+@register(
+    "ml_threshold_sweep",
+    tags=("ml", "aggregate", "eval"),
+    oracle=_eval_pairs_sql()
+    + f""",
+    cells AS (
+      SELECT t.thr,
+             CAST(SUM(CASE WHEN p >= t.thr AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p >= t.thr AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN p < t.thr AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN p < t.thr AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM j CROSS JOIN (SELECT unnest({_SWEEP_THRESHOLDS}) AS thr) t
+      GROUP BY 1
+    )
+    SELECT FLOOR(thr * 1e6 + 0.5) / 1e6 AS threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS precision_,
+           CASE WHEN tp + fn > 0
+                THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN FLOOR(2e0 * tp / (2 * tp + fp + fn) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS f1,
+           FLOOR(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1e6 + 0.5)
+             / 1e6 AS accuracy
+    FROM cells
+    """,
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-point sweep: the confusion matrix (TP/FP/FN/TN)
+    plus precision / recall / F1 / accuracy of the hashed quality
+    classifier against the median-quality distillation target, at a
+    literal ladder of 9 probability thresholds — the operating-curve
+    complement to ml_classifier_auc's single threshold-free scalar (AUC
+    says the ranking is good; this says which cut to deploy). F1 uses
+    the exact-rational identity 2TP/(2TP+FP+FN), so every metric is a
+    ratio of exact integers — identical doubles on both engines before
+    the r6 grid. Engine shape: ONE pass over the (doc, y, p) pairs with
+    a 9-row literal-array cross join expanded in-row, then a
+    map-side-combinable groupBy to 9 rows — sweeping more thresholds
+    changes only the literal, never the shuffle count; at 100 TB this
+    costs the same as a single-threshold confusion matrix."""
+    tune(spark)
+    jf = _eval_pairs(spark, sf_dir)
+    thr = F.explode(
+        F.array([F.lit(x / 10.0) for x in range(1, 10)])
+    ).alias("thr")
+    cells = (
+        jf.select("y", "p", thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("p") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("p") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("p") < F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+            F.sum(
+                F.when((F.col("p") < F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cells.select(
+        r6(F.col("thr")).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, r6(tp.cast("double") / (tp + fp)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("precision_"),
+        F.when(tp + fn > 0, r6(tp.cast("double") / (tp + fn)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("recall_"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            r6(F.lit(2.0) * tp / (2 * tp + fp + fn)),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("f1"),
+        r6((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+    )
+
+
 # --- feature engineering: leakage-safe target encoding -----------------------
 
 _TE_FOLDS = 4
