@@ -598,3 +598,410 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_pinball_loss.__doc__ = ml_pinball_loss.__doc__.format(
     h=_PINBALL_HOLDOUT_DAYS, qs=_PINBALL_QS
 )
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+_RAKE_STOPS = ("the", "and", "of", "is", "a")  # functions.text.LANG_MARKERS["en"]
+_RAKE_TOPK = 3
+
+
+@register(
+    "text_rake_keywords",
+    tags=("text", "northstar", "retrieval"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok,
+             generate_subscripts(
+               string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN tok IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ),
+    numbered AS (
+      SELECT doc_id, tok, pos, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS phrase_id
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, tok, pos, phrase_id FROM numbered WHERE stop = 0
+    ),
+    words AS (
+      SELECT doc_id, tok, pos, phrase_id,
+             COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+      FROM isl
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM words GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT doc_id, tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w.doc_id, w.phrase_id,
+             SUM(CAST(s.deg AS DOUBLE) / s.freq) AS score
+      FROM words w JOIN wstats s ON s.doc_id = w.doc_id AND s.tok = w.tok
+      GROUP BY 1, 2
+    ),
+    rounded AS (
+      SELECT p.doc_id, p.phrase, p.plen,
+             FLOOR(s.score * 1e6 + 0.5) / 1e6 AS score
+      FROM phrases p
+      JOIN scored s ON s.doc_id = p.doc_id AND s.phrase_id = p.phrase_id
+    ),
+    ranked AS (
+      SELECT doc_id, phrase, plen, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase) AS rnk
+      FROM rounded
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, plen, score
+    FROM ranked WHERE rnk <= {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010): candidate
+    phrases are maximal runs of non-stopword tokens (islands between the
+    deterministic 5-word stopword set shared with the language-ID tier);
+    each word scores deg(w)/freq(w) where deg counts co-occurring phrase
+    length and freq counts occurrences, each phrase scores the sum of its
+    word scores, and the top-{k} phrases per document emerge — the classic
+    unsupervised keyword extractor, complementing TF-IDF (corpus-weighted)
+    and winnowing (fingerprint-based) with a phrase-level structural
+    scorer. Cross-engine: tokenization, stopword flags, island ids, plen /
+    freq / deg are exact integers; word scores are exact rationals and a
+    phrase's sum spans <= phrase-length near-equal terms, so ulp noise is
+    ~1e-15 against well-separated score gaps (>= 1/freq^2) before the r6
+    grid and the rank tie-break (score DESC, phrase ASC) is stable.
+    Engine shape: one posexplode scan, one island window per doc
+    partition, two map-side-combinable groupBys ((doc, word) and
+    (doc, phrase)), one broadcast-shaped join back — all partitioned by
+    doc_id, no corpus-wide state, embarrassingly parallel at 100 TB."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).select("doc_id", F.lower(F.col("tok")).alias("tok"), "pos")
+    flagged = tok.withColumn(
+        "stop",
+        F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0),
+    )
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = (
+        flagged.withColumn("phrase_id", F.sum("stop").over(w_isl))
+        .filter(F.col("stop") == 0)
+        .drop("stop")
+    )
+    words = isl.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    phrases = words.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    wstats = words.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    scored = (
+        words.join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(F.col("deg").cast("double") / F.col("freq")).alias("score")
+        )
+    )
+    # rank on the ROUNDED score: phrases sharing a word-score multiset sum
+    # to ulp-different doubles across engines, so the raw double is NOT a
+    # stable sort key — the r6 grid makes such near-ties exact ties, which
+    # the phrase-text tiebreak then resolves identically everywhere
+    rounded = phrases.join(scored, ["doc_id", "phrase_id"]).select(
+        "doc_id", "phrase", "plen", r6(F.col("score")).alias("score")
+    )
+    ranked = rounded.select(
+        "doc_id",
+        "phrase",
+        "plen",
+        "score",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("phrase")
+            )
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= _RAKE_TOPK).select(
+        "doc_id", "rnk", "phrase", "plen", "score"
+    )
+
+
+text_rake_keywords.__doc__ = text_rake_keywords.__doc__.format(k=_RAKE_TOPK)
+
+
+# --- embedding cluster quality: Davies-Bouldin index -------------------------
+
+
+@register(
+    "emb_davies_bouldin",
+    tags=("similarity", "ml", "eval"),
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, label,
+             generate_subscripts(e, 1) AS dim,
+             unnest(e) AS val
+      FROM x
+    ),
+    cell AS (
+      SELECT label, dim, AVG(val) AS c
+      FROM expl GROUP BY 1, 2
+    ),
+    mdist AS (
+      SELECT ex.vec_id, ex.label,
+             sqrt(SUM((ex.val - cl.c) * (ex.val - cl.c))) AS dist
+      FROM expl ex JOIN cell cl ON cl.label = ex.label AND cl.dim = ex.dim
+      GROUP BY 1, 2
+    ),
+    scatter AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n, AVG(dist) AS s
+      FROM mdist GROUP BY 1
+    ),
+    cdist AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(SUM((a.c - b.c) * (a.c - b.c))) AS m
+      FROM cell a JOIN cell b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT c.la AS label, MAX((sa.s + sb.s) / c.m) AS db_term
+      FROM cdist c
+      JOIN scatter sa ON sa.label = c.la
+      JOIN scatter sb ON sb.label = c.lb
+      GROUP BY 1
+    )
+    SELECT s.label, s.n,
+           FLOOR(s.s * 1e6 + 0.5) / 1e6 AS s_scatter,
+           FLOOR(t.db_term * 1e6 + 0.5) / 1e6 AS db_term,
+           FLOOR(AVG(t.db_term) OVER () * 1e6 + 0.5) / 1e6 AS db_index
+    FROM scatter s JOIN terms t ON t.label = s.label
+    """,
+)
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality index (Davies & Bouldin 1979) of the
+    labeled embedding space: per-cluster scatter S_i = mean Euclidean
+    distance to the centroid, inter-centroid separations M_ij, per-cluster
+    worst-case similarity term max_j (S_i+S_j)/M_ij, and the global index
+    (their mean — lower = tighter, better-separated clusters). The
+    internal-validation metric for the k-means / SemDeDup / IVF tiers:
+    it grades a clustering with no external labels needed beyond the
+    cluster assignment itself. Cross-engine: centroid cells are
+    per-(label,dim) averages and distances per-(row,label) sums over 64
+    dims — ulp-order fold noise only, no ordering decision anywhere
+    (the max is over VALUES, never an argmax id), all outputs on the r6
+    grid. Engine shape: one explode scan + two map-side-combinable
+    groupBys ((label,dim) cells — k*d rows — then per-member distances
+    partitioned by vec_id); centroid frames are k*d = metadata-scale and
+    broadcast into the member join; the k^2 separation matrix never
+    leaves the driver scale. At 100 TB the member-distance stage is the
+    only data-sized pass — one shuffle keyed by vec_id."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    expl = x.select(
+        "vec_id",
+        "label",
+        F.posexplode("e").alias("dim0", "val"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    cell = expl.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    mdist = (
+        expl.join(F.broadcast(cell), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    scatter = mdist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dist").alias("s")
+    )
+    ca = cell.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("cva")
+    )
+    cb = cell.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("cvb")
+    )
+    cdist = (
+        ca.join(cb, (ca["dim"] == cb["dim"]) & (F.col("la") != F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("cva") - F.col("cvb"))
+                    * (F.col("cva") - F.col("cvb"))
+                )
+            ).alias("m")
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    terms = (
+        cdist.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(F.max((F.col("s_a") + F.col("s_b")) / F.col("m")).alias("db_term"))
+        .withColumnRenamed("la", "label")
+    )
+    out = scatter.join(terms, "label")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "label",
+        "n",
+        r6(F.col("s")).alias("s_scatter"),
+        r6(F.col("db_term")).alias("db_term"),
+        r6(F.avg("db_term").over(wall)).alias("db_index"),
+    )
+
+
+# --- graph: degree assortativity --------------------------------------------
+
+
+@register(
+    "events_degree_assortativity",
+    tags=("events", "graph", "statistics"),
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS h
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    deg AS (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+             CAST(SUM(ds.d) AS BIGINT) AS sx,
+             CAST(SUM(dd.d) AS BIGINT) AS sy,
+             CAST(SUM(ds.d * ds.d) AS BIGINT) AS sxx,
+             CAST(SUM(dd.d * dd.d) AS BIGINT) AS syy,
+             CAST(SUM(ds.d * dd.d) AS BIGINT) AS sxy
+      FROM edges e
+      JOIN deg ds ON ds.v = e.src
+      JOIN deg dd ON dd.v = e.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           ne // 2 AS n_edges,
+           CASE WHEN (CAST(ne AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                     (CAST(ne AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0e0
+                THEN FLOOR((CAST(ne AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(ne AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(ne AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS assortativity
+    FROM m
+    """,
+)
+def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the tight user
+    co-activity graph (same event_type within the same 300 s bucket —
+    the triangle/k-core tier's graph): the Pearson correlation of
+    endpoint degrees over the directed-both-ways edge list. Positive =
+    hubs attach to hubs (social-network shape), negative = hub-and-spoke
+    (infrastructure shape) — the one-scalar structure probe that tells a
+    sampling or partitioning strategy whether degree-based salting will
+    be needed. Cross-engine: degrees and all five moments are exact
+    BIGINTs (deg <= ~400 at sf0.1, so sum-of-products stays far under
+    2^63 past sf1); the correlation assembles once from exact integers
+    with an identical op sequence — bit-exact before the r6 grid; a
+    degree-regular graph (zero variance) yields NULL. Engine shape: the
+    shared adjacency compiles once (_coactivity_adjacency, tight
+    bucket); the |V|-sized degree vector broadcasts as ONE row and edge
+    endpoints look degrees up in-row — the only data-sized stages are
+    the adjacency build itself and one global aggregate; no edge-level
+    join at all (vs the oracle's two, which exist only for SQL
+    clarity)."""
+    tune(spark)
+    from .analytics import _TRI_BUCKET_S, _coactivity_adjacency
+
+    full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
+    adj = full.filter(F.col("deg") > 0)
+    # degree vector over ALL indices (the adjacency's i-space), so edge
+    # endpoints can look degrees up positionally even after isolated
+    # nodes are dropped from the edge side
+    darr = full.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "deg"))),
+            lambda s: s["deg"],
+        ).alias("degs")
+    )
+    e = (
+        adj.select("i", "deg", F.explode("nbrs").alias("j"))
+        .crossJoin(F.broadcast(darr))
+        .select(
+            F.col("deg").cast("long").alias("dx"),
+            F.element_at(F.col("degs"), F.col("j") + 1).cast("long").alias(
+                "dy"
+            ),
+        )
+    )
+    nn = adj.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    m = e.agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    ).crossJoin(F.broadcast(nn))
+    ned = F.col("ne").cast("double")
+    vx = ned * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = ned * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = ned * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return m.select(
+        "n_nodes",
+        (F.col("ne") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(vx * vy > 0.0, r6(cov / F.sqrt(vx * vy)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("assortativity"),
+    )
