@@ -1005,3 +1005,465 @@ def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("assortativity"),
     )
+
+
+# --- multiple-testing control: Benjamini-Hochberg ----------------------------
+
+_BH_Q = 0.1  # target false-discovery rate
+
+# Abramowitz & Stegun 7.1.26 erfc polynomial — written with the IDENTICAL
+# Horner text on both engines so the only cross-engine noise is exp()'s
+# last ulp, absorbed by the r6 grid before any decision is made.
+_AS_P = "0.3275911"
+_AS_COEF = ("0.254829592", "-0.284496736", "1.421413741",
+            "-1.453152027", "1.061405429")
+
+
+def _sql_p_two_sided(z_expr: str) -> str:
+    """DuckDB text for the two-sided normal p-value 1 - erf(|z|/sqrt(2))
+    via A&S 7.1.26 (Horner form)."""
+    a1, a2, a3, a4, a5 = _AS_COEF
+    u = f"(abs({z_expr}) / sqrt(2e0))"
+    t = f"(1e0 / (1e0 + {_AS_P} * {u}))"
+    poly = (f"((((({a5} * {t} + {a4}) * {t} + {a3}) * {t} + {a2}) * {t} "
+            f"+ {a1}) * {t})")
+    return f"({poly} * exp(-({u} * {u})))"
+
+
+def _col_p_two_sided(z):
+    """Spark twin of :func:`_sql_p_two_sided` — same Horner op sequence."""
+    a1, a2, a3, a4, a5 = (float(c) for c in _AS_COEF)
+    u = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(float(_AS_P)) * u)
+    poly = (
+        (((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t
+        + F.lit(a1)
+    ) * t
+    return poly * F.exp(-(u * u))
+
+
+@register(
+    "a_benjamini_hochberg",
+    tags=("aggregate", "statistics"),
+    oracle=f"""
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal * 1e2 + 0.5) AS BIGINT) AS c
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM v GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(c) AS BIGINT) AS ss,
+             CAST(SUM(c * c) AS BIGINT) AS qq
+      FROM v
+    ),
+    z AS (
+      SELECT g.c_nationkey, g.n,
+             (CAST(g.s AS DOUBLE) / g.n - CAST(t.ss AS DOUBLE) / t.nn)
+               / sqrt(((CAST(t.qq AS DOUBLE)
+                        - CAST(t.ss AS DOUBLE) * t.ss / t.nn)
+                       / (t.nn - 1)) / g.n) AS zval
+      FROM g CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT c_nationkey, n,
+             FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_score,
+             FLOOR({_sql_p_two_sided("zval")} * 1e6 + 0.5) / 1e6 AS p_value
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, c_nationkey)
+                     AS BIGINT) AS bh_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) / m * {_BH_Q}
+                  THEN bh_rank ELSE 0 END AS passing
+      FROM ranked
+    )
+    SELECT c_nationkey, n, z_score, p_value, bh_rank,
+           FLOOR(CAST(bh_rank AS DOUBLE) / m * {_BH_Q} * 1e6 + 0.5) / 1e6
+             AS bh_critical,
+           bh_rank <= MAX(passing) OVER () AS discovery
+    FROM flagged
+    """,
+)
+def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    over a 25-hypothesis family: per-nation z-tests of mean account
+    balance against the global mean (global sample variance), p-values
+    through the Abramowitz-Stegun 7.1.26 erfc polynomial — the SAME
+    Horner text on both engines, so only exp()'s final ulp differs and
+    the r6 grid absorbs it BEFORE any decision: ranks, the i/m*q
+    critical ladder, and the step-up cutoff (max passing rank, every
+    rank at or below it is a discovery) are all computed from the
+    rounded p — cross-engine-deterministic by construction. The
+    multiple-testing guard every per-segment screening query in the
+    test tier (welch/z/chi2) needs before acting on 25 simultaneous
+    p-values. Engine shape: one map-side-combinable groupBy to 25 rows
+    + a one-row global moment frame cross-joined broadcast; the BH
+    windows run over 25 rows — metadata-scale regardless of table
+    size."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        "c_nationkey", _cents(F.col("c_acctbal")).alias("c")
+    )
+    g = v.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("ss"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("qq"),
+    )
+    zf = g.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "n",
+        (
+            (
+                F.col("s").cast("double") / F.col("n")
+                - F.col("ss").cast("double") / F.col("nn")
+            )
+            / F.sqrt(
+                (
+                    (
+                        F.col("qq").cast("double")
+                        - F.col("ss").cast("double")
+                        * F.col("ss")
+                        / F.col("nn")
+                    )
+                    / (F.col("nn") - 1)
+                )
+                / F.col("n")
+            )
+        ).alias("zval"),
+    )
+    p = zf.select(
+        "c_nationkey",
+        "n",
+        r6(F.col("zval")).alias("z_score"),
+        r6(_col_p_two_sided(F.col("zval"))).alias("p_value"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = p.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p_value", "c_nationkey"))
+        .cast("long")
+        .alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    crit = F.col("bh_rank").cast("double") / F.col("m") * F.lit(_BH_Q)
+    flagged = ranked.withColumn(
+        "passing",
+        F.when(F.col("p_value") <= crit, F.col("bh_rank")).otherwise(F.lit(0)),
+    )
+    return flagged.select(
+        "c_nationkey",
+        "n",
+        "z_score",
+        "p_value",
+        "bh_rank",
+        r6(crit).alias("bh_critical"),
+        (F.col("bh_rank") <= F.max("passing").over(wall)).alias("discovery"),
+    )
+
+
+# --- lake layout: manifest min/max pruning simulation ------------------------
+
+_PRUNE_FILES = 64
+_PRUNE_QUERIES = (
+    ("q_week", "1997-03-01", "1997-03-07"),
+    ("q_month", "1997-06-01", "1997-06-30"),
+    ("q_year", "1997-01-01", "1997-12-31"),
+)
+
+
+@register(
+    "s_manifest_prune_stats",
+    tags=("source", "lake", "scan"),
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    assigned AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_PRUNE_FILES} AS f_rnd,
+             NTILE({_PRUNE_FILES}) OVER (ORDER BY d, l_orderkey,
+                                         l_linenumber) - 1 AS f_srt
+      FROM li
+    ),
+    files AS (
+      SELECT 'random' AS layout, f_rnd AS f, MIN(d) AS lo, MAX(d) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS nrows
+      FROM assigned GROUP BY 2
+      UNION ALL
+      SELECT 'sorted', f_srt, MIN(d), MAX(d), CAST(COUNT(*) AS BIGINT)
+      FROM assigned GROUP BY 2
+    ),
+    qs AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"('{q}', DATE '{lo}', DATE '{hi}')" for q, lo, hi in _PRUNE_QUERIES
+      )}) v(q_id, qlo, qhi)
+    ),
+    matching AS (
+      SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS rows_matching
+      FROM li JOIN qs q ON li.d BETWEEN q.qlo AND q.qhi
+      GROUP BY 1
+    ),
+    scan AS (
+      SELECT f.layout, q.q_id,
+             CAST(COUNT(*) AS BIGINT) AS files_scanned,
+             CAST(SUM(f.nrows) AS BIGINT) AS rows_scanned
+      FROM files f JOIN qs q ON f.lo <= q.qhi AND f.hi >= q.qlo
+      GROUP BY 1, 2
+    )
+    SELECT s.layout, s.q_id, {_PRUNE_FILES} AS files_total,
+           s.files_scanned, s.rows_scanned, m.rows_matching,
+           FLOOR(CAST(s.rows_scanned AS DOUBLE) / m.rows_matching
+                 * 1e4 + 0.5) / 1e4 AS scan_amplification
+    FROM scan s JOIN matching m ON m.q_id = s.q_id
+    """,
+)
+def s_manifest_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max pruning simulation — the quantified argument for
+    the lake-layout tier (zorder / compaction): assign every lineitem
+    row to one of {nf} synthetic files under two layouts (random =
+    md5-hash bucketing, sorted = NTILE over ship-date order, i.e. what
+    a sort-on-write produces), compute each file's (min, max, rows)
+    manifest entry, then replay three literal date-range queries
+    against the manifests the way Iceberg/Delta data-skipping does
+    (scan a file iff its range overlaps the predicate). Outputs
+    files_scanned / rows_scanned vs rows_matching and the scan
+    amplification ratio — on the random layout every file overlaps
+    every query (amplification ~= table/selection), on the sorted
+    layout the week query touches ~1 file: the measured case for
+    sort-before-write at 100 TB, where this exact statistic decides
+    petabytes of scan. Cross-engine: file ids (md5 buckets; NTILE over
+    a UNIQUE total order — deterministic in both engines), manifests
+    and counts are exact integers; only the final ratio is rounded.
+    Engine shape: one window sort (the layout simulation itself) + two
+    metadata-scale groupBys; the real sort-on-write at scale is a
+    repartitionByRange the sinks tier already exercises."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    f_rnd = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PRUNE_FILES
+    )
+    f_srt = (
+        F.ntile(_PRUNE_FILES).over(
+            Window.orderBy("d", "l_orderkey", "l_linenumber")
+        )
+        - 1
+    )
+    assigned = li.select(
+        "d", f_rnd.alias("f_rnd"), f_srt.alias("f_srt")
+    )
+    files = (
+        assigned.groupBy(F.col("f_rnd").alias("f"))
+        .agg(
+            F.min("d").alias("lo"),
+            F.max("d").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("nrows"),
+        )
+        .select(F.lit("random").alias("layout"), "f", "lo", "hi", "nrows")
+        .unionByName(
+            assigned.groupBy(F.col("f_srt").alias("f"))
+            .agg(
+                F.min("d").alias("lo"),
+                F.max("d").alias("hi"),
+                F.count(F.lit(1)).cast("long").alias("nrows"),
+            )
+            .select(F.lit("sorted").alias("layout"), "f", "lo", "hi", "nrows")
+        )
+    )
+    qs = spark.createDataFrame(
+        [(q, lo, hi) for q, lo, hi in _PRUNE_QUERIES],
+        "q_id string, qlo string, qhi string",
+    ).select(
+        "q_id",
+        F.col("qlo").cast("date").alias("qlo"),
+        F.col("qhi").cast("date").alias("qhi"),
+    )
+    matching = (
+        li.join(
+            F.broadcast(qs),
+            (F.col("d") >= F.col("qlo")) & (F.col("d") <= F.col("qhi")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+    )
+    scan = (
+        files.join(
+            F.broadcast(qs),
+            (F.col("lo") <= F.col("qhi")) & (F.col("hi") >= F.col("qlo")),
+        )
+        .groupBy("layout", "q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_scanned"),
+            F.sum("nrows").cast("long").alias("rows_scanned"),
+        )
+    )
+    return scan.join(F.broadcast(matching), "q_id").select(
+        "layout",
+        "q_id",
+        F.lit(_PRUNE_FILES).alias("files_total"),
+        "files_scanned",
+        "rows_scanned",
+        "rows_matching",
+        r4(
+            F.col("rows_scanned").cast("double") / F.col("rows_matching")
+        ).alias("scan_amplification"),
+    )
+
+
+s_manifest_prune_stats.__doc__ = s_manifest_prune_stats.__doc__.format(
+    nf=_PRUNE_FILES
+)
+
+
+# --- time series: local-level Kalman filter ----------------------------------
+
+_KAL_Q = 25.0  # process-noise variance (daily-count units^2)
+_KAL_R = 400.0  # observation-noise variance
+
+
+@register(
+    "ts_kalman_level",
+    tags=("timeseries", "ml"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ),
+    kal AS (
+      SELECT t, day, y, CAST(y AS DOUBLE) AS x, {_KAL_R}e0 AS p, 1e0 AS k
+      FROM idx WHERE t = 1
+      UNION ALL
+      SELECT i.t, i.day, i.y,
+             kal.x + ((kal.p + {_KAL_Q}e0)
+                      / (kal.p + {_KAL_Q}e0 + {_KAL_R}e0)) * (i.y - kal.x),
+             (1e0 - (kal.p + {_KAL_Q}e0)
+                    / (kal.p + {_KAL_Q}e0 + {_KAL_R}e0))
+               * (kal.p + {_KAL_Q}e0),
+             (kal.p + {_KAL_Q}e0) / (kal.p + {_KAL_Q}e0 + {_KAL_R}e0)
+      FROM kal JOIN idx i ON i.t = kal.t + 1
+    )
+    SELECT day, y,
+           FLOOR(x * 1e6 + 0.5) / 1e6 AS level,
+           FLOOR(k * 1e6 + 0.5) / 1e6 AS gain
+    FROM kal
+    """,
+)
+def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter over the daily
+    event-count series: P'=P+q, K=P'/(P'+r), x+=K(y-x), P=(1-K)P' with
+    literal q={q}, r={r} — the optimal online smoother this state-space
+    family defines, complementing the EWMA tier (whose constant alpha is
+    exactly the steady-state K this recursion converges to) with
+    uncertainty-aware warm-up gains. The recursion telescopes through a
+    single in-plan ``aggregate`` fold over the date-sorted day array —
+    the croston/MMR pattern: state is (x, P, out), each step is the
+    identical IEEE op sequence the oracle's recursive CTE runs, so
+    levels and gains are bit-exact before the r6 grid. Engine shape:
+    one groupBy to the bounded daily frame (the only data-sized stage
+    at any scale), one single-row fold over <= horizon days; per-series
+    filtering at 100 TB partitions the same fold by series key via
+    groupBy(series).agg(aggregate(...)) with zero extra shuffles."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a")
+    )
+    first = F.element_at(F.col("a"), 1)
+    out_t = "array<struct<day:date,y:bigint,x:double,k:double>>"
+    init = F.struct(
+        first["y"].cast("double").alias("x"),
+        F.lit(_KAL_R).alias("p"),
+        F.array(
+            F.struct(
+                first["day"].alias("day"),
+                first["y"].alias("y"),
+                first["y"].cast("double").alias("x"),
+                F.lit(1.0).alias("k"),
+            )
+        ).cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        pp = acc["p"] + F.lit(_KAL_Q)
+        k = pp / (pp + F.lit(_KAL_R))
+        xn = acc["x"] + k * (e["y"] - acc["x"])
+        pn = (F.lit(1.0) - k) * pp
+        return F.struct(
+            xn.alias("x"),
+            pn.alias("p"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["day"].alias("day"),
+                        e["y"].alias("y"),
+                        xn.alias("x"),
+                        k.alias("k"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = arr.select(
+        F.aggregate(
+            F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+            init,
+            _step,
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    return folded.select(F.explode("out").alias("o")).select(
+        F.col("o.day").alias("day"),
+        F.col("o.y").alias("y"),
+        r6(F.col("o.x")).alias("level"),
+        r6(F.col("o.k")).alias("gain"),
+    )
+
+
+ts_kalman_level.__doc__ = ts_kalman_level.__doc__.format(q=_KAL_Q, r=_KAL_R)
