@@ -1467,3 +1467,304 @@ def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_kalman_level.__doc__ = ts_kalman_level.__doc__.format(q=_KAL_Q, r=_KAL_R)
+
+
+# --- time series: Mann-Kendall trend test ------------------------------------
+
+
+@register(
+    "ts_mann_kendall",
+    tags=("timeseries", "statistics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+      FROM pr GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    tg AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+      FROM daily GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM tg GROUP BY 1
+    ),
+    v AS (
+      SELECT s.event_type, s.s_stat, nn.n,
+             (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+              - ties.tie_term) / 18e0 AS var_s
+      FROM s JOIN nn ON nn.event_type = s.event_type
+      JOIN ties ON ties.event_type = s.event_type
+    ),
+    z AS (
+      SELECT event_type, s_stat, n, var_s,
+             CASE WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1e0) / sqrt(var_s)
+                  WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1e0) / sqrt(var_s)
+                  ELSE 0e0 END AS zval
+      FROM v
+    )
+    SELECT event_type, n, s_stat,
+           FLOOR(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+           FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_score,
+           FLOOR({_sql_p_two_sided("zval")} * 1e6 + 0.5) / 1e6 AS p_value,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test per daily event-type series:
+    S = sum over ordered day pairs of sign(y_j - y_i), tie-corrected
+    variance (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, continuity-corrected
+    z, and the two-sided normal p through the shared A&S 7.1.26
+    polynomial — the distribution-free complement to a_theil_sen_slope
+    (which estimates the trend's MAGNITUDE; this tests its EXISTENCE
+    without normality or linearity assumptions). Cross-engine: S and
+    the tie term are exact integers; var_s is an exact-integer
+    expression divided once by 18 — identical doubles — and z/p follow
+    the identical op sequence before the r6 grid. Engine shape: one
+    groupBy to the bounded daily frame, pair expansion bounded by
+    horizon^2 per series (30 days = 435 pairs — the theil-sen fence
+    applies verbatim for longer horizons), two metadata-scale
+    aggregates. At 100 TB per-key trend screening is the same plan
+    with series key in every GROUP BY."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pr = a.join(b, ["event_type"]).filter(F.col("da") < F.col("db")).select(
+        "event_type",
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pr.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat")
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    v = s.join(nn, "event_type").join(ties, "event_type").select(
+        "event_type",
+        "s_stat",
+        "n",
+        (
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    zval = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0))
+            / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0))
+            / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z = v.withColumn("zval", zval)
+    return z.select(
+        "event_type",
+        "n",
+        "s_stat",
+        r6(F.col("var_s")).alias("var_s"),
+        r6(F.col("zval")).alias("z_score"),
+        r6(_col_p_two_sided(F.col("zval"))).alias("p_value"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+# --- embeddings: Johnson-Lindenstrauss random projection ---------------------
+
+_JL_DIM = 16
+_JL_SAMPLE = 20  # distortion audit over vec_id < 20 -> 190 pairs
+
+
+@register(
+    "emb_random_projection",
+    tags=("similarity", "ml"),
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id < {_JL_SAMPLE}
+    ),
+    expl AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS val
+      FROM x
+    ),
+    proj AS (
+      SELECT ex.vec_id, j.j,
+             SUM(ex.val * (1 - 2 * (CAST(('0x' || substr(md5(
+                    CAST(ex.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)
+                  ), 1, 8)) AS BIGINT) % 2)))
+               * (1e0 / sqrt({_JL_DIM}e0)) AS y
+      FROM expl ex
+      CROSS JOIN (SELECT unnest(generate_series(0, {_JL_DIM - 1})) AS j) j
+      GROUP BY 1, 2
+    ),
+    d_orig AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             sqrt(SUM((a.val - b.val) * (a.val - b.val))) AS d0
+      FROM expl a JOIN expl b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    d_proj AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             sqrt(SUM((a.y - b.y) * (a.y - b.y))) AS dp
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT o.va, o.vb,
+           FLOOR(o.d0 * 1e6 + 0.5) / 1e6 AS dist_orig,
+           FLOOR(p.dp * 1e6 + 0.5) / 1e6 AS dist_proj,
+           CASE WHEN o.d0 > 0e0
+                THEN FLOOR(p.dp / o.d0 * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS distortion
+    FROM d_orig o JOIN d_proj p ON p.va = o.va AND p.vb = o.vb
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 sign
+    variant): project 64-dim embeddings to {d} dims with a +-1 sign
+    matrix derived deterministically from md5(i_j) parity (scaled
+    1/sqrt({d})), then AUDIT the projection by the pairwise Euclidean
+    distortion dist_proj/dist_orig over the {s}-vector sample (190
+    pairs) — the dimensionality-reduction leg of the embedding stack
+    (quantization shrinks bits; this shrinks DIMS with a distance
+    guarantee, the standard pre-step before LSH banding at extreme
+    scale). The md5-derived matrix needs no stored model: any executor
+    regenerates any cell from (i, j) — retry/speculation-safe like the
+    curation tier's md5 draws. Cross-engine: sign cells are exact
+    integers from identical md5 text; products and 64/16-term sums
+    carry ulp-order fold noise only, absorbed by r6 — no ordering
+    decision anywhere. Engine shape: the projection is one explode +
+    one groupBy per (vec, out-dim) — map-side-combinable, no corpus
+    shuffle growth beyond the {d}x row expansion; distances are
+    dim-keyed self-joins on the SAMPLE only. At 100 TB the audit stays
+    sample-sized while the projection itself is embarrassingly
+    parallel (and would fold in-row via transform/aggregate to avoid
+    the explode entirely — kept exploded here to mirror the oracle
+    join shape)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") < _JL_SAMPLE).select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    expl = x.select(
+        "vec_id", F.posexplode("e").alias("i0", "val")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "val")
+    jrange = spark.range(_JL_DIM).select(F.col("id").cast("int").alias("j"))
+    sign = 1 - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("i").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    proj = (
+        expl.crossJoin(F.broadcast(jrange))
+        .groupBy("vec_id", "j")
+        .agg(
+            (
+                F.sum(F.col("val") * sign)
+                * (F.lit(1.0) / F.sqrt(F.lit(float(_JL_DIM))))
+            ).alias("y")
+        )
+    )
+    ea = expl.select(F.col("vec_id").alias("va"), "i", F.col("val").alias("xa"))
+    eb = expl.select(F.col("vec_id").alias("vb"), "i", F.col("val").alias("xb"))
+    d_orig = (
+        ea.join(eb, ["i"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+            ).alias("d0")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("y").alias("yb"))
+    d_proj = (
+        pa.join(pb, ["j"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            ).alias("dp")
+        )
+    )
+    return d_orig.join(d_proj, ["va", "vb"]).select(
+        "va",
+        "vb",
+        r6(F.col("d0")).alias("dist_orig"),
+        r6(F.col("dp")).alias("dist_proj"),
+        F.when(F.col("d0") > 0.0, r6(F.col("dp") / F.col("d0")))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("distortion"),
+    )
+
+
+emb_random_projection.__doc__ = emb_random_projection.__doc__.format(
+    d=_JL_DIM, s=_JL_SAMPLE
+)
