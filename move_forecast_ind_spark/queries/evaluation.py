@@ -1768,3 +1768,217 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_random_projection.__doc__ = emb_random_projection.__doc__.format(
     d=_JL_DIM, s=_JL_SAMPLE
 )
+
+
+# --- dedup quality: LSH candidate-stage recall/precision audit ---------------
+
+# md5-derived minhash permutations: unlike the production cascade's
+# xxhash64 signatures (operators.dedup — faster, but not expressible in
+# the oracle engine), these hashes and permutation constants are plain
+# SQL in BOTH engines, so the *candidate set itself* can be
+# hash-checked. 16 permutations, banded r=2 x b=8: P(candidate | s)
+# = 1 - (1 - s^2)^8 (~0.90 at the 0.5 truth threshold, ~1.0 at s>=0.8).
+_M31 = 2147483647
+import random as _random
+
+_LSH_EVAL_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (_r.randrange(1, _M31), _r.randrange(0, _M31))
+    for _r in (_random.Random(20250815),)
+    for _ in range(16)
+)
+_LSH_EVAL_BANDS = 8  # r=2 rows per band
+
+
+def _lsh_eval_sig_sql() -> str:
+    mins = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_M31}) AS s{i}"
+        for i, (a, b) in enumerate(_LSH_EVAL_PERMS)
+    )
+    return f"SELECT doc_id,\n             {mins}\n      FROM hs GROUP BY 1"
+
+
+def _lsh_eval_bands_sql() -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, s{2 * b} AS v1, s{2 * b + 1} AS v2 "
+        "FROM sig"
+        for b in range(_LSH_EVAL_BANDS)
+    )
+
+
+@register(
+    "dedup_lsh_candidate_eval",
+    tags=("dedup", "lsh", "eval"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+    ),
+    shf AS (
+      SELECT doc_id, sh FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT da, db FROM common
+      JOIN sizes na ON da = na.doc_id
+      JOIN sizes nb ON db = nb.doc_id
+      WHERE nc / (na.n + nb.n - nc) >= 0.5
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % {_M31} AS h
+      FROM sh
+    ),
+    sig AS (
+      {_lsh_eval_sig_sql()}
+    ),
+    bands AS (
+      {_lsh_eval_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       AND a.doc_id < b.doc_id
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh)
+               AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM cand c JOIN truth t ON t.da = c.da AND t.db = c.db)
+               AS n_hits
+    )
+    SELECT n_docs, n_truth, n_candidates, n_hits,
+           CASE WHEN n_truth > 0
+                THEN FLOOR(CAST(n_hits AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN FLOOR(CAST(n_hits AS DOUBLE) / n_candidates * 1e6 + 0.5)
+                     / 1e6
+                ELSE NULL END AS precision_,
+           FLOOR(CAST(n_candidates AS DOUBLE) / n_docs * 1e4 + 0.5) / 1e4
+             AS candidates_per_doc
+    FROM counts
+    """,
+)
+def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-stage quality audit: generate MinHash-LSH candidate
+    pairs from an ORACLE-REPLICABLE signature scheme (md5-derived shingle
+    hashes, 16 literal (a*h+b) mod 2^31-1 permutations, banded r=2 x
+    b=8) and score them against the exact 3-shingle Jaccard>=0.5 truth
+    pairs: recall (what fraction of true near-dups the bands surface —
+    banding theory predicts 1-(1-s^2)^8, ~0.90 at the threshold and
+    ~1.0 for strong dups), precision (what fraction of the verify
+    workload is real), and candidates-per-doc (the scale cost driver).
+    This measures the production cascade's DESIGN — same banding
+    topology as operators.dedup, different (slower, SQL-expressible)
+    hash family — so the verify-stage sizing at 100 TB can be read off
+    a small-SF audit instead of guessed; the production xxhash64 path
+    stays the hot one. Cross-engine: signatures, buckets, candidate and
+    truth sets are all exact integers/strings (identical md5 text);
+    metrics are exact rationals. Engine shape: signatures are
+    map-side-combinable MIN aggregates (one row per doc out of the
+    shingle shuffle); buckets expand pairs IN-ROW from sorted id lists
+    (no self-join on the Spark side — the oracle's join is SQL
+    clarity); truth reuses jaccard_pairs' capped inverted index. Two
+    data-sized shuffles total."""
+    tune(spark)
+    from ..functions.text import shingles_from_tokens, tokens
+    from ..operators.dedup import _pairs_in_row, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    shingles_from_tokens(tokens(F.col("text")), 3)
+                )
+            ).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+    )
+    hs = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+            % _M31
+        ).alias("h"),
+    )
+    sig = hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_M31)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(_LSH_EVAL_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"s{2 * b}").alias("v1"),
+                        F.col(f"s{2 * b + 1}").alias("v2"),
+                    )
+                    for b in range(_LSH_EVAL_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.v1", "bb.v2")
+    cand = (
+        bands.groupBy("band", "v1", "v2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_in_row("ds")).alias("p"))
+        .select(F.col("p.doc_a").alias("da"), F.col("p.doc_b").alias("db"))
+        .distinct()
+    )
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000
+    ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    n_docs = sh.agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hits = cand.join(truth, ["da", "db"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    counts = (
+        n_docs.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_hits)
+    )
+    return counts.select(
+        "n_docs",
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth") > 0,
+            r6(F.col("n_hits").cast("double") / F.col("n_truth")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            r6(F.col("n_hits").cast("double") / F.col("n_candidates")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("precision_"),
+        r4(F.col("n_candidates").cast("double") / F.col("n_docs")).alias(
+            "candidates_per_doc"
+        ),
+    )
