@@ -1982,3 +1982,157 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidates_per_doc"
         ),
     )
+
+
+# --- robust location: Hodges-Lehmann estimator -------------------------------
+
+
+@register(
+    "a_hodges_lehmann",
+    tags=("aggregate", "statistics", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, day)
+               AS rn
+      FROM daily
+    ),
+    walsh AS (
+      SELECT a.event_type, a.y + b.y AS w2
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.rn <= b.rn
+    ),
+    ranked AS (
+      SELECT event_type, w2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM walsh
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM daily d
+                 WHERE d.event_type = ranked.event_type) AS BIGINT) AS n,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(w2 AS DOUBLE) / 2e0 AS hl_estimate
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """,
+)
+def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator per daily event-type series: the
+    LOWER MEDIAN of all n(n+1)/2 Walsh averages (y_i + y_j)/2, i <= j —
+    the robust location partner of the rank tests (it is the estimator
+    the Wilcoxon signed-rank test inverts; ~96% Gaussian efficiency with
+    a 29% breakdown point, vs the plain median's 64%). Exactness trick:
+    Walsh averages are kept DOUBLED (y_i + y_j — exact integers) through
+    ranking and halved only on output, so selection is pure integer
+    ordering and the result is exact on both engines (always .0 or .5).
+    Engine shape: one groupBy to the bounded daily frame; pair expansion
+    runs IN-ROW over the per-series sorted array (30 days = 465 Walsh
+    values — the theil-sen horizon fence applies for longer series); the
+    oracle's self-join formulation is SQL clarity. At 100 TB: the daily
+    collapse is the only data-sized stage."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("y")).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    walsh = F.flatten(
+        F.transform(
+            "ys",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ys"),
+                    i + F.lit(1),
+                    F.greatest(F.size("ys") - i, F.lit(0)),
+                ),
+                lambda y2: x + y2,
+            ),
+        )
+    )
+    w = arr.select(
+        "event_type", "n", F.array_sort(walsh).alias("w2s")
+    )
+    return w.select(
+        "event_type",
+        "n",
+        F.size("w2s").cast("long").alias("n_pairs"),
+        (
+            F.element_at(
+                F.col("w2s"), ((F.size("w2s") + 1) / 2).cast("int")
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("hl_estimate"),
+    )
+
+
+# --- window family: exact rolling median -------------------------------------
+
+_ROLLMED_DAYS = 7
+
+
+@register(
+    "w_rolling_median",
+    tags=("window", "timeseries"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day, y,
+             list_sort(list(y) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN {_ROLLMED_DAYS - 1} PRECEDING
+                            AND CURRENT ROW)) AS w
+      FROM daily
+    )
+    SELECT event_type, day, y,
+           CAST(len(w) AS BIGINT) AS n_window,
+           CAST(list_extract(w, (len(w) + 1) // 2) AS BIGINT)
+             AS rolling_median
+    FROM win
+    """,
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {d}-day rolling LOWER-MEDIAN of daily counts per event-type
+    series — the robust rolling-center complement to the moving-average /
+    EWMA tier (one outlier day cannot move it). Medians over a frame are
+    not decomposable, so no built-in windowed aggregate exists on either
+    engine; the portable exact formulation collects the bounded frame
+    ({d} values) per row, sorts in-row, and selects the (n+1)//2 order
+    statistic — integer in, integer out, bit-exact across engines with
+    no rounding grid at all. Engine shape: one groupBy to the daily
+    frame, one window per series partition whose per-row state is
+    bounded by the literal frame width — at 100 TB with per-key series
+    this is a single range-partitioned window over the (tiny) daily
+    collapse; frame width growth trades linearly, never with data
+    volume."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        -(_ROLLMED_DAYS - 1), Window.currentRow
+    )
+    win = daily.withColumn("w", F.array_sort(F.collect_list("y").over(w)))
+    return win.select(
+        "event_type",
+        "day",
+        "y",
+        F.size("w").cast("long").alias("n_window"),
+        F.element_at(
+            F.col("w"), ((F.size("w") + 1) / 2).cast("int")
+        ).cast("long").alias("rolling_median"),
+    )
+
+
+w_rolling_median.__doc__ = w_rolling_median.__doc__.format(d=_ROLLMED_DAYS)

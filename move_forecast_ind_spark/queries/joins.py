@@ -380,3 +380,76 @@ def j_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts_asof").alias("next_click_us"),
         F.col("value_asof").alias("next_click_value"),
     )
+
+
+# Banded inequality join expressed as a bucketed equi-join: the classic
+# rewrite that turns |a - b| <= delta (a cross product to a naive planner)
+# into one hash join on bucket keys with a 3-way expansion of ONE side.
+_BAND_CENTS = 2500  # |c_acctbal - s_acctbal| <= $25.00
+_BAND_SHIFT = 100_000  # lifts balances (min ~ -99,985 cents) above zero
+
+
+@register(
+    "j_value_band_join",
+    tags=("join", "band"),
+    oracle=f"""
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(FLOOR(c.c_acctbal * 1e2 + 0.5)
+                - FLOOR(s.s_acctbal * 1e2 + 0.5) AS BIGINT) AS diff_cents
+    FROM customer c JOIN supplier s
+      ON abs(CAST(FLOOR(c.c_acctbal * 1e2 + 0.5) AS BIGINT)
+             - CAST(FLOOR(s.s_acctbal * 1e2 + 0.5) AS BIGINT))
+         <= {_BAND_CENTS}
+    """,
+)
+def j_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join |c_acctbal - s_acctbal| <= $25.00 via the bucketed
+    equi-join rewrite: quantize both sides to exact integer cents, shift
+    non-negative (Spark's div truncates toward zero, DuckDB's // floors —
+    the shift makes the distinction moot AND is required for bucket
+    correctness on negative balances), bucket at the band width, explode
+    the SMALL side to its 3 admissible buckets {{b-1, b, b+1}}, hash-join
+    on the bucket key, and apply the exact band predicate as a post-join
+    filter. A pair can match in at most one exploded bucket (the
+    customer's bucket is fixed; the supplier's 3 exploded keys are
+    distinct), so no dedup pass is needed. The oracle states the naive
+    inequality join; Spark runs the rewrite — a BroadcastHashJoin here
+    (supplier is the small side; plan-asserted in tests), a shuffled hash
+    join on bucket keys when both sides are huge. At 100 TB this is THE
+    pattern for similarity-band joins on one dimension: candidate volume
+    is |pairs within 3 buckets|, never |A|x|B|."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c_cents = (
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    )
+    s_cents = (
+        F.floor(F.col("s_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    )
+    c = cust.select(
+        "c_custkey",
+        c_cents.alias("cc"),
+        ((c_cents + _BAND_SHIFT) / _BAND_CENTS).cast("long").alias("b"),
+    )
+    s = supp.select(
+        "s_suppkey",
+        s_cents.alias("sc"),
+        F.explode(
+            F.array(
+                *[
+                    ((s_cents + _BAND_SHIFT) / _BAND_CENTS).cast("long") + d
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("b"),
+    )
+    return (
+        c.join(F.broadcast(s), "b")
+        .filter(F.abs(F.col("cc") - F.col("sc")) <= _BAND_CENTS)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (F.col("cc") - F.col("sc")).cast("long").alias("diff_cents"),
+        )
+    )

@@ -339,3 +339,57 @@ def st_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_topk(counts, k=3)
+
+
+@register(
+    "st_cdc_latest_state",
+    tags=("streaming", "aggregate", "cdc"),
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      FROM events
+    )
+    SELECT user_id, n_events, us AS last_ts_us, event_type AS last_type,
+           FLOOR(value * 1e2 + 0.5) / 1e2 AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def st_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.latest_state — the CDC latest-value-
+    per-key materialization: per user, the (ts, event_id)-greatest event's
+    type and value plus the lifetime event count. In streaming this is ONE
+    state row per key updated in place (max_by aggregate, update mode, no
+    watermark since keys never expire); in batch it is a single
+    map-side-combinable groupBy — both sides deterministic because the
+    ordering key (ts, event_id) is unique. The last event's value is a
+    single row's double (no summation), so the r2 grid is cosmetic.
+    Engine shape at 100 TB: the batch twin is one shuffle keyed by user;
+    the oracle's window formulation exists for SQL clarity only.
+    tests/test_streaming.py::test_latest_state_equivalence drains the
+    stream and asserts it emits exactly these rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    latest = F.max_by(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        ),
+        F.struct(F.unix_micros(F.col("ts")), F.col("event_id")),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"), latest.alias("last"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.us").alias("last_ts_us"),
+            F.col("last.event_type").alias("last_type"),
+            r2(F.col("last.value")).alias("last_value"),
+        )
+    )

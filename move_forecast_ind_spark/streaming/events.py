@@ -115,6 +115,37 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def latest_state(events: DataFrame) -> DataFrame:
+    """CDC-style latest-state-per-key: for every user, the most recent
+    event's (type, value, ts) plus the running event count — the
+    materialized-view shape a changelog compaction maintains. Expressed
+    declaratively as a max_by aggregate keyed by (ts, event_id), so the
+    streaming engine keeps ONE row of state per user and updates it
+    in-place each micro-batch (update/complete mode); no watermark is
+    needed because state is keyed by user, not by window, and never
+    expires. Batch twin: queries.streaming_q.st_cdc_latest_state."""
+    latest = F.max_by(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        ),
+        F.struct(F.unix_micros(F.col("ts")), F.col("event_id")),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), latest.alias("last"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.us").alias("last_ts_us"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+
+
 def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessionization per user via session_window: sessions merge
     while successive events are < gap apart; state is evicted at watermark."""

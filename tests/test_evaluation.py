@@ -313,3 +313,58 @@ def test_lsh_candidate_eval_consistency(spark):
         assert r.recall >= 0.8
     if r.n_candidates:
         assert abs(r.precision_ - r.n_hits / r.n_candidates) < 1e-6
+
+
+# --- banded value join -------------------------------------------------------
+
+
+def test_band_join_is_broadcast_hash_not_cartesian(spark):
+    df = _q(spark, "j_value_band_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from move_forecast_ind_spark.queries.joins import _BAND_CENTS
+
+    for r in df.collect():
+        assert abs(r.diff_cents) <= _BAND_CENTS
+
+
+# --- Hodges-Lehmann ----------------------------------------------------------
+
+
+def test_hodges_lehmann_matches_python(spark):
+    from move_forecast_ind_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    daily = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append(r.y)
+    for r in _q(spark, "a_hodges_lehmann").collect():
+        ys = sorted(series[r.event_type])
+        walsh = sorted(
+            ys[i] + ys[j] for i in range(len(ys)) for j in range(i, len(ys))
+        )
+        assert r.n_pairs == len(walsh) == len(ys) * (len(ys) + 1) // 2
+        assert r.hl_estimate == walsh[(len(walsh) + 1) // 2 - 1] / 2.0
+
+
+# --- rolling median ----------------------------------------------------------
+
+
+def test_rolling_median_window_bounds(spark):
+    rows = _q(spark, "w_rolling_median").collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series[r.event_type].append(r)
+    for t, rs in series.items():
+        for i, r in enumerate(rs):
+            assert r.n_window == min(i + 1, 7)
+            window = sorted(x.y for x in rs[max(0, i - 6) : i + 1])
+            assert r.rolling_median == window[(len(window) + 1) // 2 - 1]

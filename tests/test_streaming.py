@@ -435,3 +435,16 @@ def test_windowed_topk_equivalence(spark, event_stream_factory):
     batch = st_topk_per_window(spark, SF_SMALL)
     cols = ["bucket_s", "rank", "event_type", "n"]
     assert _rows(out, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_latest_state_equivalence(spark, event_stream_factory):
+    """CDC latest-per-key: the drained stream's one-row-per-user state
+    must equal the batch twin exactly (unique (ts, event_id) ordering
+    key -> fully deterministic, no rounding needed on the raw drain)."""
+    from move_forecast_ind_spark.queries.streaming_q import st_cdc_latest_state
+    from move_forecast_ind_spark.streaming.events import latest_state
+
+    out = _drain(latest_state(event_stream_factory()), "t_latest", "complete")
+    batch = st_cdc_latest_state(spark, SF_SMALL)
+    cols = ["user_id", "n_events", "last_ts_us", "last_type"]
+    assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
