@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import r4, r6, sql_r4, sql_r6
+from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
@@ -2136,3 +2136,449 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 w_rolling_median.__doc__ = w_rolling_median.__doc__.format(d=_ROLLMED_DAYS)
+
+
+# --- embeddings: sign-bit Hamming top-k --------------------------------------
+
+_HAM_QUERIES = 5
+_HAM_K = 5
+
+
+def _sql_signword(e: str, lo: int, hi: int) -> str:
+    """64-dim sign bitmap packed into a BIGINT word covering dims
+    [lo, hi] (1-based, inclusive; <= 32 bits so the word stays positive)."""
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"i -> CASE WHEN {e}[i] > 0e0 "
+        f"THEN CAST(pow(2e0, i - {lo}) AS BIGINT) ELSE 0 END))"
+    )
+
+
+def _col_signword(e, lo: int, hi: int):
+    """Spark twin of :func:`_sql_signword`."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda i: F.when(
+                F.element_at(e, i.cast("int")) > 0.0,
+                F.pow(F.lit(2.0), (i - F.lit(lo)).cast("double")).cast("long"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "emb_hamming_topk",
+    tags=("similarity", "lsh"),
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    w AS (
+      SELECT vec_id,
+             CAST({_sql_signword("e", 1, 32)} AS BIGINT) AS w_lo,
+             CAST({_sql_signword("e", 33, 64)} AS BIGINT) AS w_hi
+      FROM x
+    ),
+    q AS (SELECT * FROM w WHERE vec_id < {_HAM_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(bit_count(xor(q.w_lo, c.w_lo))
+                  + bit_count(xor(q.w_hi, c.w_hi)) AS BIGINT) AS hamming
+      FROM q JOIN w c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, cand_id) AS BIGINT)
+               AS rnk
+      FROM scored
+    )
+    SELECT query_id, rnk, cand_id, hamming
+    FROM ranked WHERE rnk <= {_HAM_K}
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming top-k: binarize each 64-dim embedding by
+    coordinate sign into TWO packed 32-bit BIGINT words (staying under
+    the sign bit), then rank candidates per standard query vector by
+    Hamming distance popcount(xor(lo)) + popcount(xor(hi)) — the
+    1-bit-per-dim compressed similarity search (Charikar 2002 sign
+    random projection, identity rotation): 64 dims collapse to 8 BYTES
+    per vector and distance costs two XORs and two popcounts, the
+    memory-bandwidth regime ANN shortlisting wants at 10^9+ vectors
+    (exact re-rank follows on the shortlist — sim_cosine_topk's job).
+    Cross-engine: bit packing, XOR, popcount, ranks are ALL exact
+    integers — no rounding grid anywhere in this operator. Engine
+    shape: packing is one in-row fold at scan speed; the {nq}-row query
+    side broadcasts; the corpus never shuffles; per-query ranking is
+    TakeOrdered-shaped. At 100 TB the words live as two BIGINT columns
+    in parquet (delta-encoded), scanned without touching the float
+    arrays at all — the scan-pruning win is the point."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    w = x.select(
+        "vec_id",
+        _col_signword(F.col("e"), 1, 32).alias("w_lo"),
+        _col_signword(F.col("e"), 33, 64).alias("w_hi"),
+    )
+    q = w.filter(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    scored = w.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.bit_count(F.col("q_lo").bitwiseXOR(F.col("w_lo")))
+            + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("w_hi")))
+        ).cast("long").alias("hamming"),
+    )
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        "hamming",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= _HAM_K).select(
+        "query_id", "rnk", "cand_id", "hamming"
+    )
+
+
+emb_hamming_topk.__doc__ = emb_hamming_topk.__doc__.format(nq=_HAM_QUERIES)
+
+
+# --- funnel timing: click -> purchase conversion lag -------------------------
+
+
+@register(
+    "events_conversion_lag",
+    tags=("events", "aggregate", "funnel"),
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    up AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN uc ON uc.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > uc.first_click_us
+      GROUP BY 1
+    ),
+    lag_t AS (
+      SELECT uc.user_id,
+             (up.first_purchase_us - uc.first_click_us) // 1000000 AS lag_s
+      FROM uc JOIN up ON up.user_id = uc.user_id
+    ),
+    ranked AS (
+      SELECT lag_s,
+             ROW_NUMBER() OVER (ORDER BY lag_s, user_id) AS rn,
+             COUNT(*) OVER () AS cnt,
+             SUM(lag_s) OVER () AS tot
+      FROM lag_t
+    )
+    SELECT CAST(cnt AS BIGINT) AS n_converters,
+           CAST(MIN(CASE WHEN rn = (cnt + 1) // 2 THEN lag_s END)
+                AS BIGINT) AS median_lag_s,
+           CAST(MIN(CASE WHEN rn = CAST(CEIL(0.9e0 * cnt) AS BIGINT)
+                         THEN lag_s END) AS BIGINT) AS p90_lag_s,
+           FLOOR(CAST(MIN(tot) AS DOUBLE) / cnt * 1e2 + 0.5) / 1e2
+             AS mean_lag_s
+    FROM ranked GROUP BY cnt
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion-lag summary: per user, the first click
+    and the first purchase STRICTLY AFTER it; the lag distribution is
+    reported as exact order statistics (lower median, ceil(0.9n) p90 —
+    no interpolation, bit-exact) plus the exact-rational mean — the
+    time-to-convert measurement that w_funnel_conversion (which counts
+    WHO converts) deliberately omits. Cross-engine: lags are integer
+    seconds from integer microsecond minima; order-statistic selection
+    ranks integers with user_id tiebreak; the mean is an exact-integer
+    sum over an exact count. Engine shape: two map-side-combinable
+    per-user MIN aggregates, one user-keyed join, one rank window over
+    CONVERTERS only (a small fraction of users) — at 100 TB the p90
+    would come from percentile_approx on the same frame; the exact rank
+    formulation is the oracle-checkable tier."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    uc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_click_us"))
+    )
+    up = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(uc, "user_id")
+        .filter(F.unix_micros("ts") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_purchase_us"))
+    )
+    lag = uc.join(up, "user_id").select(
+        "user_id",
+        (
+            (F.col("first_purchase_us") - F.col("first_click_us"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("lag_s"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = lag.select(
+        "lag_s",
+        F.row_number().over(Window.orderBy("lag_s", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        F.sum("lag_s").over(wall).alias("tot"),
+    )
+    return ranked.groupBy("cnt").agg(
+        F.min(
+            F.when(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"), F.col("lag_s"))
+        ).cast("long").alias("median_lag_s"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.9) * F.col("cnt")).cast("long"),
+                F.col("lag_s"),
+            )
+        ).cast("long").alias("p90_lag_s"),
+        r2(F.min("tot").cast("double") / F.col("cnt")).alias("mean_lag_s"),
+    ).select(
+        F.col("cnt").cast("long").alias("n_converters"),
+        "median_lag_s",
+        "p90_lag_s",
+        "mean_lag_s",
+    )
+
+
+# --- A/B experimentation: deterministic permutation test + power -------------
+
+_PERM_B = 199  # permutation draws; p resolution = 1/(B+1) = 0.005
+
+
+@register(
+    "a_permutation_test",
+    tags=("aggregate", "statistics"),
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    obs AS (
+      SELECT abs(SUM(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) END)
+                   / SUM(CASE WHEN variant = 1 THEN c END)
+                 - SUM(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) END)
+                   / SUM(CASE WHEN variant = 0 THEN c END)) AS stat
+      FROM u
+    ),
+    perms AS (
+      SELECT b.b,
+             CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '_'
+                   || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS pv,
+             u.s, u.c
+      FROM u CROSS JOIN
+           (SELECT unnest(generate_series(1, {_PERM_B})) AS b) b
+    ),
+    pstat AS (
+      SELECT b,
+             abs(SUM(CASE WHEN pv = 1 THEN CAST(s AS DOUBLE) END)
+                   / SUM(CASE WHEN pv = 1 THEN c END)
+                 - SUM(CASE WHEN pv = 0 THEN CAST(s AS DOUBLE) END)
+                   / SUM(CASE WHEN pv = 0 THEN c END)) AS stat
+      FROM perms GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           FLOOR((SELECT stat FROM obs) * 1e6 + 0.5) / 1e6 AS stat_observed,
+           CAST({_PERM_B} AS BIGINT) AS n_perms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pstat, obs
+            WHERE pstat.stat >= obs.stat) AS n_extreme,
+           FLOOR((1e0 + (SELECT COUNT(*) FROM pstat, obs
+                         WHERE pstat.stat >= obs.stat))
+                 / (1e0 + {_PERM_B}) * 1e6 + 0.5) / 1e6 AS p_value
+    FROM (SELECT 1)
+    """,
+)
+def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test for the A/B mean-purchase-value
+    difference: the observed |mean_A - mean_B| (CUPED's md5-parity
+    variants) is ranked against {b} RE-RANDOMIZED assignments, each
+    derived from md5(user_id '_' b) parity — Fisher's exact-
+    randomization logic with ZERO distributional assumptions, and the
+    standard add-one p = (1 + #extreme)/(1 + B) (Phipson & Smith 2010).
+    Deterministic md5 draws mean any executor, any retry, any engine
+    reproduces the identical permutation matrix — the property rand()
+    cannot give (same doctrine as the curation tier's md5 sampling).
+    Cross-engine: per-user totals are exact integer cents; each
+    permutation's group sums are exact integers in a FIXED partition of
+    users, so every mean and |difference| is an identical double —
+    comparisons against the observed stat are exact, and p is an exact
+    rational. Engine shape: ONE pass collapses events to per-user
+    totals (the only data-sized stage); the {b}x expansion runs over
+    USERS, not events, and one groupBy(b) reduces it — at 100 TB with
+    10^8 users this is a 199-way map-side-combinable aggregate, no
+    state beyond 2x199 partial sums per task."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(_cents(F.col("value"))).cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .select(
+            "*",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+        )
+    )
+
+    def mean_diff(vcol):
+        return F.abs(
+            F.sum(F.when(vcol == 1, F.col("s").cast("double"))).cast("double")
+            / F.sum(F.when(vcol == 1, F.col("c")))
+            - F.sum(F.when(vcol == 0, F.col("s").cast("double"))).cast(
+                "double"
+            )
+            / F.sum(F.when(vcol == 0, F.col("c")))
+        )
+
+    obs = u.agg(
+        mean_diff(F.col("variant")).alias("stat"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    b = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    pv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("user_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    pstat = (
+        u.crossJoin(F.broadcast(b))
+        .select("b", "s", "c", pv.alias("pv"))
+        .groupBy("b")
+        .agg(mean_diff(F.col("pv")).alias("stat"))
+    )
+    extreme = (
+        pstat.crossJoin(F.broadcast(obs.select("stat").withColumnRenamed("stat", "stat_obs")))
+        .filter(F.col("stat") >= F.col("stat_obs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_extreme"))
+    )
+    return obs.crossJoin(F.broadcast(extreme)).select(
+        "n_users",
+        r6(F.col("stat")).alias("stat_observed"),
+        F.lit(_PERM_B).cast("long").alias("n_perms"),
+        "n_extreme",
+        r6(
+            (F.lit(1.0) + F.col("n_extreme"))
+            / F.lit(1.0 + _PERM_B)
+        ).alias("p_value"),
+    )
+
+
+a_permutation_test.__doc__ = a_permutation_test.__doc__.format(b=_PERM_B)
+
+
+@register(
+    "events_ab_power",
+    tags=("events", "statistics", "aggregate"),
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM v
+    )
+    SELECT n,
+           FLOOR(CAST(s AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4 AS mean_value,
+           FLOOR(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) / 1e2 * 1e4 + 0.5) / 1e4 AS sd_value,
+           FLOOR(CAST(s AS DOUBLE) / n * 0.05e0 / 1e2 * 1e4 + 0.5) / 1e4
+             AS mde_value,
+           CAST(CEIL(
+             (1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)
+             * 2e0 * ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1))
+             / ((CAST(s AS DOUBLE) / n * 0.05e0)
+                * (CAST(s AS DOUBLE) / n * 0.05e0))
+           ) AS BIGINT) AS n_per_arm
+    FROM m
+    """,
+)
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) calculator from observed moments: with the
+    purchase-value variance estimated from the data, the two-sample
+    n-per-arm for detecting a 5% relative lift at alpha=0.05 two-sided
+    (z=1.959964) with 80% power (z=0.841621) is
+    (z_a+z_b)^2 * 2 sigma^2 / delta^2 — the experiment-design closed
+    form that decides whether the CUPED / permutation / z-test tier can
+    even be run at a given traffic level (and the reason CUPED exists:
+    its 1-rho^2 variance cut divides straight into this n). Cross-engine:
+    moments are exact integer cents; the formula assembles once with an
+    identical op sequence; ceil of an identical double is identical.
+    Engine shape: one map-side-combinable global aggregate — one row,
+    one shuffle, any scale."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        _cents(F.col("value")).alias("c")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    mean_c = F.col("s").cast("double") / F.col("n")
+    delta = mean_c * F.lit(0.05)
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    return m.select(
+        "n",
+        r4(mean_c / F.lit(1e2)).alias("mean_value"),
+        r4(F.sqrt(var) / F.lit(1e2)).alias("sd_value"),
+        r4(delta / F.lit(1e2)).alias("mde_value"),
+        F.ceil(zsum * zsum * F.lit(2.0) * var / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm"),
+    )
