@@ -41,34 +41,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
-    "corpus_quality_calibration": 0.69,
-    "corpus_semdedup": 1.032,
-    "corpus_source_overlap": 0.414,
-    "dedup_exact": 0.1,
-    "dedup_minhash_lsh": 0.907,
-    "dedup_ngram_jaccard": 0.666,
-    "emb_mmr_select": 0.163,
-    "er_blocking_pairs": 0.275,
-    "events_label_propagation": 0.847,
-    "events_pagerank": 2.695,
-    "forecast_tail_daily": 0.626,
-    "j1_broadcast_dim_join": 0.05,
-    "j_asof_join": 0.037,
-    "j_multiway_star_join": 0.059,
-    "j_sortmerge_join": 0.059,
-    "ml_kmeans_fixed_point": 0.304,
-    "ml_linreg_forecast": 0.037,
-    "ml_pca_power_iteration": 0.328,
-    "pct_etl": 0.244,
-    "pipeline_training_data_prep": 3.117,
-    "q1_pricing_summary": 0.109,
-    "q3_shipping_priority": 0.077,
-    "sim_cosine_topk": 0.015,
-    "st_session_stats": 0.09,
-    "st_tumbling_counts": 0.017,
-    "text_rrf_hybrid_topk": 0.199,
-    "text_stats": 0.003,
-    "trends_onepass": 0.032,
+    "corpus_quality_calibration": 0.465,
+    "corpus_semdedup": 0.705,
+    "corpus_source_overlap": 0.282,
+    "dedup_exact": 0.069,
+    "dedup_lsh_candidate_eval": 1.296,
+    "dedup_minhash_lsh": 0.569,
+    "dedup_ngram_jaccard": 0.551,
+    "emb_mmr_select": 0.157,
+    "er_blocking_pairs": 0.223,
+    "events_label_propagation": 0.624,
+    "events_pagerank": 2.033,
+    "forecast_tail_daily": 0.465,
+    "j1_broadcast_dim_join": 0.026,
+    "j_asof_join": 0.026,
+    "j_multiway_star_join": 0.037,
+    "j_sortmerge_join": 0.04,
+    "ml_kmeans_fixed_point": 0.243,
+    "ml_linreg_forecast": 0.017,
+    "ml_pca_power_iteration": 0.28,
+    "pct_etl": 0.194,
+    "pipeline_training_data_prep": 3.063,
+    "q1_pricing_summary": 0.071,
+    "q3_shipping_priority": 0.072,
+    "sim_cosine_topk": 0.01,
+    "st_session_stats": 0.044,
+    "st_tumbling_counts": 0.012,
+    "text_rake_keywords": 0.433,
+    "text_rrf_hybrid_topk": 0.138,
+    "text_stats": 0.002,
+    "trends_onepass": 0.019,
 }
 
 

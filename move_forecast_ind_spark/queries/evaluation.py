@@ -608,6 +608,7 @@ _RAKE_TOPK = 3
 
 @register(
     "text_rake_keywords",
+    bench=True,  # round-7 continuation representative: heavy text windows
     tags=("text", "northstar", "retrieval"),
     oracle=f"""
     WITH tok AS (
@@ -1807,6 +1808,7 @@ def _lsh_eval_bands_sql() -> str:
 
 @register(
     "dedup_lsh_candidate_eval",
+    bench=True,  # round-7 continuation representative: composite dedup audit
     tags=("dedup", "lsh", "eval"),
     oracle=f"""
     WITH toks AS (
@@ -1891,15 +1893,25 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable MIN aggregates (one row per doc out of the
     shingle shuffle); buckets expand pairs IN-ROW from sorted id lists
     (no self-join on the Spark side — the oracle's join is SQL
-    clarity); truth reuses jaccard_pairs' capped inverted index. Two
-    data-sized shuffles total."""
+    clarity); truth reuses jaccard_pairs' capped inverted index; the
+    eligible-doc count is a plain token-count scan (>= 3 tokens <=> has
+    a 3-shingle), not a shingle-pipeline pass. The corpus-sized maps are
+    spread with an explicit doc_id repartition BEFORE the shingle
+    explode (the fixture parquet is one partition — unpartitioned, the
+    whole explode+md5 chain ran on a single task: measured 4.7 s ->
+    1.2 s for the candidate leg at sf0.1). Rejected with numbers:
+    materializing sh/sig/postings/candidates via localCheckpoint — every
+    combination measured at or above the lazy plan (7.2-8.5 s vs 6.9 s
+    same-session; the per-checkpoint fixed cost outweighs the bounded
+    double-compute of the two tiny pair frames)."""
     tune(spark)
     from ..functions.text import shingles_from_tokens, tokens
     from ..operators.dedup import _pairs_in_row, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.select(
+        docs.repartition(F.col("doc_id"))
+        .select(
             "doc_id",
             F.explode_outer(
                 F.array_distinct(
@@ -1950,8 +1962,8 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000
     ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
-    n_docs = sh.agg(
-        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    n_docs = docs.filter(F.size(tokens(F.col("text"))) >= 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
