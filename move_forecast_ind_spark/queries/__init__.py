@@ -24,6 +24,7 @@ for _mod in (
     "linkage",
     "retrieval",
     "evaluation",
+    "experiments",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -1,0 +1,479 @@
+"""Experimentation / causal-inference operators (round-7 continuation,
+wave 3).
+
+The reference (satya-dataengineer/move-forecast-IND) forecasts demand but
+has no experimentation surface; a production analytics engine that serves
+forecasts also serves the A/B machinery around them. This module adds the
+four standard experiment-health / effect-measurement operators that were
+still missing from the statistics tier (Welch t / MWU / KS / chi-square /
+CUPED / power / permutation already exist):
+
+- ``events_srm_check``: sample-ratio-mismatch guardrail — the first thing
+  a trustworthy experimentation system checks before reading any metric;
+- ``events_did_estimator``: difference-in-differences effect estimate with
+  a moment-based standard error — the observational fallback when a
+  randomized readout isn't available;
+- ``a_cohens_d_pairs``: standardized effect sizes (Cohen's d, Hedges' g)
+  for every segment pair — the "is it LARGE" complement to the existing
+  "is it significant" tests;
+- ``ml_cumulative_gains``: score-band gains/lift table for the hashed
+  classifier's targeting use-case — deliberately banded (map-side fixed
+  thresholds), NOT a global NTILE, so there is no single-task total sort
+  anywhere in the plan.
+
+All arithmetic is exact-integer (counts, md5 buckets, value cents) until a
+single final cast per output column, with the identical operation sequence
+written on both engines and every emitted double snapped through
+``functions.rounding``. Arm/treatment assignment uses the registry-standard
+md5-hex-prefix bucket idiom (same as corpus_split_assign — reproducible
+across engines, partitionings, and reruns; no ``rand()`` anywhere, so
+speculative re-execution at 100 TB cannot change membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import r4, r6, sql_r4, sql_r6
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# Shared md5 bucket idiom (Spark side). The SQL twin is
+#   CAST(('0x' || substr(md5(CAST(<id> AS VARCHAR)), 1, 4)) AS INTEGER) % m
+
+
+def _md5_bucket(col: F.Column, m: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+        % m
+    )
+
+
+def _sql_md5_bucket(expr: str, m: int) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS INTEGER) % {m}"
+
+
+# --- Sample-ratio-mismatch guardrail ----------------------------------------
+
+_SRM_CRIT = 5.991  # chi-square 0.95 quantile, df = 2 (three arms)
+
+
+@register(
+    "events_srm_check",
+    tags=("events", "experiment", "statistics"),
+    oracle=f"""
+    WITH exposed AS (
+      SELECT DISTINCT event_type, user_id,
+             {_sql_md5_bucket("user_id", 10)} AS b
+      FROM events
+    ),
+    arms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(CASE WHEN b < 5 THEN 1 END) AS BIGINT) AS n_control,
+             CAST(COUNT(CASE WHEN b >= 5 AND b < 8 THEN 1 END) AS BIGINT) AS n_t1,
+             CAST(COUNT(CASE WHEN b >= 8 THEN 1 END) AS BIGINT) AS n_t2
+      FROM exposed GROUP BY 1
+    )
+    SELECT event_type, n_users, n_control, n_t1, n_t2,
+           {sql_r6(
+               "(n_control - n_users * 5e-1) * (n_control - n_users * 5e-1)"
+               " / (n_users * 5e-1)"
+               " + (n_t1 - n_users * 3e-1) * (n_t1 - n_users * 3e-1)"
+               " / (n_users * 3e-1)"
+               " + (n_t2 - n_users * 2e-1) * (n_t2 - n_users * 2e-1)"
+               " / (n_users * 2e-1)"
+           )} AS chi_square,
+           CAST(((n_control - n_users * 5e-1) * (n_control - n_users * 5e-1)
+                 / (n_users * 5e-1)
+                 + (n_t1 - n_users * 3e-1) * (n_t1 - n_users * 3e-1)
+                 / (n_users * 3e-1)
+                 + (n_t2 - n_users * 2e-1) * (n_t2 - n_users * 2e-1)
+                 / (n_users * 2e-1)) > {_SRM_CRIT} AS BOOLEAN) AS srm_flag
+    FROM arms ORDER BY event_type
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check per experiment (experiment = event_type
+    exposure; arms = deterministic md5 user buckets at 50/30/20): observed
+    distinct exposed users per arm vs the design ratio, Pearson chi-square
+    against the df=2 critical value 5.991. SRM is the canonical
+    experiment-health guardrail — a triggered flag means assignment or
+    logging is broken and every downstream metric readout is invalid.
+
+    Engine shape: the exposure dedup and the per-arm conditional distinct
+    counts fuse into ONE hash-aggregate shuffle keyed by event_type
+    (``COUNT(DISTINCT CASE ...)`` — partial aggregation map-side); the
+    chi-square is a scalar expression over the resulting k-row frame.
+    At 100 TB the only data-sized exchange is that (event_type, user)
+    dedup, which AQE handles like every other high-cardinality distinct;
+    arm membership is a pure md5 function of the user id, so retries and
+    speculation can never flip an assignment (no rand())."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = _md5_bucket(F.col("user_id"), 10)
+    exposed = ev.select("event_type", "user_id", b.alias("b")).distinct()
+    n = F.count(F.lit(1)).cast("long")
+    nc = F.count(F.when(F.col("b") < 5, 1)).cast("long")
+    n1 = F.count(F.when((F.col("b") >= 5) & (F.col("b") < 8), 1)).cast("long")
+    n2 = F.count(F.when(F.col("b") >= 8, 1)).cast("long")
+    arms = exposed.groupBy("event_type").agg(
+        n.alias("n_users"), nc.alias("n_control"), n1.alias("n_t1"), n2.alias("n_t2")
+    )
+    chi = (
+        (F.col("n_control") - F.col("n_users") * 0.5)
+        * (F.col("n_control") - F.col("n_users") * 0.5)
+        / (F.col("n_users") * 0.5)
+        + (F.col("n_t1") - F.col("n_users") * 0.3)
+        * (F.col("n_t1") - F.col("n_users") * 0.3)
+        / (F.col("n_users") * 0.3)
+        + (F.col("n_t2") - F.col("n_users") * 0.2)
+        * (F.col("n_t2") - F.col("n_users") * 0.2)
+        / (F.col("n_users") * 0.2)
+    )
+    return arms.select(
+        "event_type",
+        "n_users",
+        "n_control",
+        "n_t1",
+        "n_t2",
+        r6(chi).alias("chi_square"),
+        (chi > F.lit(_SRM_CRIT)).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+# --- Difference-in-differences ----------------------------------------------
+
+_DID_PIVOT = "2024-01-16"
+
+
+@register(
+    "events_did_estimator",
+    tags=("events", "experiment", "statistics"),
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST({_sql_md5_bucket("user_id", 2)} = 1 AS BOOLEAN) AS treated,
+             CAST(ts >= TIMESTAMP '{_DID_PIVOT} 00:00:00' AS BOOLEAN) AS post,
+             CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM p GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cpre,
+        MAX(CASE WHEN NOT treated AND NOT post THEN s END) AS s_cpre,
+        MAX(CASE WHEN NOT treated AND NOT post THEN ss END) AS ss_cpre,
+        MAX(CASE WHEN NOT treated AND post THEN n END) AS n_cpost,
+        MAX(CASE WHEN NOT treated AND post THEN s END) AS s_cpost,
+        MAX(CASE WHEN NOT treated AND post THEN ss END) AS ss_cpost,
+        MAX(CASE WHEN treated AND NOT post THEN n END) AS n_tpre,
+        MAX(CASE WHEN treated AND NOT post THEN s END) AS s_tpre,
+        MAX(CASE WHEN treated AND NOT post THEN ss END) AS ss_tpre,
+        MAX(CASE WHEN treated AND post THEN n END) AS n_tpost,
+        MAX(CASE WHEN treated AND post THEN s END) AS s_tpost,
+        MAX(CASE WHEN treated AND post THEN ss END) AS ss_tpost
+      FROM cells
+    )
+    SELECT n_cpre, n_cpost, n_tpre, n_tpost,
+           {sql_r4("s_cpre / (n_cpre * 1e2)")} AS mean_control_pre,
+           {sql_r4("s_cpost / (n_cpost * 1e2)")} AS mean_control_post,
+           {sql_r4("s_tpre / (n_tpre * 1e2)")} AS mean_treat_pre,
+           {sql_r4("s_tpost / (n_tpost * 1e2)")} AS mean_treat_post,
+           {sql_r4(
+               "(s_tpost / (n_tpost * 1e2) - s_tpre / (n_tpre * 1e2))"
+               " - (s_cpost / (n_cpost * 1e2) - s_cpre / (n_cpre * 1e2))"
+           )} AS did_estimate,
+           {sql_r6(
+               "sqrt(((ss_tpost - s_tpost / CAST(n_tpost AS DOUBLE) * s_tpost)"
+               " / (n_tpost - 1)) / 1e4 / n_tpost"
+               " + ((ss_tpre - s_tpre / CAST(n_tpre AS DOUBLE) * s_tpre)"
+               " / (n_tpre - 1)) / 1e4 / n_tpre"
+               " + ((ss_cpost - s_cpost / CAST(n_cpost AS DOUBLE) * s_cpost)"
+               " / (n_cpost - 1)) / 1e4 / n_cpost"
+               " + ((ss_cpre - s_cpre / CAST(n_cpre AS DOUBLE) * s_cpre)"
+               " / (n_cpre - 1)) / 1e4 / n_cpre)"
+           )} AS did_se
+    FROM wide
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over purchase value: treated = md5 user
+    parity, post = the fixed mid-window pivot, outcome = mean purchase
+    value. Estimate = (treat_post - treat_pre) - (control_post -
+    control_pre); the SE is the independent-cells delta-method form
+    sqrt(sum var_i/n_i) built from exact integer-cent moments (n, sum,
+    sum-of-squares per cell), so both engines derive the identical
+    doubles before the rounding grid.
+
+    Engine shape: ONE hash-aggregate pass produces the four (treated,
+    post) cells (bounded output regardless of data size), a second
+    one-row conditional pivot widens them, and all estimator arithmetic
+    is scalar. At 100 TB this is a single map-side-combinable aggregate
+    over the purchase slice with predicate pushdown on event_type —
+    nothing else moves."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    p = ev.select(
+        (_md5_bucket(F.col("user_id"), 2) == 1).alias("treated"),
+        (F.col("ts") >= F.lit(f"{_DID_PIVOT} 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+        F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cells = p.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+
+    def cell(t: bool, post: bool, c: str):
+        cond = (F.col("treated") == t) & (F.col("post") == post)
+        return F.max(F.when(cond, F.col(c)))
+
+    wide = cells.groupBy().agg(
+        cell(False, False, "n").alias("n_cpre"),
+        cell(False, False, "s").alias("s_cpre"),
+        cell(False, False, "ss").alias("ss_cpre"),
+        cell(False, True, "n").alias("n_cpost"),
+        cell(False, True, "s").alias("s_cpost"),
+        cell(False, True, "ss").alias("ss_cpost"),
+        cell(True, False, "n").alias("n_tpre"),
+        cell(True, False, "s").alias("s_tpre"),
+        cell(True, False, "ss").alias("ss_tpre"),
+        cell(True, True, "n").alias("n_tpost"),
+        cell(True, True, "s").alias("s_tpost"),
+        cell(True, True, "ss").alias("ss_tpost"),
+    )
+
+    def mean(s: str, n: str) -> F.Column:
+        return F.col(s) / (F.col(n) * F.lit(1e2))
+
+    def varterm(ss: str, s: str, n: str) -> F.Column:
+        return (
+            (F.col(ss) - F.col(s) / F.col(n).cast("double") * F.col(s))
+            / (F.col(n) - 1)
+        ) / F.lit(1e4) / F.col(n)
+
+    did = (mean("s_tpost", "n_tpost") - mean("s_tpre", "n_tpre")) - (
+        mean("s_cpost", "n_cpost") - mean("s_cpre", "n_cpre")
+    )
+    se = F.sqrt(
+        varterm("ss_tpost", "s_tpost", "n_tpost")
+        + varterm("ss_tpre", "s_tpre", "n_tpre")
+        + varterm("ss_cpost", "s_cpost", "n_cpost")
+        + varterm("ss_cpre", "s_cpre", "n_cpre")
+    )
+    return wide.select(
+        "n_cpre",
+        "n_cpost",
+        "n_tpre",
+        "n_tpost",
+        r4(mean("s_cpre", "n_cpre")).alias("mean_control_pre"),
+        r4(mean("s_cpost", "n_cpost")).alias("mean_control_post"),
+        r4(mean("s_tpre", "n_tpre")).alias("mean_treat_pre"),
+        r4(mean("s_tpost", "n_tpost")).alias("mean_treat_post"),
+        r4(did).alias("did_estimate"),
+        r6(se).alias("did_se"),
+    )
+
+
+# --- Standardized effect sizes ----------------------------------------------
+
+
+@register(
+    "a_cohens_d_pairs",
+    tags=("aggregate", "experiment", "statistics"),
+    oracle=f"""
+    WITH m AS (
+      SELECT c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 1e2 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(c_acctbal * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+      FROM customer GROUP BY 1
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+           {sql_r4("a.s / (a.n * 1e2) - b.s / (b.n * 1e2)")} AS mean_diff,
+           {sql_r6(
+               "(a.s / (a.n * 1e2) - b.s / (b.n * 1e2))"
+               " / sqrt((((a.ss - a.s / CAST(a.n AS DOUBLE) * a.s) / 1e4)"
+               " + ((b.ss - b.s / CAST(b.n AS DOUBLE) * b.s) / 1e4))"
+               " / (a.n + b.n - 2))"
+           )} AS cohens_d,
+           {sql_r6(
+               "(a.s / (a.n * 1e2) - b.s / (b.n * 1e2))"
+               " / sqrt((((a.ss - a.s / CAST(a.n AS DOUBLE) * a.s) / 1e4)"
+               " + ((b.ss - b.s / CAST(b.n AS DOUBLE) * b.s) / 1e4))"
+               " / (a.n + b.n - 2))"
+               " * (1e0 - 3e0 / (4e0 * (a.n + b.n) - 9e0))"
+           )} AS hedges_g
+    FROM m a JOIN m b ON a.seg < b.seg
+    ORDER BY seg_a, seg_b
+    """,
+)
+def a_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g for every market-segment pair on account
+    balance — standardized effect sizes (difference in means over pooled
+    SD; g applies the small-sample bias correction 1 - 3/(4N-9)). The
+    magnitude-focused complement to the existing significance tier: a
+    segment gap can be p < 0.001 and still d = 0.02.
+
+    Engine shape: one k-row moment aggregate (exact integer cents: n,
+    sum, sum-of-squares), then a broadcast self-join on seg_a < seg_b —
+    k(k-1)/2 rows of pure scalar arithmetic with the identical op
+    sequence on both engines. At 100 TB only the moment aggregate sees
+    data; the pair frame is k²-bounded and broadcast."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast("long")
+    m = cust.select(F.col("c_mktsegment").alias("seg"), cents.alias("c")).groupBy(
+        "seg"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    a = m.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = m.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    mean_diff = F.col("s_a") / (F.col("n_a") * F.lit(1e2)) - F.col("s_b") / (
+        F.col("n_b") * F.lit(1e2)
+    )
+    pooled_sd = F.sqrt(
+        (
+            (F.col("ss_a") - F.col("s_a") / F.col("n_a").cast("double") * F.col("s_a"))
+            / F.lit(1e4)
+            + (
+                F.col("ss_b")
+                - F.col("s_b") / F.col("n_b").cast("double") * F.col("s_b")
+            )
+            / F.lit(1e4)
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = mean_diff / pooled_sd
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (F.col("n_a") + F.col("n_b")) - F.lit(9.0))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        r4(mean_diff).alias("mean_diff"),
+        r6(d).alias("cohens_d"),
+        r6(g).alias("hedges_g"),
+    ).orderBy("seg_a", "seg_b")
+
+
+# --- Score-band cumulative gains / lift --------------------------------------
+
+
+@register(
+    "ml_cumulative_gains",
+    tags=("ml", "evaluation"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INTEGER) AS label,
+             FLOOR((CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INTEGER) * 5e-1
+                    + ({_sql_md5_bucket("o_orderkey", 10000)}) / 2e4) * 1e1) AS band
+      FROM orders
+    ),
+    bands AS (
+      SELECT CAST(band AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp FROM bands
+    ),
+    cum AS (
+      SELECT band, n, pos,
+             CAST(SUM(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pos
+      FROM bands
+    )
+    SELECT band, n, pos, cum_n, cum_pos,
+           {sql_r6("cum_pos / CAST(tp AS DOUBLE)")} AS capture_rate,
+           {sql_r6("(cum_pos / CAST(cum_n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE))")}
+             AS cum_lift
+    FROM cum CROSS JOIN tot
+    ORDER BY band DESC
+    """,
+)
+def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for an urgency-targeting score over
+    orders: label = priority in (URGENT, HIGH); score = 0.5·label +
+    0.5·md5-frac (a deterministic, separably-informative score — the same
+    no-rand doctrine as every sampler here); bands = fixed 0.1-wide score
+    bins. Reading the table top-down answers "if I contact the top X% by
+    score, what fraction of urgent orders do I capture, and at what lift
+    over random?" — the standard targeting readout next to the AUC
+    scalar.
+
+    Deliberately BANDED, not NTILE'd: fixed thresholds make the binning a
+    map-side expression, so the plan is one hash aggregate to ≤10 band
+    rows plus a 10-row cumulative window and a one-row total broadcast —
+    no global total-order sort (a global NTILE collapses the whole
+    dataset into one window task; at 100 TB that is the difference
+    between a scan and an impossibility)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    frac = _md5_bucket(F.col("o_orderkey"), 10000) / F.lit(2e4)
+    band = F.floor((label * F.lit(0.5) + frac) * F.lit(1e1))
+    bands = (
+        orders.select(label.alias("label"), band.alias("band"))
+        .groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    tot = bands.groupBy().agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("pos").cast("long").alias("tp")
+    )
+    w = Window.orderBy(F.col("band").desc())
+    cum = bands.select(
+        "band",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "band",
+            "n",
+            "pos",
+            "cum_n",
+            "cum_pos",
+            r6(F.col("cum_pos") / F.col("tp").cast("double")).alias("capture_rate"),
+            r6(
+                (F.col("cum_pos") / F.col("cum_n").cast("double"))
+                / (F.col("tp") / F.col("tn").cast("double"))
+            ).alias("cum_lift"),
+        )
+        .orderBy(F.col("band").desc())
+    )
