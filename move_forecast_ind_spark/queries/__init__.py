@@ -25,6 +25,7 @@ for _mod in (
     "retrieval",
     "evaluation",
     "experiments",
+    "diagnostics",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
