@@ -26,6 +26,7 @@ for _mod in (
     "evaluation",
     "experiments",
     "diagnostics",
+    "advanced",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
