@@ -373,3 +373,187 @@ def corpus_blocklist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Winsorized mean ----------------------------------------------------------
+
+
+@register(
+    "a_winsorized_mean",
+    tags=("aggregate", "statistics", "robust"),
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    th AS (
+      SELECT seg, quantile_cont(cents, 5e-2) AS lo,
+                  quantile_cont(cents, 95e-2) AS hi
+      FROM c GROUP BY 1
+    ),
+    w AS (
+      SELECT c.seg,
+             CAST(FLOOR(LEAST(GREATEST(CAST(c.cents AS DOUBLE), th.lo), th.hi)
+                        * 1e4 + 0.5) AS BIGINT) AS wq,
+             CAST(c.cents < th.lo AS INTEGER) AS cl,
+             CAST(c.cents > th.hi AS INTEGER) AS ch
+      FROM c JOIN th ON th.seg = c.seg
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cl) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(ch) AS BIGINT) AS n_clipped_high,
+           {sql_r4("SUM(wq) / (COUNT(*) * 1e6)")} AS winsorized_mean
+    FROM w GROUP BY 1 ORDER BY c_mktsegment
+    """,
+)
+def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95% winsorized mean of account balance per market segment — the
+    robust-location member that CLAMPS tails instead of deleting them
+    (a_trimmed_mean) or ranking them away (a_mad_robust / weighted
+    median): outliers keep one vote at the fence value, the standard
+    treatment for revenue-like metrics where dropping whales biases low.
+
+    Fences are exact interpolated percentiles over integer cents (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the a_percentiles
+    equivalence; at p = 0.05 the interpolation weights are multiples of
+    0.05, so fences sit ≥ 0.05 cents from any data point and the clamp
+    comparisons cannot flip across engines). Clamped values quantize to
+    1e-4-cent BIGINTs so the mean is an exact integer sum — no cross-row
+    double accumulation. Shape: one percentile aggregate to a k-row
+    fence frame, broadcast back over the data, one moment aggregate.
+    At 100 TB swap the exact percentile for percentile_approx exactly as
+    a_percentiles documents; everything else is unchanged."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    th = c.groupBy("seg").agg(
+        F.expr("percentile(cents, 0.05D)").alias("lo"),
+        F.expr("percentile(cents, 0.95D)").alias("hi"),
+    )
+    w = c.join(F.broadcast(th), "seg").select(
+        "seg",
+        F.floor(
+            F.least(
+                F.greatest(F.col("cents").cast("double"), F.col("lo")), F.col("hi")
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wq"),
+        (F.col("cents") < F.col("lo")).cast("int").alias("cl"),
+        (F.col("cents") > F.col("hi")).cast("int").alias("ch"),
+    )
+    return (
+        w.groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cl").cast("long").alias("n_clipped_low"),
+            F.sum("ch").cast("long").alias("n_clipped_high"),
+            r4(F.sum("wq") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- Rolling cross-series correlation ----------------------------------------
+
+
+@register(
+    "ts_rolling_corr",
+    tags=("timeseries", "statistics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x, y,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS BIGINT) AS sx,
+             CAST(SUM(y) OVER win AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x, y, n,
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0e0
+                THEN {sql_r6(
+                    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+                    " / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+                    "        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))"
+                )}
+                ELSE NULL END AS rolling_r
+    FROM w ORDER BY day
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing Pearson correlation between the daily click and
+    purchase count series — the co-movement monitor that catches a
+    decoupling funnel (clicks up, purchases flat) days before either
+    univariate anomaly tier fires. All six window statistics (n, Σx, Σy,
+    Σx², Σy², Σxy) are BIGINT sums over a ROWS frame — exact and
+    aggregation-order-free; r is formed once per day from the moments
+    with the identical double op sequence on both engines (the
+    a_spearman_rank moment-correlation doctrine applied to a window),
+    NULL where a window has zero variance.
+
+    Shape: one conditional-count aggregate to the daily frame, then a
+    7-row bounded window — at fixture scale the frame is 30 rows; at
+    100 TB the daily rollup stays calendar-bounded (365 rows/year/series)
+    and the window partitions by series key, so the unpartitioned sort
+    here never sees raw data."""
+    tune(spark)
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    win = _W.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    )
+    vy = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    )
+    cov = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    return w.select(
+        "day",
+        "x",
+        "y",
+        "n",
+        F.when(vx * vy > F.lit(0e0), r6(cov / F.sqrt(vx * vy)))
+        .otherwise(F.lit(None))
+        .alias("rolling_r"),
+    ).orderBy("day")

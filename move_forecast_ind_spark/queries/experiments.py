@@ -477,3 +477,105 @@ def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("band").desc())
     )
+
+
+# --- Cohort lifetime value ----------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    tags=("events", "experiment", "cohort"),
+    oracle=f"""
+    WITH signups AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cd
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cd, CAST(COUNT(*) AS BIGINT) AS n_users FROM signups GROUP BY 1
+    ),
+    buys AS (
+      SELECT s.cd, CAST(CAST(e.ts AS DATE) - s.cd AS BIGINT) AS age,
+             CAST(FLOOR(e.value * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN signups s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= s.cd
+    ),
+    daily AS (
+      SELECT cd, age, CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM buys GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cd, age, n_purchases, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cd ORDER BY age)
+                  AS BIGINT) AS cum_cents
+      FROM daily
+    )
+    SELECT cum.cd AS cohort_day, cum.age, cum.n_purchases, sizes.n_users,
+           {sql_r4("cum.cum_cents / (sizes.n_users * 1e2)")} AS ltv_per_user
+    FROM cum JOIN sizes ON sizes.cd = cum.cd
+    ORDER BY cohort_day, age
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-signup day;
+    for each (cohort, age-in-days) with purchase activity, the running
+    cumulative purchase revenue per cohort member — the unit-economics
+    readout (how many days until a cohort pays back its acquisition
+    cost) that events_retention_cohorts' activity view doesn't price.
+
+    Revenue accumulates in exact integer cents under a per-cohort
+    running-sum window; the only doubles are the final per-user
+    divisions. Shape: one signup min-aggregate, one broadcast-joined
+    purchase slice (pushdown on event_type), one (cohort, age)
+    aggregate, a window over the bounded (cohorts × ages) frame, and a
+    broadcast cohort-size join. At 100 TB the user→cohort map is the
+    big side of one shuffle join keyed by user — the same shape as every
+    per-user enrichment here — and the windowed frame stays
+    calendar-bounded."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cd"))
+    )
+    sizes = signups.groupBy("cd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("bd"),
+            F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("long").alias(
+                "cents"
+            ),
+        )
+        .join(signups, "user_id")
+        .where(F.col("bd") >= F.col("cd"))
+        .select("cd", F.datediff("bd", "cd").cast("long").alias("age"), "cents")
+    )
+    daily = buys.groupBy("cd", "age").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+    w = Window.partitionBy("cd").orderBy("age")
+    cum = daily.select(
+        "cd",
+        "age",
+        "n_purchases",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cd")
+        .select(
+            F.col("cd").alias("cohort_day"),
+            "age",
+            "n_purchases",
+            "n_users",
+            r4(F.col("cum_cents") / (F.col("n_users") * F.lit(1e2))).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_day", "age")
+    )
