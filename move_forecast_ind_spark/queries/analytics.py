@@ -5964,3 +5964,131 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
     lo=_PGRAM_MIN_P, hi=_PGRAM_MAX_P
 )
+
+
+# --- link prediction: neighborhood Jaccard argmax ----------------------------
+
+
+@register(
+    "events_jaccard_neighbors",
+    tags=("events", "graph", "analytics"),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(FLOOR(epoch(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    sliced AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+               AS rn
+        FROM edges
+      ) WHERE rn <= {_LINKPRED_MAX_NBRS}
+    ),
+    contrib AS (
+      SELECT a.dst AS ua, b.dst AS ub
+      FROM sliced a
+      JOIN sliced b ON b.src = a.src AND b.dst <> a.dst
+    ),
+    cand AS (
+      SELECT ua, ub, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM contrib
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = contrib.ua AND e.dst = contrib.ub
+      )
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cand.ua, cand.ub, cand.cn, da.d AS deg_a, db.d AS deg_b,
+             CAST(cand.cn AS DOUBLE) / (da.d + db.d - cand.cn) AS jd
+      FROM cand
+      JOIN deg da ON da.src = cand.ua
+      JOIN deg db ON db.src = cand.ub
+    ),
+    best AS (
+      SELECT ua, ub, cn, deg_a, deg_b, jd,
+             ROW_NUMBER() OVER (PARTITION BY ua ORDER BY jd DESC, ub) AS rn
+      FROM scored
+    )
+    SELECT ua AS user_id, ub AS predicted_user, cn AS common_neighbors,
+           deg_a, deg_b, FLOOR(jd * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM best WHERE rn = 1
+    """,
+)
+def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the tight co-activity
+    graph: for every user, the strongest NON-adjacent candidate by
+    J = |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|) — the degree-normalized
+    complement to events_link_prediction's raw common-neighbor argmax
+    (CN crowns hubs; Jaccard crowns twins). Shares the exact graph,
+    hub-slice fence, and candidate machinery; the intersection size is
+    counted over the SLICED neighbor lists while the union denominator
+    uses the FULL degrees (mirrored verbatim in the oracle).
+
+    Determinism: cn/degrees are exact integers and the ranking key
+    cn/(da+db−cn) is ONE correctly-rounded IEEE division of exact
+    integers — bit-identical in both engines — with ties broken by
+    candidate id. Scale posture: identical to events_link_prediction
+    (pair volume fenced at |V|·cap², one candidate aggregate shuffle,
+    anti join on existing edges, per-user window)."""
+    tune(spark)
+    full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
+    sl = full.select(
+        "i",
+        "deg",
+        F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
+    )
+    contrib = sl.filter(F.col("deg") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sn, a -> "
+                "transform(filter(sn, b -> b != a), "
+                "b -> struct(a AS ia, b AS ib))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+    cand = contrib.groupBy("ia", "ib").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
+    cand = cand.join(edges, ["ia", "ib"], "left_anti")
+    degs = full.select("i", "deg")
+    cand = (
+        cand.join(
+            F.broadcast(degs.withColumnsRenamed({"i": "ia", "deg": "deg_a"})), "ia"
+        )
+        .join(
+            F.broadcast(degs.withColumnsRenamed({"i": "ib", "deg": "deg_b"})), "ib"
+        )
+        .withColumn(
+            "jd",
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+        )
+    )
+    wb = Window.partitionBy("ia").orderBy(F.col("jd").desc(), F.col("ib"))
+    best = cand.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    ids = full.select("i", "user_id")
+    ia_map = ids.withColumnsRenamed({"i": "ia", "user_id": "user_id_a"})
+    ib_map = ids.withColumnsRenamed({"i": "ib", "user_id": "user_id_b"})
+    return (
+        best.join(F.broadcast(ia_map), "ia")
+        .join(F.broadcast(ib_map), "ib")
+        .select(
+            F.col("user_id_a").alias("user_id"),
+            F.col("user_id_b").alias("predicted_user"),
+            F.col("cn").alias("common_neighbors"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (F.floor(F.col("jd") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -557,3 +557,263 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("rolling_r"),
     ).orderBy("day")
+
+
+# --- Mutual information: day-of-week × event-type ----------------------------
+
+
+@register(
+    "a_mutual_information",
+    tags=("aggregate", "statistics", "information"),
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    rows_m AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_m AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+    miq AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(cells.n AS DOUBLE) / tot.nn)
+               * ln((CAST(cells.n AS DOUBLE) * tot.nn)
+                    / (CAST(rows_m.r AS DOUBLE) * cols_m.c)) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS mi_q
+      FROM cells
+      JOIN rows_m ON rows_m.dow = cells.dow
+      JOIN cols_m ON cols_m.event_type = cells.event_type
+      CROSS JOIN tot
+    ),
+    hr AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(r AS DOUBLE) / tot.nn) * ln(CAST(r AS DOUBLE) / tot.nn)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h_q
+      FROM rows_m CROSS JOIN tot
+    ),
+    hc AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(c AS DOUBLE) / tot.nn) * ln(CAST(c AS DOUBLE) / tot.nn)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h_q
+      FROM cols_m CROSS JOIN tot
+    )
+    SELECT tot.nn AS n_events,
+           {sql_r6("miq.mi_q / 1e9")} AS mi_nats,
+           {sql_r6("hr.h_q / 1e9")} AS h_dow,
+           {sql_r6("hc.h_q / 1e9")} AS h_type,
+           {sql_r6("miq.mi_q / 1e9 / sqrt((hr.h_q / 1e9) * (hc.h_q / 1e9))")}
+             AS nmi
+    FROM tot CROSS JOIN miq CROSS JOIN hr CROSS JOIN hc
+    """,
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between day-of-week and event type, with
+    marginal entropies and the sqrt-normalized NMI — the
+    dependence-strength complement to a_chi_square_independence's
+    significance test (chi-square says IF the factors are associated;
+    MI says HOW MUCH information one carries about the other).
+
+    Doctrine for information sums: each cell's p·ln(p/(pq)) contribution
+    is ONE double expression over exact integer counts (bit-identical
+    per cell across engines up to a ln() ulp), quantized to a 1e-9-nat
+    BIGINT and SUMMED EXACTLY — the cross-row float accumulation that
+    would otherwise be engine-order-dependent never happens. Shape: one
+    (dow, type) hash aggregate — bounded 7×k cells — then scalar joins;
+    at 100 TB only the first aggregate sees data."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.groupBy().agg(F.sum("n").cast("long").alias("nn"))
+    rows_m = cells.groupBy("dow").agg(F.sum("n").cast("long").alias("r"))
+    cols_m = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("c"))
+
+    def q9(expr):
+        return F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    mi_q = (
+        cells.join(F.broadcast(rows_m), "dow")
+        .join(F.broadcast(cols_m), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            q9(
+                (F.col("n").cast("double") / F.col("nn"))
+                * F.log(
+                    (F.col("n").cast("double") * F.col("nn"))
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+            ).alias("t")
+        )
+        .groupBy()
+        .agg(F.sum("t").cast("long").alias("mi_q"))
+    )
+    hr = (
+        rows_m.crossJoin(F.broadcast(tot))
+        .select(
+            q9(
+                -(F.col("r").cast("double") / F.col("nn"))
+                * F.log(F.col("r").cast("double") / F.col("nn"))
+            ).alias("t")
+        )
+        .groupBy()
+        .agg(F.sum("t").cast("long").alias("h_q"))
+    )
+    hc = (
+        cols_m.crossJoin(F.broadcast(tot))
+        .select(
+            q9(
+                -(F.col("c").cast("double") / F.col("nn"))
+                * F.log(F.col("c").cast("double") / F.col("nn"))
+            ).alias("t")
+        )
+        .groupBy()
+        .agg(F.sum("t").cast("long").alias("h_q"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi_q))
+        .crossJoin(F.broadcast(hr.withColumnRenamed("h_q", "hr_q")))
+        .crossJoin(F.broadcast(hc.withColumnRenamed("h_q", "hc_q")))
+        .select(
+            F.col("nn").alias("n_events"),
+            r6(F.col("mi_q") / F.lit(1e9)).alias("mi_nats"),
+            r6(F.col("hr_q") / F.lit(1e9)).alias("h_dow"),
+            r6(F.col("hc_q") / F.lit(1e9)).alias("h_type"),
+            r6(
+                F.col("mi_q")
+                / F.lit(1e9)
+                / F.sqrt((F.col("hr_q") / F.lit(1e9)) * (F.col("hc_q") / F.lit(1e9)))
+            ).alias("nmi"),
+        )
+    )
+
+
+# --- Jensen-Shannon divergence between source unigram distributions ----------
+
+_JS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "text_js_divergence_sources",
+    tags=("text", "corpus", "drift"),
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> len(t) > 0))
+             AS tok
+      FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(SUM(a.n) AS BIGINT) AS shared_a,
+             CAST(SUM(b.n) AS BIGINT) AS shared_b,
+             CAST(SUM(CAST(FLOOR(
+               (5e-1 * (CAST(a.n AS DOUBLE) / ta.tn)
+                * ln((CAST(a.n AS DOUBLE) / ta.tn)
+                     / ((CAST(a.n AS DOUBLE) / ta.tn
+                         + CAST(b.n AS DOUBLE) / tb.tn) / 2e0))
+                + 5e-1 * (CAST(b.n AS DOUBLE) / tb.tn)
+                  * ln((CAST(b.n AS DOUBLE) / tb.tn)
+                       / ((CAST(a.n AS DOUBLE) / ta.tn
+                           + CAST(b.n AS DOUBLE) / tb.tn) / 2e0)))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS js_shared_q
+      FROM cnt a
+      JOIN cnt b ON b.tok = a.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           {sql_r6(
+               "js_shared_q / 1e9"
+               " + 5e-1 * ln(2e0) * ((ta.tn - shared_a) / CAST(ta.tn AS DOUBLE)"
+               "                     + (tb.tn - shared_b) / CAST(tb.tn AS DOUBLE))"
+           )} AS js_nats
+    FROM shared
+    JOIN tot ta ON ta.source = shared.sa
+    JOIN tot tb ON tb.source = shared.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between source unigram
+    distributions over a fixed 5-source slice — the symmetric, bounded
+    (≤ ln 2) drift measure that complements dq_drift_psi's binned PSI
+    with a proper information metric on the full vocabulary. Tokens
+    exclusive to one source contribute exactly ½·ln2·(exclusive mass),
+    so the shared-token join plus per-source totals reconstructs the
+    COMPLETE divergence without any outer join: JS = Σ_shared terms +
+    ½ln2·(excl_a + excl_b), with excl mass derived from totals minus
+    shared sums.
+
+    Per-token JS contributions are single double expressions over exact
+    counts, quantized to 1e-9-nat BIGINTs and summed exactly (the
+    a_mutual_information doctrine). Shape: one (source, tok) aggregate,
+    one token-keyed self-join whose fan-out is bounded by the source
+    count (pairs, not corpus size), k-row total joins. At 100 TB the
+    token join shuffles the vocabulary, not the corpus; the source-pair
+    fence (here a literal 5-source slice) is the operator's documented
+    scale knob."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(*_JS_SOURCES)
+    )
+    tk = docs.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), t -> length(t) > 0)")
+        ).alias("tok"),
+    )
+    cnt = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("long").alias("tn"))
+    a = cnt.select(
+        F.col("source").alias("sa"), "tok", F.col("n").alias("na")
+    )
+    b = cnt.select(F.col("source").alias("sb"), "tok", F.col("n").alias("nb"))
+    ta = tot.select(F.col("source").alias("sa"), F.col("tn").alias("tna"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("tn").alias("tnb"))
+    j = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+    )
+    p = F.col("na").cast("double") / F.col("tna")
+    q = F.col("nb").cast("double") / F.col("tnb")
+    m = (p + q) / F.lit(2e0)
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    shared = j.select(
+        "sa",
+        "sb",
+        "na",
+        "nb",
+        F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("tq"),
+    ).groupBy("sa", "sb").agg(
+        F.sum("na").cast("long").alias("shared_a"),
+        F.sum("nb").cast("long").alias("shared_b"),
+        F.sum("tq").cast("long").alias("js_shared_q"),
+    )
+    out = (
+        shared.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            r6(
+                F.col("js_shared_q") / F.lit(1e9)
+                + F.lit(0.5)
+                * F.log(F.lit(2e0))
+                * (
+                    (F.col("tna") - F.col("shared_a")) / F.col("tna").cast("double")
+                    + (F.col("tnb") - F.col("shared_b")) / F.col("tnb").cast("double")
+                )
+            ).alias("js_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return out
