@@ -1911,12 +1911,15 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.repartition(F.col("doc_id"))
+        # toks MUST be its own projection: inlining tokens(text) into the
+        # shingle lambda re-splits the document once per shingle position
+        # (no CSE inside higher-order functions — the shingles_from_tokens
+        # contract). Measured at sf0.1: 3.0 s -> 0.72 s for this stage.
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
             F.explode_outer(
-                F.array_distinct(
-                    shingles_from_tokens(tokens(F.col("text")), 3)
-                )
+                F.array_distinct(shingles_from_tokens(F.col("toks"), 3))
             ).alias("sh"),
         )
         .filter(F.col("sh").isNotNull())
