@@ -625,3 +625,112 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- entity clustering + golden-record survivorship --------------------------
+
+
+@register(
+    "er_cluster_entities",
+    tags=("linkage", "graph", "dedup"),
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name,
+             lower(split_part(p_name, ' ', 1)) AS blk, p_size
+      FROM part
+    ),
+    mp AS (
+      SELECT a.p_partkey AS pka, b.p_partkey AS pkb
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ),
+    edges AS (
+      SELECT pka AS src, pkb AS dst FROM mp
+      UNION
+      SELECT pkb AS src, pka AS dst FROM mp
+    ),
+    reach(doc_id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (SELECT doc_id, MIN(r) AS entity_id FROM reach GROUP BY 1),
+    canon AS (
+      SELECT l.entity_id, part.p_partkey, part.p_name,
+             CAST(FLOOR(part.p_retailprice * 1e2 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.entity_id
+               ORDER BY part.p_retailprice DESC, part.p_partkey) AS rk
+      FROM labels l JOIN part ON part.p_partkey = l.doc_id
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN p_partkey END) AS canonical_partkey,
+           MAX(CASE WHEN rk = 1 THEN p_name END) AS canonical_name,
+           string_agg(CAST(p_partkey AS VARCHAR), ',' ORDER BY p_partkey)
+             AS member_ids,
+           {sql_r2("SUM(cents) / 1e2")} AS total_retail
+    FROM canon GROUP BY 1 ORDER BY entity_id
+    """,
+)
+def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clustering + golden-record survivorship — the record-linkage
+    END of the pipeline er_blocking_pairs begins: matched pairs close
+    transitively into entities (min-label pointer-doubling,
+    operators.components — O(log n) rounds over one row per matched
+    node), and each entity elects a canonical record by the
+    richest-record rule (max retail price, id tie-break) with the
+    membership roster and an exact integer-cent price rollup. This is
+    the dedupe→merge→survivorship shape every MDM / customer-360 system
+    runs.
+
+    Cross-engine: cluster labels are min-reachable-ids (order-free
+    integers, oracle = recursive CTE closure), the canonical election is
+    a deterministic window over (price DESC, id), and the rollup sums
+    exact cents. Scale posture: identical to dedup_clusters (the closure
+    never touches unmatched records — singletons don't enter the frame),
+    plus one broadcast-size join back to the master for the election; at
+    100 TB the matched-pair graph is orders of magnitude smaller than
+    the master table, which is the point of blocking."""
+    tune(spark)
+    from ..operators.components import connected_components
+
+    pairs = er_blocking_pairs(spark, sf_dir).select(
+        F.col("pka").alias("doc_a"), F.col("pkb").alias("doc_b")
+    )
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias("p_partkey"), F.col("cluster_id").alias("entity_id")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.floor(F.col("p_retailprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "p_retailprice",
+    )
+    m = labels.join(part, "p_partkey")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    ranked = m.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("p_partkey"))).alias(
+                "canonical_partkey"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("p_name"))).alias(
+                "canonical_name"
+            ),
+            F.array_join(
+                F.array_sort(F.collect_list("p_partkey")).cast("array<string>"),
+                ",",
+            ).alias("member_ids"),
+            r2(F.sum("cents") / F.lit(1e2)).alias("total_retail"),
+        )
+        .orderBy("entity_id")
+    )
