@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # joined the set, 22 → 25 queries; re-recorded 2026-08-14/r7 when the
 # three round-7 representatives — corpus_quality_calibration,
 # text_rrf_hybrid_topk, emb_mmr_select — joined, 25 → 28; this host's
-# DuckDB is ~25% slower than the r6 VM, visible in every anchor).
+# DuckDB is ~25% slower than the r6 VM, visible in every anchor;
+# re-recorded 2026-08-15 when the three continuation-session reps —
+# events_hits_scores, events_cohort_ltv, ts_hampel_outliers — joined,
+# 30 → 33).
 # Kept for cross-round continuity —
 # but host speed varies by >4× across driver VMs (measured 2026-08-14:
 # the same DuckDB suite took 16.1 s on that day's VM vs 3.99 s recorded),
@@ -41,36 +44,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
-    "corpus_quality_calibration": 0.465,
-    "corpus_semdedup": 0.705,
-    "corpus_source_overlap": 0.282,
-    "dedup_exact": 0.069,
-    "dedup_lsh_candidate_eval": 1.296,
-    "dedup_minhash_lsh": 0.569,
-    "dedup_ngram_jaccard": 0.551,
-    "emb_mmr_select": 0.157,
-    "er_blocking_pairs": 0.223,
-    "events_label_propagation": 0.624,
-    "events_pagerank": 2.033,
-    "forecast_tail_daily": 0.465,
-    "j1_broadcast_dim_join": 0.026,
-    "j_asof_join": 0.026,
-    "j_multiway_star_join": 0.037,
-    "j_sortmerge_join": 0.04,
-    "ml_kmeans_fixed_point": 0.243,
-    "ml_linreg_forecast": 0.017,
-    "ml_pca_power_iteration": 0.28,
-    "pct_etl": 0.194,
-    "pipeline_training_data_prep": 3.063,
-    "q1_pricing_summary": 0.071,
-    "q3_shipping_priority": 0.072,
-    "sim_cosine_topk": 0.01,
-    "st_session_stats": 0.044,
-    "st_tumbling_counts": 0.012,
-    "text_rake_keywords": 0.433,
-    "text_rrf_hybrid_topk": 0.138,
-    "text_stats": 0.002,
-    "trends_onepass": 0.019,
+    "corpus_quality_calibration": 0.597,
+    "corpus_semdedup": 1.233,
+    "corpus_source_overlap": 0.369,
+    "dedup_exact": 0.079,
+    "dedup_lsh_candidate_eval": 5.517,
+    "dedup_minhash_lsh": 0.931,
+    "dedup_ngram_jaccard": 0.737,
+    "emb_mmr_select": 0.201,
+    "er_blocking_pairs": 0.29,
+    "events_cohort_ltv": 0.039,
+    "events_hits_scores": 0.074,
+    "events_label_propagation": 1.519,
+    "events_pagerank": 2.683,
+    "forecast_tail_daily": 0.7,
+    "j1_broadcast_dim_join": 0.045,
+    "j_asof_join": 0.032,
+    "j_multiway_star_join": 0.054,
+    "j_sortmerge_join": 0.058,
+    "ml_kmeans_fixed_point": 0.335,
+    "ml_linreg_forecast": 0.02,
+    "ml_pca_power_iteration": 0.322,
+    "pct_etl": 0.286,
+    "pipeline_training_data_prep": 3.229,
+    "q1_pricing_summary": 0.11,
+    "q3_shipping_priority": 0.085,
+    "sim_cosine_topk": 0.028,
+    "st_session_stats": 0.051,
+    "st_tumbling_counts": 0.015,
+    "text_rake_keywords": 1.128,
+    "text_rrf_hybrid_topk": 0.151,
+    "text_stats": 0.003,
+    "trends_onepass": 0.02,
+    "ts_hampel_outliers": 0.026,
 }
 
 

@@ -100,6 +100,7 @@ def _hits_oracle() -> str:
 
 @register(
     "events_hits_scores",
+    bench=True,  # round-7 continuation representative: k-by-k iterative tier
     tags=("events", "graph", "iterative"),
     oracle=_hits_oracle(),
 )

@@ -42,6 +42,7 @@ _HAMPEL_K = "1.4826e0"  # MAD -> sigma consistency constant, shared literal
 
 @register(
     "ts_hampel_outliers",
+    bench=True,  # round-7 continuation representative: bounded-band window tier
     tags=("timeseries", "statistics"),
     oracle=f"""
     WITH daily AS (

@@ -484,6 +484,7 @@ def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cohort_ltv",
+    bench=True,  # round-7 continuation representative: join+window cohort economics
     tags=("events", "experiment", "cohort"),
     oracle=f"""
     WITH signups AS (
