@@ -27,6 +27,7 @@ for _mod in (
     "experiments",
     "diagnostics",
     "advanced",
+    "forecast_suite",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

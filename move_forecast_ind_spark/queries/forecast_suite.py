@@ -1,0 +1,669 @@
+"""Forecast-production operators (round 7): reconciliation, conformal
+intervals, exact decision stump, and backtest model selection.
+
+The reference (satya-dataengineer/move-forecast-IND) ships per-branch
+Prophet forecasts (main.py:169-185) but nothing around them: no hierarchy
+coherence, no calibrated uncertainty beyond Prophet's own interval, no
+model-selection loop. A production forecast engine needs all three, and a
+training-data engine needs an exact split finder. This module adds:
+
+- ``ml_forecast_reconcile``: hierarchical top-down reconciliation — an
+  OLS-trend TOP forecast (total daily volume) distributed to the
+  event-type BOTTOM level by historical share, next to each type's own
+  seasonal-naive base forecast, with the bottom-up coherence gap
+  quantified per future day (Hyndman & Athanasopoulos, "Forecasting:
+  Principles and Practice" ch. 11 — the trace-minimization family's
+  proportional special case).
+- ``ml_conformal_interval``: split-conformal prediction intervals
+  (Vovk et al.; Angelopoulos & Bates 2021 tutorial) — weekday-mean point
+  model fit on days 0-22, nonconformity = |y - yhat| on the 7-day
+  calibration tail, interval half-width = the k-th smallest calibration
+  score with k = ceil((n_cal+1)*(1-alpha)), a finite-sample coverage
+  guarantee that needs NO distributional assumption.
+- ``ml_decision_stump``: the exact best binary split of order status F
+  vs non-F on o_totalprice — candidate thresholds enumerated at a fixed
+  bucket grain, weighted Gini impurity from cumulative integer counts,
+  deterministic argmin. The one-node core of every tree ensemble, exact
+  rather than sketched.
+- ``ml_model_selection``: per-series holdout backtest across three
+  standing forecasters (naive-last / seasonal-naive / train-mean) scored
+  by SMAPE, winner per series — the M-competition protocol in
+  miniature (Makridakis et al.).
+
+Exactness doctrine (registry-standard): every aggregate that feeds a
+comparison or a cross-row sum is either pure BIGINT (counts, day
+indexes, x'x moments) or a double quantized to a fixed grid and summed
+as BIGINT (the quantized-contribution idiom from a_mutual_information),
+so engine accumulation order can never flip a hash. Every emitted double
+is snapped through functions.rounding on BOTH sides.
+
+100 TB posture: all four are one-to-two-shuffle plans over the daily /
+bucket aggregate (map-side combine does the heavy lifting; the reduced
+frames are <= |days| x |types| or |buckets| rows), then broadcast-sized
+model state. Nothing here scales with raw row count after the first
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+_TRAIN_MAX_T = 22  # days 0..22 train; 23..29 calibration / holdout
+_HORIZON = 7
+
+# Shared daily spine: zero-filled (event_type x day) counts, so a quiet
+# day is an explicit 0 and not a missing row (gap days would silently
+# bias every weekday mean). One aggregate shuffle; the 5x30 spine is
+# broadcast-sized at any SF because |types| and |days| are schema-level
+# constants, not data volume.
+_DAILY_SPINE_SQL = """
+    raw AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM raw),
+    spine AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM raw) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE
+                    AS day FROM bounds) d
+    ),
+    daily AS (
+      SELECT s.event_type, s.day,
+             CAST(s.day - b.mn AS INT) AS t,
+             CAST(dayofweek(s.day) + 1 AS INT) AS dow,
+             COALESCE(r.n, 0) AS n
+      FROM spine s
+      CROSS JOIN bounds b
+      LEFT JOIN raw r ON r.event_type = s.event_type AND r.day = s.day
+    )"""
+
+
+def _daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DAILY_SPINE_SQL: (event_type, day, t, dow, n)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = raw.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = (
+        raw.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(F.sequence("mn", "mx")).alias("day")
+                )
+            )
+        )
+    )
+    return (
+        spine.join(F.broadcast(bounds))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.datediff("day", "mn").cast("int").alias("t"),
+            F.dayofweek("day").cast("int").alias("dow"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+    )
+
+
+# --- hierarchical reconciliation ---------------------------------------------
+
+
+@register(
+    "ml_forecast_reconcile",
+    tags=("ml", "forecast", "hierarchy"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    tot AS (
+      SELECT t, dow, day, CAST(SUM(n) AS BIGINT) AS y
+      FROM daily GROUP BY 1, 2, 3
+    ),
+    -- TOP model: OLS trend y = a + b*t over total daily volume.
+    -- All moments BIGINT-exact; one double division each for slope and
+    -- intercept, the identical IEEE expression on both engines.
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(CAST(t AS BIGINT) * t) AS BIGINT) AS stt,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(t AS BIGINT) * y) AS BIGINT) AS sty
+      FROM tot
+    ),
+    coef AS (
+      SELECT CAST(cnt * sty - st * sy AS DOUBLE)
+               / CAST(cnt * stt - st * st AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE)
+              - CAST(cnt * sty - st * sy AS DOUBLE)
+                / CAST(cnt * stt - st * st AS DOUBLE) * st)
+               / CAST(cnt AS DOUBLE) AS icept
+      FROM mom
+    ),
+    -- BOTTOM model: seasonal-naive weekday mean per type (exact ratio of
+    -- BIGINTs), quantized to 1e6 so the bottom-up sum is an exact BIGINT
+    -- sum (accumulation-order-proof).
+    dowm AS (
+      SELECT event_type, dow,
+             CAST(FLOOR(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                  AS BIGINT) AS base_q
+      FROM daily GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS part,
+             CAST(SUM(SUM(n)) OVER () AS BIGINT) AS whole
+      FROM daily GROUP BY 1
+    ),
+    future AS (
+      SELECT b.mx + CAST(i AS INT) AS day,
+             CAST(b.mx - b.mn AS INT) + CAST(i AS INT) AS t,
+             CAST(dayofweek(b.mx + CAST(i AS INT)) + 1 AS INT) AS dow
+      FROM bounds b,
+           LATERAL (SELECT unnest(generate_series(1, {_HORIZON})) AS i) g
+    ),
+    top_fc AS (
+      SELECT f.day, f.t, f.dow, c.icept + c.slope * f.t AS yhat_top
+      FROM future f CROSS JOIN coef c
+    ),
+    bu AS (
+      SELECT f.day, CAST(SUM(d.base_q) AS BIGINT) AS bu_q
+      FROM future f JOIN dowm d ON d.dow = f.dow
+      GROUP BY 1
+    )
+    SELECT tf.day, d.event_type,
+           d.base_q / 1e6 AS base_fc,
+           FLOOR(CAST(s.part AS DOUBLE) / s.whole * 1e6 + 0.5) / 1e6 AS share,
+           FLOOR(tf.yhat_top * (CAST(s.part AS DOUBLE) / s.whole) * 1e6 + 0.5)
+             / 1e6 AS topdown_fc,
+           FLOOR((tf.yhat_top - bu.bu_q / 1e6) * 1e6 + 0.5) / 1e6 AS bu_gap
+    FROM top_fc tf
+    JOIN dowm d ON d.dow = tf.dow
+    JOIN shares s ON s.event_type = d.event_type
+    JOIN bu ON bu.day = tf.day
+    """,
+)
+def ml_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical top-down forecast reconciliation over the event-type
+    hierarchy (bottom = per-type daily volume, top = total): the top
+    level is forecast with an exact-moment OLS trend, the bottom with
+    per-type seasonal-naive weekday means, and the top forecast is
+    distributed to types by historical share. Emits, per (future day,
+    type): the incoherent base forecast, the share, the reconciled
+    top-down forecast, and the bottom-up coherence gap the
+    reconciliation closes. Plan: one daily-aggregate shuffle; moments,
+    weekday means, and shares are all broadcast-sized reductions of it;
+    the future axis is generated, never scanned. Reference parity: the
+    reference forecasts 110 branches independently with no coherence
+    step (main.py:169-185) — this is the aggregate-consistency layer a
+    branch hierarchy needs."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    tot = daily.groupBy("t", "dow", "day").agg(
+        F.sum("n").cast("long").alias("y")
+    )
+    mom = tot.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t").cast("long") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("long") * F.col("y")).cast("long").alias("sty"),
+    )
+    slope = (F.col("cnt") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("cnt") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    coef = mom.select(
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("st"))
+            / F.col("cnt").cast("double")
+        ).alias("icept"),
+    )
+    dowm = daily.groupBy("event_type", "dow").agg(
+        F.floor(
+            F.sum("n").cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("base_q")
+    )
+    shares = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("part")
+    )
+    shares = shares.withColumn(
+        "whole", F.sum("part").over(Window.partitionBy())
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    future = bounds.select(
+        F.explode(
+            F.sequence(
+                F.date_add("mx", 1), F.date_add("mx", _HORIZON)
+            )
+        ).alias("day"),
+        "mn",
+    ).select(
+        "day",
+        F.datediff("day", "mn").cast("int").alias("t"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    )
+    top_fc = future.crossJoin(F.broadcast(coef)).select(
+        "day",
+        "t",
+        "dow",
+        (F.col("icept") + F.col("slope") * F.col("t")).alias("yhat_top"),
+    )
+    bu = (
+        future.join(F.broadcast(dowm), "dow")
+        .groupBy("day")
+        .agg(F.sum("base_q").cast("long").alias("bu_q"))
+    )
+    g6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        top_fc.join(F.broadcast(dowm), "dow")
+        .join(F.broadcast(shares), "event_type")
+        .join(F.broadcast(bu), "day")
+        .select(
+            "day",
+            "event_type",
+            (F.col("base_q") / 1e6).alias("base_fc"),
+            g6(F.col("part").cast("double") / F.col("whole")).alias("share"),
+            g6(
+                F.col("yhat_top")
+                * (F.col("part").cast("double") / F.col("whole"))
+            ).alias("topdown_fc"),
+            g6(F.col("yhat_top") - F.col("bu_q") / 1e6).alias("bu_gap"),
+        )
+    )
+
+
+# --- split-conformal prediction intervals ------------------------------------
+
+_CONF_ALPHA_NUM = 1  # alpha = 1/4; k = ceil((n_cal + 1) * (1 - alpha))
+_CONF_ALPHA_DEN = 4
+
+
+@register(
+    "ml_conformal_interval",
+    tags=("ml", "forecast", "uncertainty"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    dowm AS (
+      SELECT event_type, dow,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS m
+      FROM daily WHERE t <= {_TRAIN_MAX_T} GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT d.event_type, d.day, ABS(CAST(d.n AS DOUBLE) - m.m) AS s
+      FROM daily d JOIN dowm m
+        ON m.event_type = d.event_type AND m.dow = d.dow
+      WHERE d.t > {_TRAIN_MAX_T}
+    ),
+    ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s, day) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM cal
+    ),
+    qhat AS (
+      SELECT event_type, n_cal, s AS q
+      FROM ranked
+      WHERE rk = CAST(CEIL((n_cal + 1)
+                 * (1.0 - CAST({_CONF_ALPHA_NUM} AS DOUBLE)
+                          / {_CONF_ALPHA_DEN})) AS BIGINT)
+    ),
+    future AS (
+      SELECT b.mx + CAST(i AS INT) AS day,
+             CAST(dayofweek(b.mx + CAST(i AS INT)) + 1 AS INT) AS dow
+      FROM bounds b,
+           LATERAL (SELECT unnest(generate_series(1, {_HORIZON})) AS i) g
+    )
+    SELECT q.event_type, f.day,
+           FLOOR(m.m * 1e4 + 0.5) / 1e4 AS point,
+           FLOOR((m.m - q.q) * 1e4 + 0.5) / 1e4 AS lo,
+           FLOOR((m.m + q.q) * 1e4 + 0.5) / 1e4 AS hi,
+           q.n_cal
+    FROM future f
+    JOIN dowm m ON m.dow = f.dow
+    JOIN qhat q ON q.event_type = m.event_type
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for next week's per-type
+    volume: weekday-mean point model fit on the first 23 days,
+    nonconformity scores |y - yhat| on the 7-day calibration tail,
+    half-width = the ceil((n+1)(1-alpha))-th smallest score (alpha=1/4
+    -> the 6th of 7). Finite-sample marginal coverage >= 1-alpha holds
+    by exchangeability alone — the distribution-free uncertainty layer
+    the reference's Prophet intervals (model-trusting) don't provide.
+    Exactness: the point model is a single exact BIGINT ratio, scores
+    are one identical IEEE expression, and the order statistic is a
+    deterministic (score, day)-ranked pick, so there is no double
+    accumulation anywhere. Plan: daily-aggregate shuffle, one tiny
+    window over 7 rows/type, broadcast joins onto a generated future
+    axis."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    dowm = daily.filter(F.col("t") <= _TRAIN_MAX_T).groupBy(
+        "event_type", "dow"
+    ).agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("m"))
+    cal = (
+        daily.filter(F.col("t") > _TRAIN_MAX_T)
+        .join(dowm, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            F.abs(F.col("n").cast("double") - F.col("m")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "day")
+    wc = Window.partitionBy("event_type")
+    ranked = cal.select(
+        "event_type",
+        "s",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_cal"),
+    )
+    k = F.ceil(
+        (F.col("n_cal") + 1)
+        * (1.0 - float(_CONF_ALPHA_NUM) / _CONF_ALPHA_DEN)
+    ).cast("long")
+    qhat = ranked.filter(F.col("rk") == k).select(
+        "event_type", "n_cal", F.col("s").alias("q")
+    )
+    bounds = daily.agg(F.max("day").alias("mx"))
+    future = bounds.select(
+        F.explode(
+            F.sequence(F.date_add("mx", 1), F.date_add("mx", _HORIZON))
+        ).alias("day")
+    ).select("day", F.dayofweek("day").cast("int").alias("dow"))
+    r4c = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        future.join(F.broadcast(dowm), "dow")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "day",
+            r4c(F.col("m")).alias("point"),
+            r4c(F.col("m") - F.col("q")).alias("lo"),
+            r4c(F.col("m") + F.col("q")).alias("hi"),
+            "n_cal",
+        )
+    )
+
+
+# --- exact decision stump -----------------------------------------------------
+
+_STUMP_BUCKET = 5000.0  # candidate-threshold grain on o_totalprice
+
+
+@register(
+    "ml_decision_stump",
+    tags=("ml", "classification"),
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(FLOOR(o_totalprice / {_STUMP_BUCKET}) AS BIGINT) AS b,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    bc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS f
+      FROM lab GROUP BY 1
+    ),
+    cum AS (
+      SELECT b,
+             SUM(n) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS nl,
+             SUM(f) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS fl,
+             SUM(n) OVER () AS nt, SUM(f) OVER () AS ft
+      FROM bc
+    ),
+    cand AS (
+      -- CAST: a bare "b * 5000.0" stays DECIMAL in DuckDB (the literal
+      -- parses as DECIMAL), while Spark's is DOUBLE — hash-type mismatch.
+      SELECT CAST(b * {_STUMP_BUCKET} AS DOUBLE) AS threshold,
+             CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+             ((CAST(nl AS DOUBLE)
+               - (CAST(fl * fl AS DOUBLE)
+                  + CAST((nl - fl) * (nl - fl) AS DOUBLE))
+                 / CAST(nl AS DOUBLE))
+              + (CAST(nt - nl AS DOUBLE)
+                 - (CAST((ft - fl) * (ft - fl) AS DOUBLE)
+                    + CAST(((nt - nl) - (ft - fl))
+                           * ((nt - nl) - (ft - fl)) AS DOUBLE))
+                   / CAST(nt - nl AS DOUBLE)))
+             / CAST(nt AS DOUBLE) AS gini
+      FROM cum WHERE nl IS NOT NULL AND nl > 0 AND nt - nl > 0
+    ),
+    ranked AS (
+      SELECT threshold, n_left, n_right,
+             FLOOR(gini * 1e6 + 0.5) / 1e6 AS gini,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(gini * 1e6 + 0.5), threshold) AS rk
+      FROM cand
+    )
+    SELECT threshold, n_left, n_right, gini, rk, rk = 1 AS is_best
+    FROM ranked
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split decision stump for order status F vs non-F on
+    o_totalprice: candidate thresholds at a fixed 5000-unit grain,
+    weighted Gini impurity per candidate from cumulative BIGINT class
+    counts (one window over the ~100-row bucket frame — never over raw
+    rows), deterministic (quantized-gini, threshold) argmin. This is
+    the histogram trick every distributed GBDT uses (LightGBM/XGBoost
+    hist mode): the full scan reduces map-side to |buckets| rows, so
+    the split search costs the same at 100 TB as at 60 k rows. Emits
+    the whole ranked candidate table so the margin between best and
+    runner-up is visible, not just the winner."""
+    tune(spark)
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / _STUMP_BUCKET)
+        .cast("long")
+        .alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bc = lab.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("f"),
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = bc.select(
+        "b",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("f").over(wcum).alias("fl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("f").over(wall).alias("ft"),
+    )
+    nl, fl = F.col("nl"), F.col("fl")
+    nr = F.col("nt") - nl
+    fr = F.col("ft") - fl
+    gini = (
+        (
+            nl.cast("double")
+            - (
+                (fl * fl).cast("double")
+                + ((nl - fl) * (nl - fl)).cast("double")
+            )
+            / nl.cast("double")
+        )
+        + (
+            nr.cast("double")
+            - (
+                (fr * fr).cast("double")
+                + ((nr - fr) * (nr - fr)).cast("double")
+            )
+            / nr.cast("double")
+        )
+    ) / F.col("nt").cast("double")
+    cand = cum.filter(nl.isNotNull() & (nl > 0) & (nr > 0)).select(
+        (F.col("b") * _STUMP_BUCKET).alias("threshold"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        gini.alias("gini"),
+    )
+    ranked = cand.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        (F.floor(F.col("gini") * 1e6 + F.lit(0.5)) / 1e6).alias("gini"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.floor(F.col("gini") * 1e6 + F.lit(0.5)), "threshold"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini",
+        "rk",
+        (F.col("rk") == 1).alias("is_best"),
+    )
+
+
+# --- backtest model selection --------------------------------------------------
+
+_SMAPE_GRID = "1e9"  # per-day SMAPE terms quantize here, sum as BIGINT
+
+
+@register(
+    "ml_model_selection",
+    tags=("ml", "forecast", "backtest"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    train AS (SELECT * FROM daily WHERE t <= {_TRAIN_MAX_T}),
+    hold AS (SELECT * FROM daily WHERE t > {_TRAIN_MAX_T}),
+    m_last AS (
+      SELECT event_type, CAST(n AS DOUBLE) AS fc
+      FROM train WHERE t = {_TRAIN_MAX_T}
+    ),
+    m_seas AS (
+      SELECT event_type, dow, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS fc
+      FROM train GROUP BY 1, 2
+    ),
+    m_mean AS (
+      SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS fc
+      FROM train GROUP BY 1
+    ),
+    terms AS (
+      SELECT h.event_type,
+             CAST(FLOOR(2.0 * ABS(ml.fc - h.n) / (ABS(ml.fc) + ABS(h.n))
+                        * {_SMAPE_GRID} + 0.5) AS BIGINT) AS q_last,
+             CAST(FLOOR(2.0 * ABS(ms.fc - h.n) / (ABS(ms.fc) + ABS(h.n))
+                        * {_SMAPE_GRID} + 0.5) AS BIGINT) AS q_seas,
+             CAST(FLOOR(2.0 * ABS(mm.fc - h.n) / (ABS(mm.fc) + ABS(h.n))
+                        * {_SMAPE_GRID} + 0.5) AS BIGINT) AS q_mean
+      FROM hold h
+      JOIN m_last ml ON ml.event_type = h.event_type
+      JOIN m_seas ms ON ms.event_type = h.event_type AND ms.dow = h.dow
+      JOIN m_mean mm ON mm.event_type = h.event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(q_last) AS BIGINT) AS sl,
+             CAST(SUM(q_seas) AS BIGINT) AS ss,
+             CAST(SUM(q_mean) AS BIGINT) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS nh
+      FROM terms GROUP BY 1
+    )
+    SELECT event_type,
+           FLOOR(CAST(sl AS DOUBLE) / nh / {_SMAPE_GRID} * 1e6 + 0.5) / 1e6
+             AS smape_last,
+           FLOOR(CAST(ss AS DOUBLE) / nh / {_SMAPE_GRID} * 1e6 + 0.5) / 1e6
+             AS smape_seasonal,
+           FLOOR(CAST(sm AS DOUBLE) / nh / {_SMAPE_GRID} * 1e6 + 0.5) / 1e6
+             AS smape_mean,
+           CASE WHEN sl <= ss AND sl <= sm THEN 'last'
+                WHEN sm <= ss AND sm < sl THEN 'mean'
+                ELSE 'seasonal' END AS winner
+    FROM agg
+    """,
+)
+def ml_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series holdout model selection: three standing forecasters
+    (naive-last, seasonal-naive weekday mean, train mean) fit on days
+    0-22 and scored by SMAPE on the 7-day holdout; the winner per
+    event_type is the exact argmin. The M-competition protocol the
+    reference skips — it pins Prophet a priori (pretrain_models.py:22-29)
+    where a selection loop would let the data pick the cheapest adequate
+    model per series. Exactness: per-day SMAPE terms are identical IEEE
+    expressions quantized to 1e9 and summed as BIGINT (the
+    quantized-contribution idiom), so both the reported metrics AND the
+    argmin compare exact integers; ties break last < mean < seasonal,
+    mirrored in both engines. Plan: one daily shuffle, three broadcast
+    model frames, one 35-row join."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    train = daily.filter(F.col("t") <= _TRAIN_MAX_T)
+    hold = daily.filter(F.col("t") > _TRAIN_MAX_T)
+    m_last = train.filter(F.col("t") == _TRAIN_MAX_T).select(
+        "event_type", F.col("n").cast("double").alias("fc_l")
+    )
+    m_seas = train.groupBy("event_type", "dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("fc_s")
+    )
+    m_mean = train.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("fc_m")
+    )
+    grid = float(_SMAPE_GRID)
+
+    def qterm(fc: F.Column) -> F.Column:
+        y = F.col("n").cast("double")
+        return F.floor(
+            2.0 * F.abs(fc - y) / (F.abs(fc) + F.abs(y)) * grid + F.lit(0.5)
+        ).cast("long")
+
+    terms = (
+        hold.join(F.broadcast(m_last), "event_type")
+        .join(F.broadcast(m_seas), ["event_type", "dow"])
+        .join(F.broadcast(m_mean), "event_type")
+        .select(
+            "event_type",
+            qterm(F.col("fc_l")).alias("q_last"),
+            qterm(F.col("fc_s")).alias("q_seas"),
+            qterm(F.col("fc_m")).alias("q_mean"),
+        )
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("q_last").cast("long").alias("sl"),
+        F.sum("q_seas").cast("long").alias("ss"),
+        F.sum("q_mean").cast("long").alias("sm"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+    smape = lambda s: F.floor(  # noqa: E731
+        s.cast("double") / F.col("nh") / grid * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return agg.select(
+        "event_type",
+        smape(F.col("sl")).alias("smape_last"),
+        smape(F.col("ss")).alias("smape_seasonal"),
+        smape(F.col("sm")).alias("smape_mean"),
+        F.when(
+            (F.col("sl") <= F.col("ss")) & (F.col("sl") <= F.col("sm")),
+            F.lit("last"),
+        )
+        .when(
+            (F.col("sm") <= F.col("ss")) & (F.col("sm") < F.col("sl")),
+            F.lit("mean"),
+        )
+        .otherwise(F.lit("seasonal"))
+        .alias("winner"),
+    )
