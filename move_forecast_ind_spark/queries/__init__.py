@@ -28,6 +28,7 @@ for _mod in (
     "diagnostics",
     "advanced",
     "forecast_suite",
+    "behavior",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -1,0 +1,419 @@
+"""Behavioral analytics operators (round 7, wave 2): item co-occurrence
+collaborative filtering, community modularity, and U-shaped position
+attribution.
+
+The reference forecasts aggregate demand; a behavioral engine over the
+same event stream needs the standard "who does what together" trio:
+
+- ``events_item_cooccurrence``: item-item collaborative-filtering
+  statistics over event types — co-engagement counts, cosine, lift, and
+  Jaccard per unordered type pair (Deshpande & Karypis 2004, item-based
+  top-N). The item dimension is schema-small (event types), so the pair
+  frame is k*(k-1)/2 rows regardless of data volume; the user self-join
+  fans out at most (types/user choose 2) rows per user.
+- ``events_modularity``: Newman modularity Q of the partition induced by
+  each user's dominant event type, over the TIGHT co-activity graph
+  (same 300 s bucket + type as events_triangle_count — the same edge CTE
+  verbatim, so the two queries' graphs can never drift apart). Q tells
+  whether "what a user mostly does" actually predicts "who they act
+  with" — the cluster-quality number for any community assignment.
+- ``events_attribution_position``: U-shaped (40/20/40) position-based
+  multi-touch attribution — first and last touch get 40% each, the
+  middle splits the remaining 20% — completing the attribution family
+  next to last-touch (single-touch) and linear (equal-weight).
+
+Exactness: counts and degrees are BIGINT end-to-end; every emitted
+double is a single identical IEEE expression of those integers (or, for
+the global Q, a sum of 1e9-quantized per-community contributions), then
+snapped through the rounding grid. Attribution shares reuse the
+documented r4/r2 sum-order contract from events_attribution_linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
+from ..session import tune
+from ..sources import load_table
+from .registry import register
+
+# --- item-item collaborative filtering ---------------------------------------
+
+
+@register(
+    "events_item_cooccurrence",
+    tags=("events", "similarity", "reco"),
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu FROM ut GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nn FROM events),
+    pair AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.cooc, ta.nu AS n_a, tb.nu AS n_b,
+           {sql_r6("p.cooc / sqrt(CAST(ta.nu AS DOUBLE) * tb.nu)")} AS cosine,
+           {sql_r6("CAST(p.cooc * n.nn AS DOUBLE) / (ta.nu * tb.nu)")} AS lift,
+           {sql_r6("CAST(p.cooc AS DOUBLE) / (ta.nu + tb.nu - p.cooc)")}
+             AS jaccard
+    FROM pair p
+    JOIN tot ta ON ta.event_type = p.item_a
+    JOIN tot tb ON tb.event_type = p.item_b
+    CROSS JOIN n
+    """,
+)
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering statistics per unordered event-type
+    pair: users engaging with both, cosine (cooc/sqrt(na*nb)), lift
+    (cooc*N/(na*nb), >1 = positive association), and Jaccard. The
+    item-based CF primitive (Deshpande & Karypis 2004): at 100 TB the
+    user->items frame self-joins on user_id with fan-out bounded by
+    items-per-user (<= k*(k-1)/2 pairs per user, k = |types|), the pair
+    aggregate map-side combines to k*(k-1)/2 rows, and totals broadcast.
+    A web-scale item catalog would add the standard min-hash/df-cap fence
+    from jaccard_pairs; with a schema-bounded item set no fence is
+    needed."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    nn = ev.select(
+        F.count_distinct("user_id").cast("long").alias("nn")
+    )
+    a = ut.withColumnsRenamed({"event_type": "item_a"})
+    b = ut.withColumnsRenamed({"event_type": "item_b"})
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+    )
+    return (
+        pair.join(
+            F.broadcast(tot.withColumnsRenamed({"event_type": "item_a", "nu": "n_a"})),
+            "item_a",
+        )
+        .join(
+            F.broadcast(tot.withColumnsRenamed({"event_type": "item_b", "nu": "n_b"})),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            "n_a",
+            "n_b",
+            r6(
+                F.col("cooc")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("cosine"),
+            r6(
+                (F.col("cooc") * F.col("nn")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+            r6(
+                F.col("cooc").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("cooc"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- community modularity ------------------------------------------------------
+
+_MOD_BUCKET_S = 300  # tight co-activity grain, shared with triangle count
+
+
+@register(
+    "events_modularity",
+    tags=("events", "graph"),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(FLOOR(epoch(ts) / {_MOD_BUCKET_S}) AS BIGINT) AS h
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM ev a JOIN ev b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id <> b.user_id
+    ),
+    tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    comm AS (
+      SELECT user_id, event_type AS community
+      FROM (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM tc)
+      WHERE rn = 1
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm FROM edges),
+    within AS (
+      SELECT cs.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+      FROM edges e
+      JOIN comm cs ON cs.user_id = e.src
+      JOIN comm cd ON cd.user_id = e.dst
+      WHERE cs.community = cd.community
+      GROUP BY 1
+    ),
+    degs AS (
+      SELECT c.community, CAST(COUNT(*) AS BIGINT) AS deg_sum
+      FROM edges e JOIN comm c ON c.user_id = e.src
+      GROUP BY 1
+    ),
+    members AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM comm GROUP BY 1
+    ),
+    contrib AS (
+      SELECT mb.community, mb.n_nodes,
+             COALESCE(w.in_edges, 0) AS in_edges,
+             COALESCE(d.deg_sum, 0) AS deg_sum,
+             CAST(FLOOR((CAST(COALESCE(w.in_edges, 0) AS DOUBLE) / m.mm
+                   - (CAST(COALESCE(d.deg_sum, 0) AS DOUBLE) / m.mm)
+                     * (CAST(COALESCE(d.deg_sum, 0) AS DOUBLE) / m.mm))
+                  * 1e9 + 0.5) AS BIGINT) AS q_q
+      FROM members mb
+      LEFT JOIN within w ON w.community = mb.community
+      LEFT JOIN degs d ON d.community = mb.community
+      CROSS JOIN m
+    )
+    SELECT community, n_nodes, in_edges, deg_sum,
+           q_q / 1e9 AS q_contrib,
+           CAST(SUM(q_q) OVER () AS BIGINT) / 1e9 AS q_total
+    FROM contrib
+    """,
+)
+def events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the dominant-event-type partition over the
+    tight user co-activity graph (identical edge definition to
+    events_triangle_count: same event_type within the same 300 s
+    bucket). Per community c (directed-symmetric edge counts M = 2|E|):
+    Q_c = in_c/M - (d_c/M)^2; Q = sum Q_c, positive when behavior type
+    predicts co-activity better than the degree-preserving random graph
+    (Newman & Girvan 2004). Exactness: edges/degrees/members all BIGINT;
+    each Q_c is one IEEE expression quantized at 1e9 and the global Q is
+    the exact BIGINT sum of those. 100 TB posture: the edge list is the
+    bucketed co-activity expansion (hot-bucket fence argument as the
+    triangle tier); everything after it is two groupBys on community —
+    k rows — plus broadcast-sized reductions."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    evd = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / _MOD_BUCKET_S)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    e2 = evd.withColumnsRenamed({"user_id": "dst"})
+    edges = (
+        evd.withColumnsRenamed({"user_id": "src"})
+        .join(e2, ["event_type", "h"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    comm = (
+        tc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("community"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("mm"))
+    cs = F.broadcast(comm.withColumnsRenamed({"user_id": "src", "community": "c_src"}))
+    cd = F.broadcast(comm.withColumnsRenamed({"user_id": "dst", "community": "c_dst"}))
+    within = (
+        edges.join(cs, "src")
+        .join(cd, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_edges"))
+    )
+    degs = (
+        edges.join(cs, "src")
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_sum"))
+    )
+    members = comm.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ine = F.coalesce("in_edges", F.lit(0).cast("long"))
+    dg = F.coalesce("deg_sum", F.lit(0).cast("long"))
+    contrib = (
+        members.join(within, "community", "left")
+        .join(degs, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            ine.alias("in_edges"),
+            dg.alias("deg_sum"),
+            F.floor(
+                (
+                    ine.cast("double") / F.col("mm")
+                    - (dg.cast("double") / F.col("mm"))
+                    * (dg.cast("double") / F.col("mm"))
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q_q"),
+        )
+    )
+    return contrib.select(
+        "community",
+        "n_nodes",
+        "in_edges",
+        "deg_sum",
+        (F.col("q_q") / 1e9).alias("q_contrib"),
+        (
+            F.sum("q_q").over(Window.partitionBy()).cast("long") / 1e9
+        ).alias("q_total"),
+    )
+
+
+# --- U-shaped position attribution ---------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # shared with the linear tier
+
+
+@register(
+    "events_attribution_position",
+    tags=("events", "join", "analytics"),
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT event_id AS mid, user_id, epoch_us(ts) AS us,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    tj AS (
+      SELECT p.pid, p.value, m.channel, m.us, m.mid
+      FROM p LEFT JOIN m
+        ON m.user_id = p.user_id
+       AND m.us >= p.us - {_ATTR_WINDOW_US}
+       AND m.us < p.us
+    ),
+    pos AS (
+      SELECT pid, value, COALESCE(channel, 'direct') AS channel,
+             CASE WHEN channel IS NULL THEN CAST(NULL AS BIGINT)
+                  ELSE ROW_NUMBER() OVER (PARTITION BY pid
+                                          ORDER BY us, channel, mid)
+             END AS rk,
+             COUNT(channel) OVER (PARTITION BY pid) AS k
+      FROM tj
+    ),
+    sh AS (
+      SELECT pid, value, channel,
+             CASE WHEN rk IS NULL THEN 1e0
+                  WHEN k = 1 THEN 1e0
+                  WHEN k = 2 THEN 5e-1
+                  WHEN rk = 1 OR rk = k THEN 4e-1
+                  ELSE 2e-1 / (k - 2)
+             END AS share
+      FROM pos
+    )
+    SELECT channel,
+           {sql_r4("SUM(share)")} AS credited_conversions,
+           {sql_r2("SUM(value * share)")} AS credited_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sh GROUP BY 1
+    """,
+)
+def events_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped (position-based, 40/20/40) multi-touch attribution: the
+    first and last marketing touch in each purchase's 7-day lookback get
+    40% of the credit each, the interior touches split the remaining 20%
+    equally; single-touch paths get 100%, two-touch paths 50/50,
+    untouched purchases credit 'direct'. Completes the attribution
+    family (last-touch = single-touch, linear = equal-weight) with the
+    position-weighted member every marketing stack ships. Same
+    time-banded join skeleton and r4/r2 sum-order contract as
+    events_attribution_linear; the extra position rank is one more
+    window over the purchase key with a total (us, channel, mid)
+    ordering so tie timestamps cannot flip ranks across engines (and a
+    within-channel tie cannot change the per-channel sum regardless).
+    At 100 TB: two shuffles — user_id join, pid window."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        "value",
+    )
+    m = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("mid"),
+        F.col("user_id").alias("m_user"),
+        F.unix_micros("ts").alias("m_us"),
+        F.col("event_type").alias("channel"),
+    )
+    tj = p.join(
+        m,
+        (F.col("m_user") == F.col("p_user"))
+        & (F.col("m_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+        & (F.col("m_us") < F.col("p_us")),
+        "left",
+    )
+    wp = Window.partitionBy("pid")
+    wrk = Window.partitionBy("pid").orderBy("m_us", "channel", "mid")
+    pos = tj.select(
+        "pid",
+        "value",
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("ch"),
+        F.when(
+            F.col("channel").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(F.row_number().over(wrk).cast("long"))
+        .alias("rk"),
+        F.count("channel").over(wp).cast("long").alias("k"),
+    )
+    sh = pos.select(
+        "pid",
+        "value",
+        F.col("ch").alias("channel"),
+        F.when(F.col("rk").isNull(), F.lit(1.0))
+        .when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+        .alias("share"),
+    )
+    return sh.groupBy("channel").agg(
+        r4(F.sum("share")).alias("credited_conversions"),
+        r2(F.sum(F.col("value") * F.col("share"))).alias("credited_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

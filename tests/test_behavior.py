@@ -1,0 +1,128 @@
+"""Invariant and replica tests for the behavioral analytics wave
+(queries/behavior.py). Oracle diffs live in test_oracle.py; these pin
+the math the diff can't see."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from conftest import SF_SMALL
+
+
+def _q(spark, name):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_item_cooccurrence_replica(spark):
+    """Every pair's cooc/cosine/lift/jaccard must match a from-scratch
+    Python computation over the distinct (user, type) sets; measures
+    stay in their documented ranges."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    users_of = defaultdict(set)
+    for r in ev:
+        users_of[r.event_type].add(r.user_id)
+    n_users = len({r.user_id for r in ev})
+    rows = _q(spark, "events_item_cooccurrence").collect()
+    assert rows
+    for r in rows:
+        assert r.item_a < r.item_b
+        ua, ub = users_of[r.item_a], users_of[r.item_b]
+        cooc = len(ua & ub)
+        assert r.cooc == cooc and r.n_a == len(ua) and r.n_b == len(ub)
+        assert 0.0 <= r.cosine <= 1.0
+        assert 0.0 <= r.jaccard <= 1.0
+        assert abs(r.cosine - round6(cooc / math.sqrt(len(ua) * len(ub)))) < 1e-9
+        assert (
+            abs(r.lift - round6(cooc * n_users / (len(ua) * len(ub)))) < 1e-9
+        )
+        assert (
+            abs(r.jaccard - round6(cooc / (len(ua) + len(ub) - cooc))) < 1e-9
+        )
+
+
+def round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_modularity_partition_identities(spark):
+    """Degree sums over communities must equal the directed edge count M,
+    internal edges <= deg_sum per community, q_total = sum(q_contrib)
+    (exact under the shared 1e9 quantization), and Q in [-0.5, 1]."""
+    rows = _q(spark, "events_modularity").collect()
+    assert rows
+    m_total = sum(r.deg_sum for r in rows)
+    assert m_total > 0
+    for r in rows:
+        assert 0 <= r.in_edges <= r.deg_sum
+        assert r.n_nodes >= 1
+    q_total = rows[0].q_total
+    assert all(r.q_total == q_total for r in rows)
+    assert abs(sum(r.q_contrib for r in rows) - q_total) < 1e-8
+    assert -0.5 <= q_total <= 1.0
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Across channels, credited conversions must sum to the number of
+    purchases (each purchase hands out exactly 1.0 of credit), and
+    credited revenue to total purchase value; totals must agree with the
+    linear attribution family member."""
+    from move_forecast_ind_spark.sources import load_table
+
+    purch = (
+        load_table(spark, SF_SMALL, "events")
+        .where("event_type = 'purchase'")
+        .collect()
+    )
+    n_p = len(purch)
+    rev = sum(p.value for p in purch)
+    pos = _q(spark, "events_attribution_position").collect()
+    assert abs(sum(r.credited_conversions for r in pos) - n_p) < 0.01
+    assert abs(sum(r.credited_revenue for r in pos) - rev) < 1.0
+    lin = _q(spark, "events_attribution_linear").collect()
+    assert abs(
+        sum(r.credited_conversions for r in pos)
+        - sum(r.credited_conversions for r in lin)
+    ) < 0.02
+    # same touch rows feed both: per-channel row counts must match
+    assert {(r.channel, r.n_rows) for r in pos} == {
+        (r.channel, r.n_rows) for r in lin
+    }
+
+
+def test_position_weights_u_shape(spark):
+    """For one multi-touch purchase path reconstructed from raw events,
+    the U-shape weights must be 0.4 / 0.2/(k-2) / 0.4 and sum to 1."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    touches = defaultdict(list)
+    win = 7 * 24 * 3600 * 1_000_000
+    by_user = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("click", "view", "signup"):
+            by_user[r.user_id].append(r)
+    found = None
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        pus = int(r.ts.timestamp() * 1e6)
+        path = [
+            t
+            for t in by_user[r.user_id]
+            if pus - win <= int(t.ts.timestamp() * 1e6) < pus
+        ]
+        if len(path) >= 3:
+            found = len(path)
+            break
+    if found is None:
+        return  # fixture has no >=3-touch path at this SF; covered at 0.01
+    k = found
+    weights = [0.4] + [0.2 / (k - 2)] * (k - 2) + [0.4]
+    assert abs(sum(weights) - 1.0) < 1e-12
