@@ -613,3 +613,280 @@ def emb_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- PQ ADC search quality audit ----------------------------------------------
+
+_ADC_NQ = 8    # query vectors: the 8 HIGHEST vec_ids (disjoint from the
+               # 16 lowest-id codebook seeds)
+_ADC_K = 10    # recall@K
+
+
+@register(
+    "emb_pq_adc_recall",
+    tags=("embedding", "similarity", "evaluation"),
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v
+      FROM e ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    qs AS MATERIALIZED (
+      SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id DESC LIMIT {_ADC_NQ}
+    ),
+    corpus AS MATERIALIZED (
+      SELECT vec_id, v FROM e
+      WHERE vec_id < (SELECT MIN(qid) FROM qs)
+    ),
+    sub AS (SELECT unnest(range({_PQ_SUBS})) AS s),
+    d AS (
+      SELECT c.vec_id, CAST(sub.s AS INT) AS s, seeds.j,
+             list_inner_product(c.v[sub.s * {_PQ_SUBDIM} + 1:
+                                    sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                                c.v[sub.s * {_PQ_SUBDIM} + 1:
+                                    sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}])
+             - 2 * list_inner_product(
+                 c.v[sub.s * {_PQ_SUBDIM} + 1:
+                     sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                 seeds.v[sub.s * {_PQ_SUBDIM} + 1:
+                         sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}])
+             + list_inner_product(
+                 seeds.v[sub.s * {_PQ_SUBDIM} + 1:
+                         sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                 seeds.v[sub.s * {_PQ_SUBDIM} + 1:
+                         sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]) AS dist
+      FROM corpus c CROSS JOIN sub CROSS JOIN seeds
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT vec_id, s, j, dist,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rk
+            FROM d)
+      WHERE rk = 1
+    ),
+    recon AS (
+      SELECT c.vec_id,
+             flatten(list(sd.v[c.s * {_PQ_SUBDIM} + 1:
+                               c.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                          ORDER BY c.s)) AS rv
+      FROM codes c JOIN seeds sd ON sd.j = c.code
+      GROUP BY c.vec_id
+    ),
+    pairs AS (
+      SELECT q.qid, c.vec_id AS cid,
+             CAST(FLOOR(GREATEST(
+               list_inner_product(q.qv, q.qv)
+               - 2 * list_inner_product(q.qv, c.v)
+               + list_inner_product(c.v, c.v), 0e0) * 1e6 + 0.5) AS BIGINT)
+               AS dq_exact,
+             CAST(FLOOR(GREATEST(
+               list_inner_product(q.qv, q.qv)
+               - 2 * list_inner_product(q.qv, r.rv)
+               + list_inner_product(r.rv, r.rv), 0e0) * 1e6 + 0.5) AS BIGINT)
+               AS dq_adc
+      FROM qs q
+      CROSS JOIN corpus c
+      JOIN recon r ON r.vec_id = c.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dq_exact, cid) AS rk_exact,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dq_adc, cid) AS rk_adc,
+             dq_exact, dq_adc
+      FROM pairs
+    ),
+    hits AS (
+      SELECT qid,
+             CAST(COUNT(*) FILTER (rk_exact <= {_ADC_K}
+                                   AND rk_adc <= {_ADC_K}) AS BIGINT)
+               AS n_overlap,
+             CAST(SUM(ABS(dq_adc - dq_exact)) AS BIGINT) AS distq,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus
+      FROM ranked GROUP BY 1
+    )
+    SELECT qid, CAST({_ADC_K} AS BIGINT) AS k, n_overlap,
+           {sql_r4(f"CAST(n_overlap AS DOUBLE) / {_ADC_K}")} AS recall,
+           {sql_r4("CAST(distq AS DOUBLE) / n_corpus / 1e6")}
+             AS mean_adc_distortion
+    FROM hits
+    """,
+)
+def emb_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} audit of PQ asymmetric-distance search (Jégou et al.
+    2011): the 8 highest-id vectors become queries, the rest the corpus;
+    every corpus vector is PQ-encoded with the same seeded 4x16 codebook
+    as emb_pq_seeded and reconstructed from its codes; exact top-{k} (by
+    squared L2) is compared with ADC top-{k} (query vs reconstruction —
+    the asymmetric distance an IVF-ADC index actually ranks by). Emits
+    per query the overlap, recall, and mean |adc - exact| distortion —
+    the "is the compressed index good enough" number next to the LSH
+    candidate audit (dedup_lsh_candidate_eval). Exactness: both
+    distances use the proven x·x - 2x·y + y·y fold/inner-product pattern
+    quantized at 1e6 BIGINT BEFORE ranking, with (dist, vec_id) total
+    order, so both engines rank identical integer keys. Engine shape:
+    codebook and the 8 queries broadcast; encode + reconstruct is one
+    map-side pass over the corpus; the pair fan-out is |corpus| x 8
+    rows feeding two per-query top-{k} windows (partition count = 8) —
+    the corpus itself never shuffles by more than the final per-query
+    rank, mirroring sim_cosine_topk's broadcast-query doctrine at
+    100 TB."""
+    tune(spark)
+    from ..functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_PQ_CODES)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("j"),
+            "v",
+        )
+    )
+    srow = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "v"))).alias("cb")
+    )
+    qs = e.orderBy(F.col("vec_id").desc()).limit(_ADC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qmin = qs.agg(F.min("qid").alias("qmin"))
+    corpus = e.crossJoin(F.broadcast(qmin)).filter(
+        F.col("vec_id") < F.col("qmin")
+    ).select("vec_id", "v")
+
+    def ip(xs, ys):
+        return F.aggregate(
+            F.zip_with(xs, ys, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # encode: per (vec_id, s) nearest code, then reconstruct in-row
+    enc = corpus.crossJoin(F.broadcast(srow)).select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "cb",
+    )
+    xs = F.slice(F.col("v"), F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    dists = F.transform(
+        F.col("cb"),
+        lambda c: ip(xs, xs)
+        - F.lit(2.0)
+        * ip(xs, F.slice(c["v"], F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM))
+        + ip(
+            F.slice(c["v"], F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+            F.slice(c["v"], F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+        ),
+    )
+    codes = enc.select(
+        "vec_id",
+        "s",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("code"),
+    )
+    recon = (
+        codes.crossJoin(F.broadcast(srow))
+        .select(
+            "vec_id",
+            "s",
+            F.slice(
+                F.element_at(F.col("cb"), F.col("code") + 1)["v"],
+                F.col("s") * _PQ_SUBDIM + 1,
+                _PQ_SUBDIM,
+            ).alias("sv"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "sv"))),
+                    lambda st: st["sv"],
+                )
+            ).alias("rv")
+        )
+    )
+    qrow = qs.groupBy().agg(
+        F.collect_list(F.struct("qid", "qv")).alias("qarr")
+    )
+    pairs = (
+        corpus.join(recon, "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "v",
+            "rv",
+            F.explode("qarr").alias("q"),
+        )
+        .select(
+            F.col("q.qid").alias("qid"),
+            "cid",
+            F.floor(
+                F.greatest(
+                    ip(F.col("q.qv"), F.col("q.qv"))
+                    - F.lit(2.0) * ip(F.col("q.qv"), F.col("v"))
+                    + ip(F.col("v"), F.col("v")),
+                    F.lit(0e0),
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dq_exact"),
+            F.floor(
+                F.greatest(
+                    ip(F.col("q.qv"), F.col("q.qv"))
+                    - F.lit(2.0) * ip(F.col("q.qv"), F.col("rv"))
+                    + ip(F.col("rv"), F.col("rv")),
+                    F.lit(0e0),
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dq_adc"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy("dq_exact", "cid")
+    wa = Window.partitionBy("qid").orderBy("dq_adc", "cid")
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        "dq_exact",
+        "dq_adc",
+        F.row_number().over(we).alias("rk_exact"),
+        F.row_number().over(wa).alias("rk_adc"),
+    )
+    hits = ranked.groupBy("qid").agg(
+        F.count(
+            F.when((F.col("rk_exact") <= _ADC_K) & (F.col("rk_adc") <= _ADC_K), 1)
+        )
+        .cast("long")
+        .alias("n_overlap"),
+        F.sum(F.abs(F.col("dq_adc") - F.col("dq_exact")))
+        .cast("long")
+        .alias("distq"),
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+    )
+    return hits.select(
+        "qid",
+        F.lit(_ADC_K).cast("long").alias("k"),
+        "n_overlap",
+        r4(F.col("n_overlap").cast("double") / _ADC_K).alias("recall"),
+        r4(F.col("distq").cast("double") / F.col("n_corpus") / 1e6).alias(
+            "mean_adc_distortion"
+        ),
+    )
+
+
+emb_pq_adc_recall.__doc__ = emb_pq_adc_recall.__doc__.format(k=_ADC_K)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
 from ..session import tune
@@ -818,3 +819,328 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
     return out
+
+
+# --- spectral entropy: forecastability score ---------------------------------
+
+_SE_MIN_P, _SE_MAX_P = 2, 14        # same candidate grid as ts_periodogram
+_SE_TAU = "6.283185307179586"       # 2*pi, shared exact literal
+_SE_NP = _SE_MAX_P - _SE_MIN_P + 1  # 13 candidate periods
+
+
+@register(
+    "ts_spectral_entropy",
+    tags=("timeseries", "statistics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t,
+             AVG(y) OVER (PARTITION BY event_type) AS ybar,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    terms AS (
+      SELECT i.event_type, p.p, i.n,
+             SUM((i.y - i.ybar) * cos({_SE_TAU} * i.t / p.p)) AS a,
+             SUM((i.y - i.ybar) * sin({_SE_TAU} * i.t / p.p)) AS b
+      FROM idx i CROSS JOIN (
+        SELECT unnest(generate_series({_SE_MIN_P}, {_SE_MAX_P})) AS p
+      ) p
+      GROUP BY 1, 2, 3
+    ),
+    pw AS (
+      SELECT event_type, p,
+             CAST(FLOOR((a * a + b * b) / n * 1e2 + 0.5) AS BIGINT) AS pq
+      FROM terms
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(pq) AS BIGINT) AS tq,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM pw GROUP BY 1
+    ),
+    ent AS (
+      SELECT w.event_type,
+             CAST(SUM(CASE WHEN w.pq > 0 THEN
+               CAST(FLOOR(-(CAST(w.pq AS DOUBLE) / t.tq)
+                          * ln(CAST(w.pq AS DOUBLE) / t.tq) * 1e9 + 0.5)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS hq
+      FROM pw w JOIN tot t ON t.event_type = w.event_type
+      GROUP BY 1
+    ),
+    peak AS (
+      SELECT event_type, p AS peak_period, pq AS peak_pq
+      FROM (SELECT event_type, p, pq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY pq DESC, p) AS rk
+            FROM pw)
+      WHERE rk = 1
+    )
+    SELECT t.event_type, t.np AS n_periods,
+           CAST(pk.peak_period AS BIGINT) AS peak_period,
+           pk.peak_pq / 1e2 AS peak_power,
+           FLOOR(e.hq / 1e9 / ln(CAST(t.np AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS spectral_entropy,
+           FLOOR((1e0 - e.hq / 1e9 / ln(CAST(t.np AS DOUBLE))) * 1e6 + 0.5)
+             / 1e6 AS forecastability
+    FROM tot t
+    JOIN ent e ON e.event_type = t.event_type
+    JOIN peak pk ON pk.event_type = t.event_type
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy per event-type series — the
+    forecastability score (Goerg 2013; Hyndman's tsfeatures) built on
+    the same Schuster periodogram grid as ts_periodogram (periods 2-14
+    days): H = -sum(s_i ln s_i)/ln(k) over the normalized power shares,
+    low H = energy concentrated in few frequencies = predictable, H~1 =
+    white-noise-like. Emits the peak period alongside (argmax power,
+    ties to the shorter period) so the "is it seasonal, and at what
+    period" question is one row. Exactness: powers snap to the
+    periodogram's documented 1e2 grid as BIGINTs (so shares are exact
+    integer ratios), each -s*ln(s) term is one IEEE expression quantized
+    at 1e9 and summed as BIGINT. Engine shape: identical to
+    ts_periodogram (daily aggregate, 13-way in-row fan-out, map-side
+    combinable) plus two k-row reductions — 100 TB cost is the daily
+    aggregate, nothing else."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wt).cast("long").alias("t"),
+        F.avg("y").over(wa).alias("ybar"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    tau = float(_SE_TAU)
+    fan = idx.select(
+        "event_type",
+        "n",
+        (F.col("y") - F.col("ybar")).alias("yd"),
+        "t",
+        F.explode(F.sequence(F.lit(_SE_MIN_P), F.lit(_SE_MAX_P))).alias("p"),
+    )
+    terms = fan.groupBy("event_type", "p", "n").agg(
+        F.sum(F.col("yd") * F.cos(F.lit(tau) * F.col("t") / F.col("p"))).alias("a"),
+        F.sum(F.col("yd") * F.sin(F.lit(tau) * F.col("t") / F.col("p"))).alias("b"),
+    )
+    pw = terms.select(
+        "event_type",
+        "p",
+        F.floor(
+            (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            / F.col("n")
+            * 1e2
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pq"),
+    )
+    tot = pw.groupBy("event_type").agg(
+        F.sum("pq").cast("long").alias("tq"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    share = F.col("pq").cast("double") / F.col("tq")
+    ent = (
+        pw.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.col("pq") > 0,
+                F.floor(-share * F.log(share) * 1e9 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("hterm"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("hterm").cast("long").alias("hq"))
+    )
+    wpk = Window.partitionBy("event_type").orderBy(F.col("pq").desc(), "p")
+    peak = (
+        pw.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("peak_period"),
+            F.col("pq").alias("peak_pq"),
+        )
+    )
+    hnorm = F.col("hq") / 1e9 / F.log(F.col("np").cast("double"))
+    return (
+        tot.join(ent, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("np").alias("n_periods"),
+            "peak_period",
+            (F.col("peak_pq") / 1e2).alias("peak_power"),
+            (F.floor(hnorm * 1e6 + F.lit(0.5)) / 1e6).alias("spectral_entropy"),
+            (F.floor((F.lit(1e0) - hnorm) * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "forecastability"
+            ),
+        )
+    )
+
+
+# --- schema-profile drift audit ------------------------------------------------
+
+_DRIFT_SPLIT = "1996-01-01"  # period A strictly before, period B from here
+
+
+@register(
+    "dq_schema_drift",
+    tags=("dq", "aggregate"),
+    oracle=f"""
+    WITH lab AS (
+      SELECT *, o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT} 00:00:00' AS is_b
+      FROM orders
+    ),
+    per AS (
+      SELECT 'o_custkey' AS col_name,
+             CAST(COUNT(*) FILTER (NOT is_b) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (is_b) AS BIGINT) AS n_b,
+             CAST(COUNT(*) FILTER (NOT is_b AND o_custkey IS NULL) AS BIGINT)
+               AS null_a,
+             CAST(COUNT(*) FILTER (is_b AND o_custkey IS NULL) AS BIGINT)
+               AS null_b,
+             CAST(COUNT(DISTINCT o_custkey) FILTER (NOT is_b) AS BIGINT)
+               AS ndv_a,
+             CAST(COUNT(DISTINCT o_custkey) FILTER (is_b) AS BIGINT) AS ndv_b,
+             CAST(SUM(CAST(FLOOR(o_custkey * 1e2 + 0.5) AS BIGINT))
+                  FILTER (NOT is_b) AS BIGINT) AS cents_a,
+             CAST(SUM(CAST(FLOOR(o_custkey * 1e2 + 0.5) AS BIGINT))
+                  FILTER (is_b) AS BIGINT) AS cents_b
+      FROM lab
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(*) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (NOT is_b AND o_totalprice IS NULL) AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b AND o_totalprice IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) FILTER (is_b) AS BIGINT),
+             CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                  FILTER (NOT is_b) AS BIGINT),
+             CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                  FILTER (is_b) AS BIGINT)
+      FROM lab
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(*) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (NOT is_b AND o_orderstatus IS NULL) AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b AND o_orderstatus IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) FILTER (is_b) AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM lab
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(*) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b) AS BIGINT),
+             CAST(COUNT(*) FILTER (NOT is_b AND o_orderpriority IS NULL)
+                  AS BIGINT),
+             CAST(COUNT(*) FILTER (is_b AND o_orderpriority IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) FILTER (NOT is_b) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) FILTER (is_b) AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM lab
+    )
+    SELECT col_name, n_a, n_b, null_a, null_b, ndv_a, ndv_b,
+           {sql_r6("CAST(null_a AS DOUBLE) / n_a")} AS null_rate_a,
+           {sql_r6("CAST(null_b AS DOUBLE) / n_b")} AS null_rate_b,
+           {sql_r6("CAST(ndv_b AS DOUBLE) / ndv_a")} AS ndv_ratio,
+           CASE WHEN cents_a IS NULL THEN CAST(NULL AS DOUBLE)
+                ELSE {sql_r4("(CAST(cents_b AS DOUBLE) / n_b"
+                             " - CAST(cents_a AS DOUBLE) / n_a) / 1e2")}
+           END AS mean_shift
+    FROM per
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profile drift audit over the orders table, split into two
+    eras at {split}: per column, row/null counts, exact NDV, null-rate,
+    NDV ratio, and (numeric columns) the cents-exact mean shift — the
+    data-contract check that catches a silently renamed enum value or a
+    unit change the value-distribution PSI (dq_drift_psi) only sees as
+    "something moved". One scan computes every column's profile for both
+    eras via conditional aggregation (FILTER on the era flag — no second
+    pass, no join); means accumulate as exact BIGINT cents. At 100 TB
+    this is the classic one-pass profile: map-side partial aggregates of
+    a fixed handful of counters per column, exact NDV being the one
+    shuffle-bearing term (swap in the existing HLL tier when approximate
+    NDV suffices)."""
+    tune(spark)
+    lab = load_table(spark, sf_dir, "orders").withColumn(
+        "is_b",
+        F.col("o_orderdate") >= F.lit(_DRIFT_SPLIT).cast("timestamp"),
+    )
+    a, b = ~F.col("is_b"), F.col("is_b")
+
+    def profile(col: str, numeric: bool) -> DataFrame:
+        c = F.col(col)
+        cents = F.floor(c * 1e2 + F.lit(0.5)).cast("long")
+        return lab.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.when(a, 1)).cast("long").alias("n_a"),
+            F.count(F.when(b, 1)).cast("long").alias("n_b"),
+            F.count(F.when(a & c.isNull(), 1)).cast("long").alias("null_a"),
+            F.count(F.when(b & c.isNull(), 1)).cast("long").alias("null_b"),
+            F.count_distinct(F.when(a, c)).cast("long").alias("ndv_a"),
+            F.count_distinct(F.when(b, c)).cast("long").alias("ndv_b"),
+            (
+                F.sum(F.when(a, cents)).cast("long")
+                if numeric
+                else F.lit(None).cast("long")
+            ).alias("cents_a"),
+            (
+                F.sum(F.when(b, cents)).cast("long")
+                if numeric
+                else F.lit(None).cast("long")
+            ).alias("cents_b"),
+        )
+
+    per = (
+        profile("o_custkey", True)
+        .unionAll(profile("o_totalprice", True))
+        .unionAll(profile("o_orderstatus", False))
+        .unionAll(profile("o_orderpriority", False))
+    )
+    return per.select(
+        "col_name",
+        "n_a",
+        "n_b",
+        "null_a",
+        "null_b",
+        "ndv_a",
+        "ndv_b",
+        r6(F.col("null_a").cast("double") / F.col("n_a")).alias("null_rate_a"),
+        r6(F.col("null_b").cast("double") / F.col("n_b")).alias("null_rate_b"),
+        r6(F.col("ndv_b").cast("double") / F.col("ndv_a")).alias("ndv_ratio"),
+        F.when(
+            F.col("cents_a").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(
+            r4(
+                (
+                    F.col("cents_b").cast("double") / F.col("n_b")
+                    - F.col("cents_a").cast("double") / F.col("n_a")
+                )
+                / 1e2
+            )
+        )
+        .alias("mean_shift"),
+    )
+
+
+dq_schema_drift.__doc__ = dq_schema_drift.__doc__.format(split=_DRIFT_SPLIT)

@@ -734,3 +734,88 @@ def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# --- lake ops: snapshot diff / CDC classification -----------------------------
+#
+# Two derived order snapshots (deterministic key-hash membership and a
+# deterministic price revision — no rand(), so speculation/retry at
+# 100 TB can't change either side), classified with ONE full outer join:
+#   v1 = orders except keys ≡ 0 (mod 7)
+#   v2 = orders except keys ≡ 3 (mod 11), price +10% where key ≡ 0 (mod 5)
+_SNAP_V1_DROP = 7
+_SNAP_V2_DROP = 11
+_SNAP_BUMP = 5
+
+
+@register(
+    "s_snapshot_diff",
+    tags=("lake", "join", "cdc"),
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % {_SNAP_V1_DROP} <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % {_SNAP_BUMP} = 0
+                  THEN CAST(FLOOR(o_totalprice * 1.1e0 * 1e2 + 0.5) AS BIGINT)
+                  ELSE CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % {_SNAP_V2_DROP} <> 3
+    ),
+    diff AS (
+      SELECT CASE WHEN v1.k IS NULL THEN 'insert'
+                  WHEN v2.k IS NULL THEN 'delete'
+                  WHEN v1.cents <> v2.cents THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(ABS(v2.cents - v1.cents), 0) AS delta
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(delta) AS BIGINT) AS price_delta_cents
+    FROM diff GROUP BY 1
+    """,
+)
+def s_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC classification between two table versions:
+    every key classified insert / delete / update / unchanged with the
+    exact cents-valued update magnitude — the Delta/Iceberg
+    ``table_changes`` readout, expressed as one key-keyed FULL OUTER
+    join over the two snapshots (here derived deterministically from
+    orders; the on-disk twin is sources/versioned.py's snapshot layout,
+    whose MERGE history this operator audits). Prices compare as exact
+    BIGINT cents so 'update' can never fire on a double ulp. At 100 TB:
+    one co-partitioned join shuffle on the primary key (bucketed
+    snapshots make it shuffle-free), map-side combinable 4-row
+    aggregate."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long")
+    bumped = F.floor(
+        F.col("o_totalprice") * F.lit(1.1e0) * 1e2 + F.lit(0.5)
+    ).cast("long")
+    v1 = o.filter(F.col("o_orderkey") % _SNAP_V1_DROP != 0).select(
+        F.col("o_orderkey").alias("k1"), cents.alias("cents1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % _SNAP_V2_DROP != 3).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % _SNAP_BUMP == 0, bumped)
+        .otherwise(cents)
+        .alias("cents2"),
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), F.lit("insert"))
+        .when(F.col("k2").isNull(), F.lit("delete"))
+        .when(F.col("cents1") != F.col("cents2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce(
+            F.abs(F.col("cents2") - F.col("cents1")), F.lit(0).cast("long")
+        ).alias("delta"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("delta").cast("long").alias("price_delta_cents"),
+    )

