@@ -29,6 +29,7 @@ for _mod in (
     "advanced",
     "forecast_suite",
     "behavior",
+    "features",
 ):
     try:
         __import__(f"{__name__}.{_mod}")
