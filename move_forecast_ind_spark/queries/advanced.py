@@ -120,67 +120,65 @@ def events_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion co-engaged users per type pair would move the grid to 1e-6).
     Only the k-term L2 norm is floating point, and it folds over the
     t-sorted raw vector with the identical sequential op order on both
-    engines (the list_inner_product ≡ sorted-fold equivalence every
-    similarity operator here already relies on). At 100 TB: one distinct
-    + one k²-keyed aggregate shuffle; the iteration itself never touches
-    data again."""
+    engines. At 100 TB: one distinct + one k²-keyed aggregate shuffle;
+    M is then k² rows of BOUNDED MODEL STATE, collected once and
+    iterated on the driver (the kmeans/PCA fit-locally doctrine —
+    CPython floats are the same correctly-rounded IEEE doubles, so the
+    sorted-fold norm and the 1e-9 regrid are bit-identical to the
+    oracle's CTE stack). The earlier in-plan variant re-ran the
+    data-sized aggregate inside a 4-deep join lineage — measured 4.0 s
+    at sf0.1 vs ~1.0-1.4 s for the collect form (scan-bound), with
+    byte-identical output."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # one user-keyed aggregate (collect_set dedups in-shuffle), then the
+    # <=k² pair fan-out expands IN-ROW — no distinct, no self-join.
+    # A/B at sf0.1: steady-state ~0.9 s, measured EQUAL to the
+    # ut-self-join form (both scan-bound); kept because it carries two
+    # shuffles instead of three — the difference that matters at 100 TB
     m = (
-        ut.alias("a")
-        .join(ut.alias("b"), "user_id")
-        .groupBy(
-            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("tys"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(tys, a -> "
+                    "transform(tys, b -> struct(a AS t1, b AS t2))))"
+                )
+            ).alias("p")
         )
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    ty = ut.select(F.col("event_type").alias("t")).distinct()
-    kk = ty.groupBy().agg(F.count(F.lit(1)).cast("long").alias("k"))
-    a = ty.crossJoin(F.broadcast(kk)).select(
-        "t",
-        F.floor(F.lit(1e0) / F.sqrt(F.col("k").cast("double")) * F.lit(1e9) + F.lit(0.5))
-        .cast("long")
-        .alias("aq"),
-    )
+    import math
+
+    mrows = m.collect()  # k*k rows: bounded model state, never data
+    mm = {(r.t1, r.t2): r.n for r in mrows}
+    ts = sorted({r.t1 for r in mrows})
+    k = len(ts)
+    aq = {t: math.floor(1e0 / math.sqrt(float(k)) * 1e9 + 0.5) for t in ts}
     for _ in range(_HITS_ITERS):
-        raw = (
-            m.join(a.select(F.col("t").alias("t2"), "aq"), "t2")
-            .groupBy(F.col("t1").alias("t"))
-            .agg(F.sum(F.col("n") * F.col("aq")).cast("long").alias("raw"))
+        raw = {
+            t1: sum(mm.get((t1, t2), 0) * aq[t2] for t2 in ts) for t1 in ts
+        }  # exact int arithmetic (Python ints don't wrap; headroom doc'd)
+        acc = 0.0
+        for t in ts:  # t-sorted sequential fold, same op order as the CTE
+            acc += float(raw[t]) * float(raw[t])
+        nrm = math.sqrt(acc)
+        aq = {
+            t: math.floor(float(raw[t]) / nrm * 1e9 + 0.5) for t in ts
+        }
+    out_rows = [
+        (
+            t,
+            int(mm[(t, t)]),
+            math.floor(aq[t] / 1e9 * 1e6 + 0.5) / 1e6,
         )
-        nrm = raw.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("t", "raw"))).alias("arr")
-        ).select(
-            F.sqrt(
-                F.aggregate(
-                    F.col("arr"),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + s["raw"].cast("double") * s["raw"].cast("double"),
-                )
-            ).alias("nrm")
-        )
-        a = raw.crossJoin(F.broadcast(nrm)).select(
-            "t",
-            F.floor(F.col("raw").cast("double") / F.col("nrm") * F.lit(1e9) + F.lit(0.5))
-            .cast("long")
-            .alias("aq"),
-        )
-    diag = m.where(F.col("t1") == F.col("t2")).select(
-        F.col("t1").alias("event_type"), F.col("n").alias("n_users")
-    )
-    return (
-        diag.join(a.select(F.col("t").alias("event_type"), "aq"), "event_type")
-        .select(
-            "event_type",
-            "n_users",
-            (F.floor(F.col("aq") / F.lit(1e9) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-                "authority"
-            ),
-        )
-        .orderBy("event_type")
-    )
+        for t in ts
+    ]
+    return spark.createDataFrame(
+        out_rows, schema="event_type string, n_users long, authority double"
+    ).orderBy("event_type")
 
 
 # --- Theta-method forecast ----------------------------------------------------
