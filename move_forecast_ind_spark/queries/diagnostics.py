@@ -1144,3 +1144,115 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dq_schema_drift.__doc__ = dq_schema_drift.__doc__.format(split=_DRIFT_SPLIT)
+
+
+# --- IQR (boxplot) outlier fences ----------------------------------------------
+
+
+@register(
+    "dq_outlier_iqr_fences",
+    tags=("dq", "statistics"),
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    qs AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rk = CAST(CEIL(n * 0.25) AS BIGINT)
+                      THEN value END) AS q1,
+             MIN(CASE WHEN rk = CAST(CEIL(n * 0.75) AS BIGINT)
+                      THEN value END) AS q3
+      FROM v GROUP BY 1
+    ),
+    f AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5e0 * (q3 - q1) AS lo,
+             q3 + 1.5e0 * (q3 - q1) AS hi
+      FROM qs
+    )
+    SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+           FLOOR(f.q1 * 1e4 + 0.5) / 1e4 AS q1,
+           FLOOR(f.q3 * 1e4 + 0.5) / 1e4 AS q3,
+           FLOOR((f.q3 - f.q1) * 1e4 + 0.5) / 1e4 AS iqr,
+           FLOOR(f.lo * 1e4 + 0.5) / 1e4 AS fence_lo,
+           FLOOR(f.hi * 1e4 + 0.5) / 1e4 AS fence_hi,
+           CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM f JOIN events e ON e.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot (Tukey) outlier fences per event type: Q1/Q3 as exact
+    order statistics (rank ceil(n/4) / ceil(3n/4) under a total
+    (value, event_id) order — a deterministic pick, not an
+    interpolating percentile), fences at 1.5x IQR, and the count of
+    values beyond each fence — the third member of the outlier family
+    next to z-score (moment-based) and Hampel (rolling-robust): global
+    and robust. Exactness: the quartiles are single picked doubles, the
+    fence arithmetic one IEEE expression, outlier counts integer
+    comparisons against them — nothing accumulates in floating point.
+    Engine shape: one per-type window rank pass, a 5-row fence frame
+    broadcast back onto the scan for the counts. At 100 TB swap the
+    exact rank for the existing percentile_approx tier; the fence and
+    count stages are unchanged."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    qs = v.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.25).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.75).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q3"),
+    )
+    f = qs.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5e0) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5e0) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    r4q = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            r4q(F.col("q1")).alias("q1"),
+            r4q(F.col("q3")).alias("q3"),
+            r4q(F.col("q3") - F.col("q1")).alias("iqr"),
+            r4q(F.col("lo")).alias("fence_lo"),
+            r4q(F.col("hi")).alias("fence_hi"),
+        )
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )

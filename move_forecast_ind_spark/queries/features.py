@@ -381,3 +381,135 @@ def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- iterative proportional fitting (survey raking) ----------------------------
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle() -> str:
+    """3 IPF rounds, each a row-scale then a column-scale step, weights
+    requantized to a 1e6 BIGINT grid after every step so both engines'
+    margin sums are exact integer sums (no accumulation-order exposure)."""
+    layers = []
+    prev = "w0"
+    for k in range(1, _IPF_ROUNDS + 1):
+        layers.append(
+            f"""r{k} AS (
+      SELECT segment, nation, n_raw,
+             CAST(FLOOR((wq / 1e6)
+               * (t.row_target
+                  / (SUM(wq) OVER (PARTITION BY segment) / 1e6))
+               * 1e6 + 0.5) AS BIGINT) AS wq
+      FROM {prev} CROSS JOIN targets t
+    ),
+    w{k} AS (
+      SELECT segment, nation, n_raw,
+             CAST(FLOOR((wq / 1e6)
+               * (t.col_target
+                  / (SUM(wq) OVER (PARTITION BY nation) / 1e6))
+               * 1e6 + 0.5) AS BIGINT) AS wq
+      FROM r{k} CROSS JOIN targets t
+    )"""
+        )
+        prev = f"w{k}"
+    return f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    targets AS (
+      SELECT CAST(SUM(n_raw) AS DOUBLE)
+               / COUNT(DISTINCT segment) AS row_target,
+             CAST(SUM(n_raw) AS DOUBLE)
+               / COUNT(DISTINCT nation) AS col_target
+      FROM cells
+    ),
+    w0 AS (
+      SELECT segment, nation, n_raw,
+             CAST(n_raw * 1000000 AS BIGINT) AS wq
+      FROM cells
+    ),
+    {", ".join(layers)}
+    SELECT segment, nation, n_raw, wq / 1e6 AS weight,
+           FLOOR(wq / 1e6 / n_raw * 1e6 + 0.5) / 1e6 AS rake_factor
+    FROM {prev}
+    """
+
+
+@register(
+    "a_ipf_raking",
+    tags=("aggregate", "statistics", "iterative"),
+    oracle=_ipf_oracle(),
+)
+def a_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting, Deming & Stephan
+    1940): the (segment x nation) customer count table is raked in 3
+    rounds toward uniform row and column margins — per round, every
+    cell scales by row_target/row_sum then col_target/col_sum. The
+    post-stratification weighting every survey/experimentation stack
+    applies when a sample's margins drift from the population's. Emits
+    per cell the raked weight and the rake factor (weight/raw — the
+    design-effect driver). Exactness: weights requantize to a 1e6
+    BIGINT grid after EVERY scale step, so margin sums are exact
+    integer sums and the scale factors single IEEE divisions — the
+    fixed-point doctrine of the k-means/PCA tier without any driver
+    round-trip. Engine shape: one aggregate to the |segments| x
+    |nations| cell frame; the 6 scale layers are window passes over
+    those ~125 rows (the margins themselves shrink to broadcast size
+    at any data volume)."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    targets = cells.agg(
+        (
+            F.sum("n_raw").cast("double") / F.count_distinct("segment")
+        ).alias("row_target"),
+        (
+            F.sum("n_raw").cast("double") / F.count_distinct("nation")
+        ).alias("col_target"),
+    )
+    w = cells.crossJoin(F.broadcast(targets)).withColumn(
+        "wq", (F.col("n_raw") * 1000000).cast("long")
+    )
+    wrow = Window.partitionBy("segment")
+    wcol = Window.partitionBy("nation")
+    for _ in range(_IPF_ROUNDS):
+        w = w.withColumn(
+            "wq",
+            F.floor(
+                (F.col("wq") / 1e6)
+                * (F.col("row_target") / (F.sum("wq").over(wrow) / 1e6))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        w = w.withColumn(
+            "wq",
+            F.floor(
+                (F.col("wq") / 1e6)
+                * (F.col("col_target") / (F.sum("wq").over(wcol) / 1e6))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    return w.select(
+        "segment",
+        "nation",
+        "n_raw",
+        (F.col("wq") / 1e6).alias("weight"),
+        (
+            F.floor(F.col("wq") / 1e6 / F.col("n_raw") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("rake_factor"),
+    )

@@ -667,3 +667,144 @@ def ml_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("seasonal"))
         .alias("winner"),
     )
+
+
+# --- K-fold cross-validated forecaster score -----------------------------------
+
+_CV_FOLDS = 5
+
+
+@register(
+    "ml_kfold_cv_score",
+    tags=("ml", "forecast", "evaluation"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    folded AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(day AS VARCHAR)), 1, 4))
+                  AS INTEGER) % {_CV_FOLDS} AS fold
+      FROM daily
+    ),
+    gm AS (
+      SELECT f.event_type, f.fold,
+             CAST(SUM(t.n) AS DOUBLE) / COUNT(*) AS gmean
+      FROM (SELECT DISTINCT event_type, fold FROM folded) f
+      JOIN folded t ON t.event_type = f.event_type AND t.fold <> f.fold
+      GROUP BY 1, 2
+    ),
+    dm AS (
+      SELECT f.event_type, f.fold, f.dow,
+             CAST(SUM(t.n) AS DOUBLE) / COUNT(CASE WHEN t.n IS NOT NULL
+                                                   THEN 1 END) AS wmean
+      FROM (SELECT DISTINCT event_type, fold, dow FROM folded) f
+      LEFT JOIN folded t ON t.event_type = f.event_type
+                        AND t.dow = f.dow AND t.fold <> f.fold
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT h.event_type, h.fold,
+             CAST(FLOOR((COALESCE(d.wmean, g.gmean) - h.n)
+                        * (COALESCE(d.wmean, g.gmean) - h.n)
+                        * 1e6 + 0.5) AS BIGINT) AS sq
+      FROM folded h
+      JOIN gm g ON g.event_type = h.event_type AND g.fold = h.fold
+      LEFT JOIN dm d ON d.event_type = h.event_type
+                    AND d.fold = h.fold AND d.dow = h.dow
+    )
+    SELECT event_type, CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           FLOOR(sqrt(CAST(SUM(sq) AS DOUBLE) / 1e6 / COUNT(*)) * 1e4 + 0.5)
+             / 1e4 AS rmse
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def ml_kfold_cv_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated RMSE of the weekday-mean forecaster per
+    event type: days assign to {k} folds by the registry-standard md5
+    bucket (reproducible across engines and reruns — no rand()); for
+    each fold the model trains on the other {km1} and scores the held
+    fold, falling back to the out-of-fold global mean when a weekday has
+    no training day in that split. The honest-generalization complement
+    to ml_model_selection's single holdout (and the same out-of-fold
+    discipline ml_target_encoding applies to features). Exactness:
+    fold means are exact BIGINT ratios; per-day squared errors are one
+    IEEE expression quantized at 1e6 and summed as BIGINT; one sqrt at
+    the end. Engine shape: the spine aggregates once; fold models are
+    (type, fold[, dow]) aggregates of it (<= 5*5*7 rows, broadcast);
+    scoring is a broadcast join back onto the 150-row spine — at 100 TB
+    every stage after the daily aggregate is schema-sized."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    folded = daily.withColumn(
+        "fold",
+        F.conv(F.substring(F.md5(F.col("day").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _CV_FOLDS,
+    )
+    fkeys = folded.select("event_type", "fold").distinct()
+    t = folded.select(
+        F.col("event_type").alias("t_et"),
+        F.col("fold").alias("t_fold"),
+        F.col("dow").alias("t_dow"),
+        F.col("n").alias("t_n"),
+    )
+    gm = (
+        fkeys.join(
+            t,
+            (F.col("t_et") == F.col("event_type"))
+            & (F.col("t_fold") != F.col("fold")),
+        )
+        .groupBy("event_type", "fold")
+        .agg(
+            (F.sum("t_n").cast("double") / F.count(F.lit(1))).alias("gmean")
+        )
+    )
+    dkeys = folded.select("event_type", "fold", "dow").distinct()
+    dm = (
+        dkeys.join(
+            t,
+            (F.col("t_et") == F.col("event_type"))
+            & (F.col("t_dow") == F.col("dow"))
+            & (F.col("t_fold") != F.col("fold")),
+            "left",
+        )
+        .groupBy("event_type", "fold", "dow")
+        .agg(
+            (
+                F.sum("t_n").cast("double")
+                / F.count(F.when(F.col("t_n").isNotNull(), 1))
+            ).alias("wmean")
+        )
+    )
+    pred = F.coalesce(F.col("wmean"), F.col("gmean"))
+    scored = (
+        folded.join(F.broadcast(gm), ["event_type", "fold"])
+        .join(F.broadcast(dm), ["event_type", "fold", "dow"], "left")
+        .select(
+            "event_type",
+            "fold",
+            F.floor(
+                (pred - F.col("n")) * (pred - F.col("n")) * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    return scored.groupBy(
+        "event_type", F.col("fold").cast("int").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.floor(
+                F.sqrt(F.sum("sq").cast("double") / 1e6 / F.count(F.lit(1)))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("rmse"),
+    )
+
+
+ml_kfold_cv_score.__doc__ = ml_kfold_cv_score.__doc__.format(
+    k=_CV_FOLDS, km1=_CV_FOLDS - 1
+)

@@ -108,3 +108,67 @@ def test_absorbing_markov_replica(spark):
         assert abs(r.expected_steps - t[f]) < 1e-6
         assert 1.0 <= r.expected_steps <= 12.0
         assert 0.0 <= r.p_convert_1step <= 1.0
+
+
+def test_ipf_raking_margins_converge(spark):
+    """After 3 rounds the column (nation) margins are exact (the last
+    step scales columns), row margins are near-target, total weight is
+    conserved to the grid, and weights stay positive."""
+    rows = _q(spark, "a_ipf_raking").collect()
+    assert rows
+    total_raw = sum(r.n_raw for r in rows)
+    n_seg = len({r.segment for r in rows})
+    n_nat = len({r.nation for r in rows})
+    col_target = total_raw / n_nat
+    row_target = total_raw / n_seg
+    by_nat = defaultdict(float)
+    by_seg = defaultdict(float)
+    for r in rows:
+        assert r.weight > 0
+        assert r.rake_factor > 0
+        by_nat[r.nation] += r.weight
+        by_seg[r.segment] += r.weight
+    for nat, w in by_nat.items():
+        assert abs(w - col_target) < 1e-2, (nat, w, col_target)
+    # row margins converge but are not exact after a col-last step
+    for seg, w in by_seg.items():
+        assert abs(w - row_target) / row_target < 0.05, (seg, w)
+    assert abs(sum(by_seg.values()) - total_raw) < 1.0
+
+
+def test_iqr_fences_replica(spark):
+    """Quartiles and outlier counts recomputed from raw values must
+    match; fences bracket the quartiles."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r.event_type].append((r.value, r.event_id))
+    rows = {r.event_type: r for r in _q(spark, "dq_outlier_iqr_fences").collect()}
+    for ty, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[math.ceil(n * 0.25) - 1][0]
+        q3 = vs[math.ceil(n * 0.75) - 1][0]
+        r = rows[ty]
+        assert r.n == n
+        assert abs(r.q1 - math.floor(q1 * 1e4 + 0.5) / 1e4) < 1e-9
+        assert abs(r.q3 - math.floor(q3 * 1e4 + 0.5) / 1e4) < 1e-9
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        assert r.n_below == sum(1 for v, _ in vs if v < lo)
+        assert r.n_above == sum(1 for v, _ in vs if v > hi)
+        assert r.fence_lo <= r.q1 <= r.q3 <= r.fence_hi
+
+
+def test_kfold_cv_covers_all_days(spark):
+    """Across folds, per type, the test-day counts must sum to the full
+    spine (every day held out exactly once); RMSE non-negative."""
+    rows = _q(spark, "ml_kfold_cv_score").collect()
+    by_type = defaultdict(int)
+    for r in rows:
+        assert r.rmse >= 0.0
+        assert 0 <= r.fold < 5
+        by_type[r.event_type] += r.n_test
+    assert set(by_type.values()) == {30}
