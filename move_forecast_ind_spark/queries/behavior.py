@@ -417,3 +417,207 @@ def events_attribution_position(
         r2(F.sum(F.col("value") * F.col("share"))).alias("credited_revenue"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+# --- journey dwell time -----------------------------------------------------------
+
+
+@register(
+    "events_state_dwell_time",
+    tags=("events", "timeseries", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    g AS (
+      SELECT a.event_type AS state,
+             epoch_us(b.ts) - epoch_us(a.ts) AS gap_us,
+             a.event_id AS eid
+      FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ),
+    rk AS (
+      SELECT state, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY state
+                                ORDER BY gap_us, eid) AS r,
+             COUNT(*) OVER (PARTITION BY state) AS n,
+             SUM(gap_us) OVER (PARTITION BY state) AS s
+      FROM g
+    )
+    SELECT state, CAST(MAX(n) AS BIGINT) AS n_transitions,
+           FLOOR(CAST(MAX(s) AS DOUBLE) / MAX(n) / 6e7 * 1e4 + 0.5) / 1e4
+             AS mean_minutes,
+           FLOOR(MAX(CASE WHEN r = CAST(CEIL(n * 0.5) AS BIGINT)
+                          THEN gap_us END) / 6e7 * 1e4 + 0.5) / 1e4
+             AS median_minutes,
+           FLOOR(MAX(CASE WHEN r = CAST(CEIL(n * 0.9) AS BIGINT)
+                          THEN gap_us END) / 6e7 * 1e4 + 0.5) / 1e4
+             AS p90_minutes
+    FROM rk GROUP BY 1
+    """,
+)
+def events_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per journey state: for every consecutive per-user event
+    pair (the same (ts, event_id)-ordered transitions the Markov tier
+    uses), the gap attributed to the FROM state — per state the count,
+    exact-rational mean, and rank-picked exact median/p90 in minutes.
+    The timing complement to events_absorbing_markov's step counts
+    (steps x dwell = journey duration). Exactness: gaps are exact
+    microsecond BIGINTs; the mean is one division of exact sums; median
+    and p90 are order statistics under a total (gap, event_id) order —
+    no double accumulation. Engine shape: one rn window, one (user,
+    rn+1) self-join, one per-state window + aggregate over the ~5-row
+    key space. At 100 TB the self-join is user-partitioned (lead()
+    within the same window pass is the production variant; the join
+    form is kept so the oracle is line-for-line comparable)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("rn").alias("b_rn"),
+    )
+    g = e.join(
+        b,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_rn") == F.col("rn") + 1),
+    ).select(
+        F.col("event_type").alias("state"),
+        (F.unix_micros("b_ts") - F.unix_micros("ts")).alias("gap_us"),
+        F.col("event_id").alias("eid"),
+    )
+    wr = Window.partitionBy("state").orderBy("gap_us", "eid")
+    wn = Window.partitionBy("state")
+    rk = g.select(
+        "state",
+        "gap_us",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        F.sum("gap_us").over(wn).cast("long").alias("s"),
+    )
+    m4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return rk.groupBy("state").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        m4(F.max("s").cast("double") / F.max("n") / 6e7).alias("mean_minutes"),
+        m4(
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.col("n") * 0.5).cast("long"),
+                    F.col("gap_us"),
+                )
+            )
+            / 6e7
+        ).alias("median_minutes"),
+        m4(
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.col("n") * 0.9).cast("long"),
+                    F.col("gap_us"),
+                )
+            )
+            / 6e7
+        ).alias("p90_minutes"),
+    )
+
+
+# --- Cramér's V association ---------------------------------------------------------
+
+
+@register(
+    "a_cramers_v",
+    tags=("aggregate", "statistics"),
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT a, b, o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+             CAST(SUM(CAST(FLOOR(
+               (o - CAST(ra AS DOUBLE) * cb / n)
+               * (o - CAST(ra AS DOUBLE) * cb / n)
+               / (CAST(ra AS DOUBLE) * cb / n) * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS chi_q
+      FROM margins GROUP BY 1
+    )
+    SELECT n, r, c,
+           {sql_r4("chi_q / 1e6")} AS chi_square,
+           {sql_r6("sqrt(chi_q / 1e6 / (n * (LEAST(r, c) - 1)))")}
+             AS cramers_v
+    FROM terms
+    """,
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and order status —
+    the normalized [0,1] effect size the raw chi-square
+    (a_chi_square_independence) lacks: V = sqrt(chi2 / (n (min(r,c)-1)))
+    (Cramér 1946). Per-cell chi-square terms are identical IEEE
+    expressions of exact BIGINT margins, quantized at 1e6 and summed as
+    BIGINT over the <= r*c cells, so both the statistic and V are
+    accumulation-order-proof. Engine shape: ONE cell aggregate (map-side
+    combinable to r*c rows), margins as window passes over those cells,
+    one final row. The grouped-contingency pattern scales to any volume
+    because everything after the first aggregate is schema-sized."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(wa).cast("long").alias("ra"),
+        F.sum("o").over(wb).cast("long").alias("cb"),
+        F.sum("o").over(wn).cast("long").alias("n"),
+    )
+    exp = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    terms = m.groupBy("n").agg(
+        F.count_distinct("a").cast("long").alias("r"),
+        F.count_distinct("b").cast("long").alias("c"),
+        F.sum(
+            F.floor(
+                (F.col("o") - exp) * (F.col("o") - exp) / exp * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chi_q"),
+    )
+    return terms.select(
+        "n",
+        "r",
+        "c",
+        r4(F.col("chi_q") / 1e6).alias("chi_square"),
+        r6(
+            F.sqrt(
+                F.col("chi_q")
+                / 1e6
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            )
+        ).alias("cramers_v"),
+    )

@@ -580,3 +580,162 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age")
     )
+
+
+# --- inverse-propensity weighting (observational ATE) --------------------------
+
+
+@register(
+    "ml_propensity_ipw",
+    tags=("ml", "experiment", "causal"),
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS t,
+             o_orderstatus AS x,
+             CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    prop AS (
+      SELECT x,
+             CAST(SUM(t) AS DOUBLE) / COUNT(*) AS e,
+             CAST(SUM(t) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS nx
+      FROM lab GROUP BY 1
+    ),
+    w AS (
+      SELECT l.t, l.cents, p.e
+      FROM lab l JOIN prop p ON p.x = l.x
+      WHERE p.nt > 0 AND p.nt < p.nx
+    ),
+    terms AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(t) AS BIGINT) AS n_treated,
+        CAST(SUM(t * cents) AS BIGINT) AS y1,
+        CAST(SUM((1 - t) * cents) AS BIGINT) AS y0,
+        CAST(SUM(CASE WHEN t = 1
+             THEN CAST(FLOOR(cents / e * 1e2 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN t = 0
+             THEN CAST(FLOOR(cents / (1e0 - e) * 1e2 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN t = 1
+             THEN CAST(FLOOR(1e0 / e * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS w1,
+        CAST(SUM(CASE WHEN t = 0
+             THEN CAST(FLOOR(1e0 / (1e0 - e) * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS w0
+      FROM w
+    )
+    SELECT n, n_treated,
+           {sql_r4("(CAST(y1 AS DOUBLE) / n_treated"
+                   " - CAST(y0 AS DOUBLE) / (n - n_treated)) / 1e2")}
+             AS naive_diff,
+           {sql_r4("(CAST(s1 AS DOUBLE) / n - CAST(s0 AS DOUBLE) / n)"
+                   " / 1e2 / 1e2")} AS ate_ipw,
+           {sql_r4("(CAST(s1 AS DOUBLE) / 1e2 / (CAST(w1 AS DOUBLE) / 1e6)"
+                   " - CAST(s0 AS DOUBLE) / 1e2 / (CAST(w0 AS DOUBLE) / 1e6))"
+                   " / 1e2")} AS ate_hajek
+    FROM terms
+    """,
+)
+def ml_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational average-treatment-effect of order priority
+    (URGENT/HIGH = treated) on order value, adjusted for order-status
+    strata by inverse-propensity weighting: stratum propensity
+    e(x) = P(T=1|x) as an exact ratio, then both the Horvitz-Thompson
+    IPW estimator and the ratio-normalized Hájek estimator next to the
+    naive (confounded) difference — the observational-causal pillar
+    beside events_did_estimator (parallel trends) and
+    events_cuped_adjustment (variance reduction). Strata where
+    propensity is 0 or 1 are excluded (positivity violation — standard
+    practice, identically on both engines). Exactness: outcomes are
+    BIGINT cents; every weighted term is one IEEE expression of (cents,
+    exact-ratio e) quantized to a fixed grid and summed as BIGINT, so
+    the three estimates compare exact integers until the final scaled
+    divisions. Engine shape: one stratum aggregate (broadcast), one
+    map-side weighted pass, one global row — scan-rate at any volume."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("t"),
+        F.col("o_orderstatus").alias("x"),
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    prop = lab.groupBy("x").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("e"),
+        F.sum("t").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nx"),
+    )
+    w = lab.join(F.broadcast(prop), "x").filter(
+        (F.col("nt") > 0) & (F.col("nt") < F.col("nx"))
+    )
+    qi = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    t1 = F.col("t") == 1
+    terms = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("y1"),
+        F.sum((1 - F.col("t")) * F.col("cents")).cast("long").alias("y0"),
+        F.sum(
+            F.when(t1, qi(F.col("cents") / F.col("e") * 1e2)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                ~t1, qi(F.col("cents") / (F.lit(1e0) - F.col("e")) * 1e2)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("s0"),
+        F.sum(
+            F.when(t1, qi(F.lit(1e0) / F.col("e") * 1e6)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("w1"),
+        F.sum(
+            F.when(
+                ~t1, qi(F.lit(1e0) / (F.lit(1e0) - F.col("e")) * 1e6)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("w0"),
+    )
+    return terms.select(
+        "n",
+        "n_treated",
+        r4(
+            (
+                F.col("y1").cast("double") / F.col("n_treated")
+                - F.col("y0").cast("double") / (F.col("n") - F.col("n_treated"))
+            )
+            / 1e2
+        ).alias("naive_diff"),
+        r4(
+            (
+                F.col("s1").cast("double") / F.col("n")
+                - F.col("s0").cast("double") / F.col("n")
+            )
+            / 1e2
+            / 1e2
+        ).alias("ate_ipw"),
+        r4(
+            (
+                F.col("s1").cast("double") / 1e2 / (F.col("w1").cast("double") / 1e6)
+                - F.col("s0").cast("double") / 1e2 / (F.col("w0").cast("double") / 1e6)
+            )
+            / 1e2
+        ).alias("ate_hajek"),
+    )

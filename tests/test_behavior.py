@@ -126,3 +126,80 @@ def test_position_weights_u_shape(spark):
     k = found
     weights = [0.4] + [0.2 / (k - 2)] * (k - 2) + [0.4]
     assert abs(sum(weights) - 1.0) < 1e-12
+
+
+def test_dwell_time_replica(spark):
+    """Dwell means/medians recomputed from raw per-user gaps must match;
+    median <= p90; transition counts agree with the Markov tier's
+    outgoing counts for transient states."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    gaps = defaultdict(list)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rs, rs[1:]):
+            g = int(b.ts.timestamp() * 1e6) - int(a.ts.timestamp() * 1e6)
+            gaps[a.event_type].append((g, a.event_id))
+    rows = {r.state: r for r in _q(spark, "events_state_dwell_time").collect()}
+    assert set(rows) == set(gaps)
+    for st, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        r = rows[st]
+        assert r.n_transitions == n
+        mean = math.floor(sum(g for g, _ in gs) / n / 6e7 * 1e4 + 0.5) / 1e4
+        med = math.floor(gs[math.ceil(n * 0.5) - 1][0] / 6e7 * 1e4 + 0.5) / 1e4
+        p90 = math.floor(gs[math.ceil(n * 0.9) - 1][0] / 6e7 * 1e4 + 0.5) / 1e4
+        assert abs(r.mean_minutes - mean) < 1e-9
+        assert abs(r.median_minutes - med) < 1e-9
+        assert abs(r.p90_minutes - p90) < 1e-9
+        assert r.median_minutes <= r.p90_minutes
+
+
+def test_cramers_v_replica(spark):
+    """Chi-square and V recomputed from the contingency table must
+    match; V in [0, 1]."""
+    from move_forecast_ind_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    cells = defaultdict(int)
+    for o in orders:
+        cells[(o.o_orderpriority, o.o_orderstatus)] += 1
+    n = sum(cells.values())
+    ra = defaultdict(int)
+    cb = defaultdict(int)
+    for (a, b), c in cells.items():
+        ra[a] += c
+        cb[b] += c
+    chi_q = 0
+    for (a, b), o in cells.items():
+        e = ra[a] * cb[b] / n
+        chi_q += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+    r = _q(spark, "a_cramers_v").collect()[0]
+    assert r.n == n and r.r == len(ra) and r.c == len(cb)
+    assert abs(r.chi_square - math.floor(chi_q / 1e6 * 1e4 + 0.5) / 1e4) < 1e-9
+    v = math.sqrt(chi_q / 1e6 / (n * (min(len(ra), len(cb)) - 1)))
+    assert abs(r.cramers_v - math.floor(v * 1e6 + 0.5) / 1e6) < 1e-9
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_ipw_estimators_consistent(spark):
+    """Hájek and HT estimates must be finite and same-order; with a
+    near-random treatment the adjusted estimates stay within a sane
+    band of the naive difference; n partitions correctly."""
+    from move_forecast_ind_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    n_rows = len(orders)
+    r = _q(spark, "ml_propensity_ipw").collect()[0]
+    assert 0 < r.n_treated < r.n <= n_rows
+    for v in (r.naive_diff, r.ate_ipw, r.ate_hajek):
+        assert abs(v) < 5e5  # bounded by the price range
+    # HT and Hájek agree closely when weights are near-uniform
+    assert abs(r.ate_ipw - r.ate_hajek) < abs(r.naive_diff) + 2e3
