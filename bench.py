@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # DuckDB is ~25% slower than the r6 VM, visible in every anchor;
 # re-recorded 2026-08-15 when the three continuation-session reps —
 # events_hits_scores, events_cohort_ltv, ts_hampel_outliers — joined,
-# 30 → 33).
+# 30 → 33; extended 2026-08-15 later the same session with the three
+# r7f representatives — events_decayed_engagement, ml_forecast_reconcile,
+# a_ipf_raking — 33 → 36, anchors measured min-of-3 on this host).
 # Kept for cross-round continuity —
 # but host speed varies by >4× across driver VMs (measured 2026-08-14:
 # the same DuckDB suite took 16.1 s on that day's VM vs 3.99 s recorded),
@@ -44,7 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is the host-independent instrument.
 DUCKDB_ANCHOR_SF = 0.1
 DUCKDB_ANCHOR_SEC: dict[str, float] = {
+    "a_ipf_raking": 0.216,
     "corpus_quality_calibration": 0.597,
+    "events_decayed_engagement": 0.024,
+    "ml_forecast_reconcile": 0.112,
     "corpus_semdedup": 1.233,
     "corpus_source_overlap": 0.369,
     "dedup_exact": 0.079,

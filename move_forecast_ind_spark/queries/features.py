@@ -45,6 +45,7 @@ _US_PER_DAY = "8.64e10"
 
 @register(
     "events_decayed_engagement",
+    bench=True,  # r7f representative: scan-bound libm data path
     tags=("events", "feature", "aggregate"),
     oracle=f"""
     WITH mx AS (SELECT MAX(epoch_us(ts)) AS t_now FROM events),
@@ -442,6 +443,7 @@ def _ipf_oracle() -> str:
 
 @register(
     "a_ipf_raking",
+    bench=True,  # r7f representative: window-pass fixed-point tier
     tags=("aggregate", "statistics", "iterative"),
     oracle=_ipf_oracle(),
 )

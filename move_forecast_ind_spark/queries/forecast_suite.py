@@ -121,6 +121,7 @@ def _daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_forecast_reconcile",
+    bench=True,  # r7f representative: forecast-production tier
     tags=("ml", "forecast", "hierarchy"),
     oracle=f"""
     WITH {_DAILY_SPINE_SQL},
