@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.rounding import sql_r6
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -809,3 +810,309 @@ def ml_kfold_cv_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_kfold_cv_score.__doc__ = ml_kfold_cv_score.__doc__.format(
     k=_CV_FOLDS, km1=_CV_FOLDS - 1
 )
+
+
+# --- learning curve ------------------------------------------------------------
+
+_LC_FRACTIONS = (1, 2, 3, 4)  # md5(day)%4 < f  ->  25/50/75/100% of train days
+
+
+@register(
+    "ml_learning_curve",
+    tags=("ml", "forecast", "evaluation"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    lab AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(day AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 4 AS bucket
+      FROM daily
+    ),
+    fr AS (SELECT unnest(ARRAY[1, 2, 3, 4]) AS f),
+    models AS (
+      SELECT k.event_type, k.f, k.dow,
+             CAST(SUM(t.n) AS DOUBLE)
+               / COUNT(CASE WHEN t.n IS NOT NULL THEN 1 END) AS wmean,
+             CAST(COUNT(CASE WHEN t.n IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_train
+      FROM (SELECT DISTINCT event_type, f, dow
+            FROM lab CROSS JOIN fr) k
+      LEFT JOIN lab t ON t.event_type = k.event_type AND t.dow = k.dow
+                     AND t.t <= {_TRAIN_MAX_T} AND t.bucket < k.f
+      GROUP BY 1, 2, 3
+    ),
+    gmods AS (
+      SELECT k.event_type, k.f,
+             CAST(SUM(t.n) AS DOUBLE)
+               / COUNT(CASE WHEN t.n IS NOT NULL THEN 1 END) AS gmean,
+             CAST(COUNT(CASE WHEN t.n IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_train
+      FROM (SELECT DISTINCT event_type, f FROM lab CROSS JOIN fr) k
+      LEFT JOIN lab t ON t.event_type = k.event_type
+                     AND t.t <= {_TRAIN_MAX_T} AND t.bucket < k.f
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT h.event_type, g.f, g.n_train,
+             CAST(FLOOR((COALESCE(m.wmean, g.gmean) - h.n)
+                        * (COALESCE(m.wmean, g.gmean) - h.n)
+                        * 1e6 + 0.5) AS BIGINT) AS sq
+      FROM lab h
+      JOIN gmods g ON g.event_type = h.event_type
+      LEFT JOIN models m ON m.event_type = h.event_type
+                        AND m.f = g.f AND m.dow = h.dow
+      WHERE h.t > {_TRAIN_MAX_T} AND g.gmean IS NOT NULL
+    )
+    SELECT event_type, CAST(f * 25 AS INT) AS train_pct,
+           CAST(MAX(n_train) AS BIGINT) AS n_train_days,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           FLOOR(sqrt(CAST(SUM(sq) AS DOUBLE) / 1e6 / COUNT(*)) * 1e4 + 0.5)
+             / 1e4 AS rmse
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the weekday-mean forecaster: the 23-day train
+    window is subsampled at 25/50/75/100% by md5 day-buckets (nested —
+    each larger fraction contains the smaller, the standard
+    learning-curve protocol), each subset's model scores the same 7-day
+    holdout, RMSE per (type, fraction). Answers the data-economics
+    question ("would more history help?") the reference never asks of
+    its fixed 110-branch training set (pretrain_models.py). A weekday
+    with no sampled train day falls back to the subset's global mean;
+    fractions with an empty subset are dropped (identically both
+    engines). Exactness: subset means are exact BIGINT ratios; squared
+    errors quantize at 1e6 and sum as BIGINT. Engine shape: spine
+    aggregate once; models are (type, fraction[, dow]) reductions
+    joined broadcast onto the 35-row holdout — the 4x fraction fan-out
+    multiplies the SPINE, never raw data."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    lab = daily.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("day").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 4,
+    )
+    fr = spark.range(1, 5).select(F.col("id").cast("int").alias("f"))
+    t = lab.select(
+        F.col("event_type").alias("t_et"),
+        F.col("dow").alias("t_dow"),
+        F.col("n").alias("t_n"),
+        F.col("t").alias("t_t"),
+        F.col("bucket").alias("t_bucket"),
+    )
+    keys = lab.crossJoin(F.broadcast(fr)).select(
+        "event_type", "f", "dow"
+    ).distinct()
+    train_cond = (
+        (F.col("t_et") == F.col("event_type"))
+        & (F.col("t_t") <= _TRAIN_MAX_T)
+        & (F.col("t_bucket") < F.col("f"))
+    )
+    models = (
+        keys.join(t, train_cond & (F.col("t_dow") == F.col("dow")), "left")
+        .groupBy("event_type", "f", "dow")
+        .agg(
+            (
+                F.sum("t_n").cast("double")
+                / F.count(F.when(F.col("t_n").isNotNull(), 1))
+            ).alias("wmean"),
+        )
+    )
+    gkeys = lab.crossJoin(F.broadcast(fr)).select("event_type", "f").distinct()
+    gmods = (
+        gkeys.join(t, train_cond, "left")
+        .groupBy("event_type", "f")
+        .agg(
+            (
+                F.sum("t_n").cast("double")
+                / F.count(F.when(F.col("t_n").isNotNull(), 1))
+            ).alias("gmean"),
+            F.count(F.when(F.col("t_n").isNotNull(), 1))
+            .cast("long")
+            .alias("n_train"),
+        )
+    )
+    pred = F.coalesce(F.col("wmean"), F.col("gmean"))
+    scored = (
+        lab.filter(F.col("t") > _TRAIN_MAX_T)
+        .join(F.broadcast(gmods), "event_type")
+        .filter(F.col("gmean").isNotNull())
+        .join(F.broadcast(models), ["event_type", "f", "dow"], "left")
+        .select(
+            "event_type",
+            "f",
+            "n_train",
+            F.floor(
+                (pred - F.col("n")) * (pred - F.col("n")) * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    return scored.groupBy(
+        "event_type", (F.col("f") * 25).cast("int").alias("train_pct")
+    ).agg(
+        F.max("n_train").cast("long").alias("n_train_days"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.floor(
+                F.sqrt(F.sum("sq").cast("double") / 1e6 / F.count(F.lit(1)))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("rmse"),
+    )
+
+
+# --- exact Shapley R² decomposition ---------------------------------------------
+
+
+@register(
+    "ml_shapley_r2",
+    tags=("ml", "explainability"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    feat AS (
+      SELECT event_type,
+             CAST(t AS BIGINT) AS x1,
+             CAST(CASE WHEN dow IN (1, 7) THEN 1 ELSE 0 END AS BIGINT) AS x2,
+             n AS y
+      FROM daily
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM feat GROUP BY 1
+    ),
+    cen AS (
+      SELECT event_type,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+      FROM mom
+    ),
+    r2 AS (
+      SELECT event_type,
+             c1y * c1y / (c11 * cyy) AS r2_1,
+             c2y * c2y / (c22 * cyy) AS r2_2,
+             (c1y * (c22 * c1y - c12 * c2y)
+              + c2y * (c11 * c2y - c12 * c1y))
+               / ((c11 * c22 - c12 * c12) * cyy) AS r2_12
+      FROM cen
+    )
+    SELECT event_type,
+           {sql_r6("r2_1")} AS r2_trend,
+           {sql_r6("r2_2")} AS r2_weekend,
+           {sql_r6("r2_12")} AS r2_full,
+           {sql_r6("5e-1 * (r2_1 + (r2_12 - r2_2))")} AS shap_trend,
+           {sql_r6("5e-1 * (r2_2 + (r2_12 - r2_1))")} AS shap_weekend
+    FROM r2
+    """,
+)
+def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley decomposition of forecast R² between two features
+    (trend index, weekend flag) per event-type series: R² for every
+    feature subset from closed-form normal equations over exact BIGINT
+    moments, then the two-player Shapley values
+    phi_i = 1/2[(R²({i}) - R²(∅)) + (R²({1,2}) - R²({-i}))] — the
+    LMG / Shapley-regression attribution (Lipovetsky & Conklin 2001)
+    computed exactly, not sampled, because the 2^k subset lattice is
+    enumerable at k=2. Efficiency holds by construction:
+    shap_trend + shap_weekend = r2_full (a pinned test invariant).
+    Exactness: all ten raw moments are BIGINT sums in ONE map-side
+    aggregate; centered moments and every R² are single IEEE
+    expressions of them (cast to double only at combination time —
+    products of centered moments exceed int64 by design). At 100 TB:
+    one aggregate, k rows, zero joins."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    feat = daily.select(
+        "event_type",
+        F.col("t").cast("long").alias("x1"),
+        F.when(F.col("dow").isin(1, 7), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("x2"),
+        F.col("n").alias("y"),
+    )
+    mom = feat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    cen = mom.select(
+        "event_type",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        .alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2"))
+        .cast("double")
+        .alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2"))
+        .cast("double")
+        .alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy"))
+        .cast("double")
+        .alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy"))
+        .cast("double")
+        .alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("cyy"),
+    )
+    r2 = cen.select(
+        "event_type",
+        (F.col("c1y") * F.col("c1y") / (F.col("c11") * F.col("cyy"))).alias(
+            "r2_1"
+        ),
+        (F.col("c2y") * F.col("c2y") / (F.col("c22") * F.col("cyy"))).alias(
+            "r2_2"
+        ),
+        (
+            (
+                F.col("c1y")
+                * (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"))
+                + F.col("c2y")
+                * (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"))
+            )
+            / (
+                (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12"))
+                * F.col("cyy")
+            )
+        ).alias("r2_12"),
+    )
+    g6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return r2.select(
+        "event_type",
+        g6(F.col("r2_1")).alias("r2_trend"),
+        g6(F.col("r2_2")).alias("r2_weekend"),
+        g6(F.col("r2_12")).alias("r2_full"),
+        g6(F.lit(5e-1) * (F.col("r2_1") + (F.col("r2_12") - F.col("r2_2")))).alias(
+            "shap_trend"
+        ),
+        g6(F.lit(5e-1) * (F.col("r2_2") + (F.col("r2_12") - F.col("r2_1")))).alias(
+            "shap_weekend"
+        ),
+    )

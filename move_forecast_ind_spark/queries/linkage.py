@@ -819,3 +819,93 @@ def s_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("delta").cast("long").alias("price_delta_cents"),
     )
+
+
+# --- interval allocation (revenue recognition proration) -----------------------
+
+_ALLOC_DAYS = 14  # fulfillment window per order
+
+
+@register(
+    "j_interval_allocation",
+    tags=("join", "aggregate", "finance"),
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d0,
+             CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    days AS (
+      SELECT o.o_orderkey, o.cents,
+             o.d0 + CAST(i AS INT) AS d
+      FROM o, LATERAL (SELECT unnest(generate_series(0, {_ALLOC_DAYS} - 1))
+                       AS i) g
+    ),
+    alloc AS (
+      SELECT date_trunc('month', d) AS month,
+             CAST(SUM(cents) AS BIGINT) AS cent_days,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      FROM days GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, n_orders,
+           FLOOR(CAST(cent_days AS DOUBLE) / {_ALLOC_DAYS} / 1e2 * 1e2 + 0.5)
+             / 1e2 AS allocated_revenue
+    FROM alloc
+    """,
+)
+def j_interval_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap revenue allocation (recognition proration): each
+    order's value spreads evenly over its {d}-day fulfillment window and
+    is allocated to calendar months by days-of-overlap — the
+    finance-grade proration every revenue-recognition / campaign-pacing
+    system runs, expressed as a bounded {d}x in-row day fan-out + one
+    month aggregate instead of an interval join. Exactness: the
+    allocation numerator is the exact BIGINT sum of cents x overlap-days
+    (one row per order-day), divided ONCE by the window length — so the
+    engine-side sums are pure integers and months reconcile to the total
+    exactly (pinned test: sum(allocated) = total_cents/100 to the cents
+    grid). At 100 TB the fan-out factor is the constant window length
+    (the Hampel/band-join bounded-expansion doctrine) and the aggregate
+    map-side combines to |months| rows; a variable-length interval
+    version swaps the constant for width buckets, same shape."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    days = o.select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_ALLOC_DAYS - 1))
+        ).alias("i"),
+    ).select(
+        "o_orderkey", "cents", F.date_add("d0", F.col("i")).alias("d")
+    )
+    alloc = days.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("month")
+    ).agg(
+        F.sum("cents").cast("long").alias("cent_days"),
+        F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+    )
+    return alloc.select(
+        "month",
+        "n_orders",
+        (
+            F.floor(
+                F.col("cent_days").cast("double") / _ALLOC_DAYS / 1e2 * 1e2
+                + F.lit(0.5)
+            )
+            / 1e2
+        ).alias("allocated_revenue"),
+    )
+
+
+j_interval_allocation.__doc__ = j_interval_allocation.__doc__.format(
+    d=_ALLOC_DAYS
+)

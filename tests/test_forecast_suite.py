@@ -221,3 +221,82 @@ def test_model_selection_smape_replica(spark):
         ]
         smape = math.floor(sum(terms) / len(terms) / 1e9 * 1e6 + 0.5) / 1e6
         assert abs(smape - rows[ty].smape_mean) < 1e-9, ty
+
+
+def test_learning_curve_nested_fractions(spark):
+    """Larger fractions contain the smaller (nested subsampling), so
+    n_train_days is nondecreasing in train_pct per type, covers the
+    full 23-day train window at 100%, and every (type, pct) cell is
+    scored on the same 7-day holdout."""
+    rows = _q(spark, "ml_learning_curve").collect()
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r.event_type][r.train_pct] = r
+        assert r.n_test == 7
+        assert r.rmse >= 0.0
+    for ty, d in by_type.items():
+        pcts = sorted(d)
+        assert pcts[-1] == 100
+        assert d[100].n_train_days == 23
+        for a, b in zip(pcts, pcts[1:]):
+            assert d[a].n_train_days <= d[b].n_train_days, (ty, a, b)
+
+
+def test_shapley_efficiency_and_replica(spark):
+    """Shapley efficiency must hold: shap_trend + shap_weekend ==
+    r2_full (to the shared grid); each R² recomputed from scratch must
+    match; R² values live in [0, 1] and r2_full >= max(single)."""
+    spine, mn, mx = _daily(spark)
+    rows = _q(spark, "ml_shapley_r2").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs((r.shap_trend + r.shap_weekend) - r.r2_full) < 3e-6
+        for v in (r.r2_trend, r.r2_weekend, r.r2_full):
+            assert -1e-9 <= v <= 1.0 + 1e-9
+        assert r.r2_full >= max(r.r2_trend, r.r2_weekend) - 1e-6
+        pts = [
+            (
+                (d - mn).days,
+                1 if (d.isoweekday() % 7 + 1) in (1, 7) else 0,
+                n,
+            )
+            for (ty, d), n in spine.items()
+            if ty == r.event_type
+        ]
+        n = len(pts)
+        s1 = sum(p[0] for p in pts)
+        s2 = sum(p[1] for p in pts)
+        sy = sum(p[2] for p in pts)
+        c11 = n * sum(p[0] * p[0] for p in pts) - s1 * s1
+        c22 = n * sum(p[1] * p[1] for p in pts) - s2 * s2
+        c12 = n * sum(p[0] * p[1] for p in pts) - s1 * s2
+        c1y = n * sum(p[0] * p[2] for p in pts) - s1 * sy
+        c2y = n * sum(p[1] * p[2] for p in pts) - s2 * sy
+        cyy = n * sum(p[2] * p[2] for p in pts) - sy * sy
+        r2_1 = c1y * c1y / (c11 * cyy)
+        r2_2 = c2y * c2y / (c22 * cyy)
+        r2_12 = (
+            c1y * (c22 * c1y - c12 * c2y) + c2y * (c11 * c2y - c12 * c1y)
+        ) / ((c11 * c22 - c12 * c12) * cyy)
+        assert abs(r.r2_trend - math.floor(r2_1 * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(r.r2_weekend - math.floor(r2_2 * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(r.r2_full - math.floor(r2_12 * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_interval_allocation_conserves_revenue(spark):
+    """Allocated revenue summed over months must equal total order value
+    exactly on the cents-days grid (each order contributes cents*14/14),
+    and every order's window spans at most two months here."""
+    from move_forecast_ind_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_totalprice"
+    ).collect()
+    total = sum(
+        math.floor(o.o_totalprice * 100 + 0.5) for o in orders
+    )
+    rows = _q(spark, "j_interval_allocation").collect()
+    assert rows
+    alloc = sum(r.allocated_revenue for r in rows)
+    assert abs(alloc - total / 100) < 0.5  # cents-days grid rounding
+    assert all(r.n_orders > 0 for r in rows)
