@@ -739,3 +739,225 @@ def ml_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e2
         ).alias("ate_hajek"),
     )
+
+
+# --- Wilson score intervals -------------------------------------------------------
+
+_WILSON_Z = "1.959963984540054e0"  # z_{0.975}, shared exact literal
+_WILSON_RAD = f"sqrt(p * (1e0 - p) / nu + zz_n / (4e0 * nu))"
+_WILSON_LO = (
+    f"(p + zz_n / 2 - {_WILSON_Z} * {_WILSON_RAD}) / (1e0 + zz_n)"
+)
+_WILSON_HI = (
+    f"(p + zz_n / 2 + {_WILSON_Z} * {_WILSON_RAD}) / (1e0 + zz_n)"
+)
+
+
+@register(
+    "events_wilson_ci",
+    tags=("events", "experiment", "statistics"),
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+               FROM events),
+    k AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ku
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT k.event_type, k.ku, n.nu,
+             CAST(k.ku AS DOUBLE) / n.nu AS p,
+             {_WILSON_Z} * {_WILSON_Z} / n.nu AS zz_n
+      FROM k CROSS JOIN n
+    )
+    SELECT event_type, ku AS n_engaged, nu AS n_users,
+           {sql_r6("p")} AS rate,
+           {sql_r6(_WILSON_LO)} AS wilson_lo,
+           {sql_r6(_WILSON_HI)} AS wilson_hi
+    FROM w
+    """,
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for each event type's user
+    engagement rate (distinct engaged users / all users) — the
+    binomial-proportion interval with correct coverage at extreme rates
+    and small n where the Wald interval collapses (Wilson 1927; Brown,
+    Cai & DasGupta 2001 recommend it outright). Exactness: k and n are
+    exact distinct counts, z is a shared exact literal, the whole
+    interval is one IEEE expression of those — no accumulation anywhere.
+    Engine shape: one distinct-count aggregate per type + one global,
+    k rows out; the distinct counts are the only shuffle-bearing terms
+    (HLL tier swaps in when approximate suffices at 100 TB)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.agg(F.count_distinct("user_id").cast("long").alias("nu"))
+    k = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("ku")
+    )
+    z = float(_WILSON_Z)
+    w = k.crossJoin(F.broadcast(n)).select(
+        "event_type",
+        "ku",
+        "nu",
+        (F.col("ku").cast("double") / F.col("nu")).alias("p"),
+        (F.lit(z) * F.lit(z) / F.col("nu")).alias("zz_n"),
+    )
+    rad = F.sqrt(
+        F.col("p") * (F.lit(1e0) - F.col("p")) / F.col("nu")
+        + F.col("zz_n") / (F.lit(4e0) * F.col("nu"))
+    )
+    return w.select(
+        "event_type",
+        F.col("ku").alias("n_engaged"),
+        F.col("nu").alias("n_users"),
+        r6(F.col("p")).alias("rate"),
+        r6(
+            (F.col("p") + F.col("zz_n") / 2 - F.lit(z) * rad)
+            / (F.lit(1e0) + F.col("zz_n"))
+        ).alias("wilson_lo"),
+        r6(
+            (F.col("p") + F.col("zz_n") / 2 + F.lit(z) * rad)
+            / (F.lit(1e0) + F.col("zz_n"))
+        ).alias("wilson_hi"),
+    )
+
+
+# --- TOST equivalence test ----------------------------------------------------------
+
+_TOST_Z = "1.6448536269514722e0"   # z_{0.95}: one-sided 5%
+_TOST_MARGIN_FRAC = "2e-2"          # equivalence margin: 2% of pooled mean
+
+
+@register(
+    "a_tost_equivalence",
+    tags=("aggregate", "experiment", "statistics"),
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 2 AS arm,
+             CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mo AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS HUGEINT) AS ss
+      FROM lab GROUP BY 1
+    ),
+    w AS (
+      SELECT a.n AS na, b.n AS nb,
+             CAST(a.s AS DOUBLE) / a.n AS ma,
+             CAST(b.s AS DOUBLE) / b.n AS mb,
+             (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n)
+               / (a.n - 1) AS va,
+             (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+               / (b.n - 1) AS vb,
+             (CAST(a.s AS DOUBLE) + b.s) / (a.n + b.n)
+               * {_TOST_MARGIN_FRAC} AS margin
+      FROM (SELECT * FROM mo WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM mo WHERE arm = 1) b
+    ),
+    t AS (
+      SELECT na, nb, ma, mb, margin,
+             mb - ma AS diff,
+             sqrt(va / na + vb / nb) AS se
+      FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           {sql_r4("ma / 1e2")} AS mean_a,
+           {sql_r4("mb / 1e2")} AS mean_b,
+           {sql_r4("diff / 1e2")} AS diff,
+           {sql_r4("margin / 1e2")} AS margin,
+           {sql_r4("(diff + margin) / se")} AS t_lower,
+           {sql_r4("(margin - diff) / se")} AS t_upper,
+           CAST((diff + margin) / se > {_TOST_Z}
+                AND (margin - diff) / se > {_TOST_Z} AS BOOLEAN)
+             AS equivalent
+    FROM t
+    """,
+)
+def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) between two md5-split
+    order-value arms: both one-sided z-statistics against a ±2%-of-
+    pooled-mean margin must clear z_0.95 to declare equivalence — the
+    inferential complement to a_welch_ttest (which can only FAIL to
+    find a difference; TOST affirmatively bounds it). The standard
+    non-inferiority gate for infra A/B tests where "no change" is the
+    success criterion. Exactness: arm moments are exact integer sums
+    (squares in HUGEINT on the oracle, guarded-int64-free on Spark via
+    the same cents domain as a_welch_ttest), every emitted statistic a
+    single IEEE expression of them. One aggregate, one row."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("arm"),
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mo = lab.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            (F.col("cents").cast("double") * F.col("cents"))
+        ).alias("ssd"),
+    )
+    a = mo.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ssd").alias("ssa")
+    )
+    b = mo.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ssd").alias("ssb")
+    )
+    w = a.crossJoin(F.broadcast(b)).select(
+        "na",
+        "nb",
+        (F.col("sa").cast("double") / F.col("na")).alias("ma"),
+        (F.col("sb").cast("double") / F.col("nb")).alias("mb"),
+        (
+            (F.col("ssa") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+            / (F.col("na") - 1)
+        ).alias("va"),
+        (
+            (F.col("ssb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - 1)
+        ).alias("vb"),
+        (
+            (F.col("sa").cast("double") + F.col("sb"))
+            / (F.col("na") + F.col("nb"))
+            * float(_TOST_MARGIN_FRAC)
+        ).alias("margin"),
+    )
+    t = w.select(
+        "na",
+        "nb",
+        "ma",
+        "mb",
+        "margin",
+        (F.col("mb") - F.col("ma")).alias("diff"),
+        F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")).alias(
+            "se"
+        ),
+    )
+    z = float(_TOST_Z)
+    return t.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        r4(F.col("ma") / 1e2).alias("mean_a"),
+        r4(F.col("mb") / 1e2).alias("mean_b"),
+        r4(F.col("diff") / 1e2).alias("diff"),
+        r4(F.col("margin") / 1e2).alias("margin"),
+        r4((F.col("diff") + F.col("margin")) / F.col("se")).alias("t_lower"),
+        r4((F.col("margin") - F.col("diff")) / F.col("se")).alias("t_upper"),
+        (
+            ((F.col("diff") + F.col("margin")) / F.col("se") > z)
+            & ((F.col("margin") - F.col("diff")) / F.col("se") > z)
+        ).alias("equivalent"),
+    )

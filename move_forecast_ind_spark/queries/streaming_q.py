@@ -393,3 +393,72 @@ def st_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("last.value")).alias("last_value"),
         )
     )
+
+
+# --- streaming decayed engagement (batch twin) ----------------------------------
+
+
+@register(
+    "st_decayed_engagement",
+    tags=("streaming", "aggregate", "feature"),
+    oracle="""
+    WITH st AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(value * exp(9.902102579427789e-2
+                 * ((epoch_us(ts) - 1704067200000000) / 8.64e10))) AS s_shift,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT MAX(last_us) AS t_now FROM st)
+    SELECT user_id, n_events,
+           FLOOR(s_shift * exp(-9.902102579427789e-2
+                 * ((g.t_now - 1704067200000000) / 8.64e10)) * 1e4 + 0.5)
+             / 1e4 AS decayed_score
+    FROM st CROSS JOIN g
+    """,
+)
+def st_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.decayed_state + read-out: the
+    7-day-half-life engagement score maintained INCREMENTALLY — the
+    per-user state is the time-shifted sum S = sum(v * exp(+lam*(t-t0)))
+    (each term constant at ingest time, so it streams as a plain
+    update-mode aggregate with one state row per user), and the score at
+    the stream's high-watermark T is S * exp(-lam*(T-t0)). Same model as
+    events_decayed_engagement but algebraically refactored for
+    streamability — the two differ only in op order inside the r4 grid
+    (documented sum-order contract). Drain test:
+    tests/test_streaming.py::test_decayed_engagement_equivalence drains
+    the stream, applies the identical read-out, and matches this twin.
+    At 100 TB streaming: state is O(|users|) doubles, no watermark, no
+    window — the feature-store continuous-refresh shape."""
+    tune(spark)
+    from ..streaming.events import (
+        _DECAY_LAM_PER_DAY,
+        _DECAY_T0_US,
+        _US_PER_DAY_F,
+        decayed_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    st = decayed_state(ev)
+    g = st.agg(F.max("last_us").alias("t_now"))
+    return st.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n_events",
+        (
+            F.floor(
+                F.col("s_shift")
+                * F.exp(
+                    -F.lit(_DECAY_LAM_PER_DAY)
+                    * (
+                        (F.col("t_now") - F.lit(_DECAY_T0_US))
+                        / _US_PER_DAY_F
+                    )
+                )
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("decayed_score"),
+    )

@@ -411,3 +411,30 @@ def write_foreach_batch_jdbc(stream_df: DataFrame, url: str, table: str):
         .foreachBatch(write_batch)
         .start()
     )
+
+
+_DECAY_LAM_PER_DAY = 9.902102579427789e-2  # ln(2)/7 — 7-day half-life
+_DECAY_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, fixed anchor
+_US_PER_DAY_F = 8.64e10
+
+
+def decayed_state(events: DataFrame) -> DataFrame:
+    """Streaming sufficient statistic for the 7-day-half-life decayed
+    engagement score: per user, S = SUM(value * exp(+lam*(ts-t0)/day))
+    plus the event count and newest timestamp. The time-shifted form
+    makes the score STREAMABLE — each event's term is a constant (no
+    dependence on "now"), so this is a plain update-mode grouped
+    aggregate with one state row per user and no watermark; the
+    read-out score at any horizon T is S * exp(-lam*(T-t0)/day)
+    (exp overflow is bounded because the anchor sits inside the data
+    window: lam*(t-t0) <= lam*30d ~ 3). Batch twin + read-out:
+    queries.features.st pattern in st_decayed_engagement."""
+    term = F.col("value") * F.exp(
+        F.lit(_DECAY_LAM_PER_DAY)
+        * ((F.unix_micros("ts") - F.lit(_DECAY_T0_US)) / _US_PER_DAY_F)
+    )
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(term).alias("s_shift"),
+        F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+    )

@@ -448,3 +448,43 @@ def test_latest_state_equivalence(spark, event_stream_factory):
     batch = st_cdc_latest_state(spark, SF_SMALL)
     cols = ["user_id", "n_events", "last_ts_us", "last_type"]
     assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_decayed_engagement_equivalence(spark, event_stream_factory):
+    """Streaming decayed-engagement state: drain the update-mode
+    aggregate, apply the identical read-out transform, and match the
+    batch twin on the r4 grid (sum-order contract: stream accumulates
+    across micro-batches in arrival order, batch in scan order)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.queries.streaming_q import (
+        st_decayed_engagement,
+    )
+    from move_forecast_ind_spark.streaming.events import (
+        _DECAY_LAM_PER_DAY,
+        _DECAY_T0_US,
+        _US_PER_DAY_F,
+        decayed_state,
+    )
+
+    out = _drain(decayed_state(event_stream_factory()), "t_decay", "complete")
+    g = out.agg(F.max("last_us").alias("t_now"))
+    scored = out.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n_events",
+        (
+            F.floor(
+                F.col("s_shift")
+                * F.exp(
+                    -F.lit(_DECAY_LAM_PER_DAY)
+                    * ((F.col("t_now") - F.lit(_DECAY_T0_US)) / _US_PER_DAY_F)
+                )
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("decayed_score"),
+    )
+    batch = st_decayed_engagement(spark, SF_SMALL)
+    cols = ["user_id", "n_events", "decayed_score"]
+    assert _rows(scored.select(*cols), cols) == _rows(batch.select(*cols), cols)

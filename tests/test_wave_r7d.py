@@ -156,3 +156,30 @@ def test_pq_adc_exact_topk_replica(spark):
     random_overlap = k * k / n  # expected |A∩B| for independent k-sets
     mean_overlap = sum(r.n_overlap for r in rows.values()) / len(rows)
     assert mean_overlap >= min(random_overlap, k) * 0.3  # sanity, not quality
+
+
+def test_wilson_interval_brackets_rate(spark):
+    """Wilson bounds must bracket the point rate, stay inside [0,1],
+    and be narrower than ±z/(2√n) + slack (sanity, not theory)."""
+    rows = _q(spark, "events_wilson_ci").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        assert r.n_engaged <= r.n_users
+        halfw = (r.wilson_hi - r.wilson_lo) / 2
+        import math as _m
+
+        assert halfw <= 1.96 / (2 * _m.sqrt(r.n_users)) + 1e-3
+
+
+def test_tost_consistent_with_welch_shape(spark):
+    """TOST internals: diff = mean_b - mean_a, t_lower/t_upper mirror
+    around the margin, and the equivalence verdict matches recomputing
+    the comparison from the emitted statistics."""
+    r = _q(spark, "a_tost_equivalence").collect()[0]
+    assert abs((r.mean_b - r.mean_a) - r.diff) < 1e-2
+    assert r.margin > 0
+    # t_lower + t_upper == 2*margin/se > 0; both finite
+    assert r.t_lower + r.t_upper > 0
+    z = 1.6448536269514722
+    assert r.equivalent == (r.t_lower > z and r.t_upper > z)
