@@ -888,3 +888,126 @@ def emb_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_pq_adc_recall.__doc__ = emb_pq_adc_recall.__doc__.format(k=_ADC_K)
+
+
+# --- embedding centroid drift ---------------------------------------------------
+
+_CD_GRID = "1e6"  # centroid quantization grid (per-dimension)
+
+
+@register(
+    "emb_centroid_drift",
+    tags=("embedding", "dq"),
+    oracle=f"""
+    WITH e AS (
+      SELECT label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 2 AS era,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT e.label, e.era, d.i, e.v[d.i + 1] AS x
+      FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) d
+    ),
+    cent AS (
+      SELECT label, era, i,
+             CAST(FLOOR(SUM(x) / COUNT(*) * {_CD_GRID} + 0.5) AS BIGINT) AS cq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dims GROUP BY 1, 2, 3
+    ),
+    pair AS (
+      SELECT a.label, a.i, a.cq AS ca, b.cq AS cb,
+             MAX(a.n) OVER (PARTITION BY a.label) AS n_a,
+             MAX(b.n) OVER (PARTITION BY b.label) AS n_b
+      FROM (SELECT * FROM cent WHERE era = 0) a
+      JOIN (SELECT * FROM cent WHERE era = 1) b
+        ON b.label = a.label AND b.i = a.i
+    )
+    SELECT label, MAX(n_a) AS n_era0, MAX(n_b) AS n_era1,
+           FLOOR(sqrt(CAST(SUM((ca - cb) * (ca - cb)) AS DOUBLE))
+                 / {_CD_GRID} * 1e6 + 0.5) / 1e6 AS l2_drift,
+           FLOOR(CAST(SUM(ca * cb) AS DOUBLE)
+                 / (sqrt(CAST(SUM(ca * ca) AS DOUBLE))
+                    * sqrt(CAST(SUM(cb * cb) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS centroid_cosine
+    FROM pair GROUP BY 1
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift audit per label: vectors split into two eras by
+    md5(vec_id) parity, per-era per-dimension centroids quantized to a
+    1e6 grid, then the L2 distance and cosine BETWEEN the two quantized
+    centroids — the embedding-space analog of dq_drift_psi (value
+    distributions) and dq_schema_drift (column profiles): "did the
+    representation move between snapshots". Exactness: centroids are
+    exact ratios quantized to BIGINTs per dimension; distance and
+    cosine are integer cross sums (ca*cb etc. fit int64: 64 dims x
+    (1e6)^2 = 6.4e13) with one sqrt each at the end. Engine shape: the
+    64-way dimension fan-out multiplies the VECTOR frame (in-row
+    explode), one (label, era, dim) aggregate, then a 64-row-per-label
+    join of broadcast-sized centroid frames."""
+    tune(spark)
+    from ..functions.vectors import as_double
+
+    grid = float(_CD_GRID)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2
+        ).alias("era"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    dims = e.select(
+        "label",
+        "era",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "v",
+    ).select(
+        "label", "era", "i", F.element_at("v", F.col("i") + 1).alias("x")
+    )
+    cent = dims.groupBy("label", "era", "i").agg(
+        F.floor(F.sum("x") / F.count(F.lit(1)) * grid + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.filter(F.col("era") == 0).select(
+        "label", "i", F.col("cq").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("era") == 1).select(
+        "label", "i", F.col("cq").alias("cb"), F.col("n").alias("n_b")
+    )
+    pair = a.join(b, ["label", "i"])
+    return pair.groupBy("label").agg(
+        F.max("n_a").alias("n_era0"),
+        F.max("n_b").alias("n_era1"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+                    ).cast("double")
+                )
+                / grid
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("l2_drift"),
+        (
+            F.floor(
+                F.sum(F.col("ca") * F.col("cb")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")).cast("double"))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")).cast("double"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("centroid_cosine"),
+    )

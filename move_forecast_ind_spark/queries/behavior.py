@@ -621,3 +621,89 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# --- behavioral entropy profile -------------------------------------------------
+
+
+@register(
+    "events_session_entropy",
+    tags=("events", "feature", "statistics"),
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM tc GROUP BY 1
+    ),
+    ent AS (
+      SELECT t.user_id,
+             CAST(SUM(CAST(FLOOR(
+               -(CAST(c.c AS DOUBLE) / t.total)
+               * ln(CAST(c.c AS DOUBLE) / t.total) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS hq
+      FROM tot t JOIN tc c ON c.user_id = t.user_id
+      GROUP BY 1
+    )
+    SELECT t.user_id, t.total AS n_events, t.n_types,
+           FLOOR(e.hq / 1e9 * 1e6 + 0.5) / 1e6 AS entropy_nats,
+           CASE WHEN t.n_types > 1
+                THEN FLOOR(e.hq / 1e9 / ln(CAST(t.n_types AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+                ELSE CAST(NULL AS DOUBLE) END AS entropy_normalized
+    FROM tot t JOIN ent e ON e.user_id = t.user_id
+    """,
+)
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user: Shannon entropy of the user's
+    event-type distribution (nats) plus the [0,1] normalization by
+    ln(n_types) — the diversity feature that separates single-purpose
+    users (H~0) from explorers (H~ln k), the standard profile signal
+    next to RFM and decayed engagement. Single-type users emit NULL
+    normalized entropy (0/0 by convention, identical both engines).
+    Exactness: the (user, type) counts are BIGINT, each -p ln p term is
+    one IEEE/libm expression quantized at 1e9 and summed as BIGINT per
+    user. Engine shape: one (user, type) aggregate, one user rollup,
+    one user-keyed join of schema-sized frames — map-side combine does
+    all data-sized work."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("total")
+    ent = (
+        tot.join(tc, "user_id")
+        .select(
+            "user_id",
+            F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long").alias("hterm"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("hterm").cast("long").alias("hq"))
+    )
+    return tot.join(ent, "user_id").select(
+        "user_id",
+        F.col("total").alias("n_events"),
+        "n_types",
+        (F.floor(F.col("hq") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "entropy_nats"
+        ),
+        F.when(
+            F.col("n_types") > 1,
+            F.floor(
+                F.col("hq") / 1e9 / F.log(F.col("n_types").cast("double")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("entropy_normalized"),
+    )

@@ -1256,3 +1256,128 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above"),
         )
     )
+
+
+# --- binary-segmentation changepoints -------------------------------------------
+
+
+@register(
+    "ts_changepoint_binseg",
+    tags=("timeseries", "statistics"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS i,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS cs,
+             CAST(SUM(y * y) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS css,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS ts_,
+             CAST(SUM(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS tss,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             MIN(day) OVER (PARTITION BY event_type) AS d0
+      FROM daily
+    ),
+    cand AS (
+      SELECT event_type, i, n, d0,
+             CAST(FLOOR((
+               (css - CAST(cs AS DOUBLE) * cs / i)
+               + ((tss - css) - CAST(ts_ - cs AS DOUBLE) * (ts_ - cs) / (n - i))
+             ) * 1e6 + 0.5) AS BIGINT) AS sse_q,
+             CAST(FLOOR((CAST(tss AS DOUBLE)
+                         - CAST(ts_ AS DOUBLE) * ts_ / n) * 1e6 + 0.5)
+                  AS BIGINT) AS sse0_q
+      FROM idx WHERE i < n
+    ),
+    best AS (
+      SELECT event_type, i AS k1, n, d0, sse_q, sse0_q
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY sse_q, i) AS rk
+            FROM cand)
+      WHERE rk = 1
+    )
+    SELECT b.event_type,
+           CAST(b.d0 + CAST(b.k1 AS INT) AS DATE) AS split_day,
+           b.k1 AS n_before,
+           b.n - b.k1 AS n_after,
+           b.sse0_q / 1e6 AS sse_total,
+           b.sse_q / 1e6 AS sse_split,
+           FLOOR((1e0 - CAST(b.sse_q AS DOUBLE) / b.sse0_q) * 1e6 + 0.5) / 1e6
+             AS variance_explained
+    FROM best b
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint per event-type daily series: the
+    split k minimizing SSE(1..k) + SSE(k+1..n), with SSE computed from
+    prefix sums of exact BIGINT y and y² (Scott & Knott 1974; the
+    first-level step of binseg — CUSUM's max-|S| screening sibling that
+    optimizes the actual least-squares objective). Emits the split day,
+    segment sizes, and variance explained by the level shift. Exactness:
+    per-candidate SSE is one IEEE expression of six exact integers,
+    quantized at 1e6 BEFORE the argmin so both engines rank identical
+    keys (ties to the earliest split). Engine shape: one daily
+    aggregate, two window passes over <= |days| rows per series, one
+    rank — at 100 TB the candidate frame stays |days| x |types| rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("y").over(wo).cast("long").alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(wo).cast("long").alias("css"),
+        F.sum("y").over(wa).cast("long").alias("ts_"),
+        F.sum(F.col("y") * F.col("y")).over(wa).cast("long").alias("tss"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.min("day").over(wa).alias("d0"),
+    )
+    sse = (
+        F.col("css") - F.col("cs").cast("double") * F.col("cs") / F.col("i")
+    ) + (
+        (F.col("tss") - F.col("css"))
+        - (F.col("ts_") - F.col("cs")).cast("double")
+        * (F.col("ts_") - F.col("cs"))
+        / (F.col("n") - F.col("i"))
+    )
+    sse0 = F.col("tss").cast("double") - F.col("ts_").cast(
+        "double"
+    ) * F.col("ts_") / F.col("n")
+    cand = idx.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "i",
+        "n",
+        "d0",
+        F.floor(sse * 1e6 + F.lit(0.5)).cast("long").alias("sse_q"),
+        F.floor(sse0 * 1e6 + F.lit(0.5)).cast("long").alias("sse0_q"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy("sse_q", "i")
+    best = cand.withColumn("rk", F.row_number().over(wrk)).filter(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.date_add("d0", F.col("i").cast("int")).alias("split_day"),
+        F.col("i").alias("n_before"),
+        (F.col("n") - F.col("i")).alias("n_after"),
+        (F.col("sse0_q") / 1e6).alias("sse_total"),
+        (F.col("sse_q") / 1e6).alias("sse_split"),
+        (
+            F.floor(
+                (F.lit(1e0) - F.col("sse_q").cast("double") / F.col("sse0_q"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("variance_explained"),
+    )

@@ -183,3 +183,80 @@ def test_tost_consistent_with_welch_shape(spark):
     assert r.t_lower + r.t_upper > 0
     z = 1.6448536269514722
     assert r.equivalent == (r.t_lower > z and r.t_upper > z)
+
+
+def test_binseg_split_is_argmin(spark):
+    """Brute-force SSE over every split in pure Python must agree with
+    the emitted split and variance explained; variance_explained in
+    [0, 1]; split partitions the series."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in _q(spark, "ts_changepoint_binseg").collect()}
+    for ty, dd in daily.items():
+        ys = [dd[d] for d in sorted(dd)]
+        n = len(ys)
+
+        def sse(seg):
+            s = sum(seg)
+            return sum(v * v for v in seg) - s * s / len(seg)
+
+        total = sse(ys)
+        best = min(
+            (
+                math.floor((sse(ys[:k]) + sse(ys[k:])) * 1e6 + 0.5),
+                k,
+            )
+            for k in range(1, n)
+        )
+        r = rows[ty]
+        assert r.n_before == best[1]
+        assert r.n_before + r.n_after == n
+        assert abs(r.sse_total - math.floor(total * 1e6 + 0.5) / 1e6) < 1e-6
+        assert 0.0 <= r.variance_explained <= 1.0
+
+
+def test_session_entropy_bounds_and_replica(spark):
+    """Entropy per user recomputed from scratch must match; normalized
+    entropy in [0,1]; single-type users emit NULL normalized."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        counts[r.user_id][r.event_type] += 1
+    rows = {r.user_id: r for r in _q(spark, "events_session_entropy").collect()}
+    assert set(rows) == set(counts)
+    for u, cs in counts.items():
+        total = sum(cs.values())
+        hq = sum(
+            math.floor(-(c / total) * math.log(c / total) * 1e9 + 0.5)
+            for c in cs.values()
+        )
+        r = rows[u]
+        assert r.n_events == total and r.n_types == len(cs)
+        assert abs(r.entropy_nats - math.floor(hq / 1e9 * 1e6 + 0.5) / 1e6) < 1e-9
+        if len(cs) == 1:
+            assert r.entropy_normalized is None
+        else:
+            assert 0.0 <= r.entropy_normalized <= 1.0 + 1e-9
+
+
+def test_centroid_drift_self_consistency(spark):
+    """Centroid cosine in [-1, 1]; l2_drift >= 0 and zero iff the two
+    quantized centroids coincide; era counts partition each label."""
+    from move_forecast_ind_spark.sources import load_table
+
+    n_by_label = defaultdict(int)
+    for r in load_table(spark, SF_SMALL, "embeddings").select("label").collect():
+        n_by_label[r.label] += 1
+    rows = _q(spark, "emb_centroid_drift").collect()
+    for r in rows:
+        assert r.n_era0 + r.n_era1 == n_by_label[r.label]
+        assert -1.0 <= r.centroid_cosine <= 1.0 + 1e-9
+        assert r.l2_drift >= 0.0
+        if r.l2_drift == 0.0:
+            assert r.centroid_cosine > 0.999999
