@@ -2597,3 +2597,175 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+# --- TextRank keywords -----------------------------------------------------------
+
+_TR_STOPS = ("the", "and", "of", "is", "a")  # same list as RAKE
+_TR_VOCAB = 120   # df-capped vocabulary fence (bounded model state)
+_TR_ITERS = 8
+_TR_TOPK = 15
+_TR_DAMP_NUM = "8.5e-1"
+_TR_REST_NUM = "1.5e-1"
+
+
+def _textrank_oracle() -> str:
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok,
+             generate_subscripts(
+               string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, tok, pos FROM tok WHERE tok NOT IN {_TR_STOPS!r}
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM kept GROUP BY 1
+      ORDER BY cnt DESC, tok LIMIT {_TR_VOCAB}
+    ),
+    adj AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok IN (SELECT tok FROM vocab)
+        AND b.tok IN (SELECT tok FROM vocab)
+        AND a.tok <> b.tok
+    ),
+    edges AS (
+      SELECT w1 AS src, w2 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT w1, w2 FROM adj UNION ALL SELECT w2, w1 FROM adj)
+      GROUP BY 1, 2
+    ),
+    outs AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab),
+    r0 AS (
+      SELECT v.tok AS t,
+             CAST(FLOOR(1e9 / nn.n + 0.5) AS BIGINT) AS rq
+      FROM vocab v CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+    s{i} AS (
+      SELECT e.dst AS t,
+             CAST(SUM(CAST(FLOOR(CAST(e.w * r.rq AS DOUBLE) / o.outw + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sq
+      FROM edges e
+      JOIN r{i - 1} r ON r.t = e.src
+      JOIN outs o ON o.src = e.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT v.tok AS t,
+             CAST(FLOOR({_TR_REST_NUM} * 1e9 / nn.n
+                        + {_TR_DAMP_NUM} * COALESCE(s.sq, 0) + 0.5)
+                  AS BIGINT) AS rq
+      FROM vocab v
+      CROSS JOIN nn
+      LEFT JOIN s{i} s ON s.t = v.tok
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t AS word, v.cnt AS n_count,
+           FLOOR(rq / 1e9 * 1e6 + 0.5) / 1e6 AS rank
+    FROM r{_TR_ITERS} r JOIN vocab v ON v.tok = r.t
+    ORDER BY rq DESC, t LIMIT {_TR_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_textrank_keywords",
+    tags=("text", "retrieval", "iterative"),
+    oracle=_textrank_oracle(),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): weighted
+    PageRank (d=0.85, 8 iterations) over the adjacent-word
+    co-occurrence graph restricted to the top-{v} non-stopword
+    vocabulary, emitting the top {k} words by rank — the graph-based
+    complement to RAKE (degree/freq islands) and TF-IDF (counting).
+    Engine shape: tokens explode in-row from the split array (zip of
+    the array with its tail — no positional self-join, no shuffle for
+    pair extraction), the vocabulary fence caps the graph at {v} nodes,
+    and the edge list — bounded model state exactly like the HITS
+    matrix — collects once and iterates on the driver with the
+    identical quantized op sequence the oracle's generated CTE stack
+    walks (per-term FLOOR(w*rq/out + .5) BIGINTs, rest+damp regrid per
+    round; dangling-node mass leaks by design, documented PageRank
+    simplification). At 100 TB only tokenize + two bounded aggregates
+    touch data; the iteration is O(|edges|) driver math under the
+    vocab² cap."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr("transform(ws, w -> lower(w))").alias("ws"),
+    )
+    kept = toks.select(
+        F.explode("ws").alias("tok")
+    ).filter(~F.col("tok").isin(*_TR_STOPS))
+    vocab = (
+        kept.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(_TR_VOCAB)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws) - 1), "
+                "slice(ws, 2, size(ws) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter(F.col("w1") != F.col("w2"))
+    v1 = F.broadcast(vocab.select(F.col("tok").alias("w1")))
+    v2 = F.broadcast(vocab.select(F.col("tok").alias("w2")))
+    adj = pairs.join(v1, "w1").join(v2, "w2")
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    import math
+
+    erows = edges.collect()  # bounded by vocab² fence: model state
+    vrows = vocab.collect()
+    cnt = {r.tok: r.cnt for r in vrows}
+    n = len(vrows)
+    outw = {}
+    for r in erows:
+        outw[r.src] = outw.get(r.src, 0) + r.w
+    rq = {t: math.floor(1e9 / n + 0.5) for t in cnt}
+    damp, rest = float(_TR_DAMP_NUM), float(_TR_REST_NUM)
+    for _ in range(_TR_ITERS):
+        sq = {t: 0 for t in cnt}
+        for r in erows:
+            sq[r.dst] += math.floor(float(r.w * rq[r.src]) / outw[r.src] + 0.5)
+        rq = {
+            t: math.floor(rest * 1e9 / n + damp * sq[t] + 0.5) for t in cnt
+        }
+    top = sorted(cnt, key=lambda t: (-rq[t], t))[:_TR_TOPK]
+    out_rows = [
+        (t, int(cnt[t]), math.floor(rq[t] / 1e9 * 1e6 + 0.5) / 1e6)
+        for t in top
+    ]
+    return spark.createDataFrame(
+        out_rows, schema="word string, n_count long, rank double"
+    )
+
+
+text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
+    v=_TR_VOCAB, k=_TR_TOPK
+)

@@ -368,3 +368,57 @@ def test_rolling_median_window_bounds(spark):
             assert r.n_window == min(i + 1, 7)
             window = sorted(x.y for x in rs[max(0, i - 6) : i + 1])
             assert r.rolling_median == window[(len(window) + 1) // 2 - 1]
+
+
+def test_textrank_replica_and_ranks(spark):
+    """TextRank output recomputed from scratch in pure Python (token
+    stream -> vocab fence -> symmetric adjacency -> 8 quantized
+    PageRank rounds) must match word-for-word; ranks positive and
+    sorted; words come from the non-stopword vocabulary."""
+    import math
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    stops = {"the", "and", "of", "is", "a"}
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    cnt = defaultdict(int)
+    adj = defaultdict(int)
+    tokss = []
+    for d in docs:
+        ws = [w.lower() for w in d.text.strip().split()]
+        tokss.append(ws)
+        for w in ws:
+            if w not in stops:
+                cnt[w] += 1
+    vocab = sorted(cnt, key=lambda t: (-cnt[t], t))[:120]
+    vset = set(vocab)
+    for ws in tokss:
+        for a, b in zip(ws, ws[1:]):
+            if a in vset and b in vset and a != b:
+                adj[(a, b)] += 1
+                adj[(b, a)] += 1
+    outw = defaultdict(int)
+    for (s, d2), w in adj.items():
+        outw[s] += w
+    n = len(vocab)
+    rq = {t: math.floor(1e9 / n + 0.5) for t in vocab}
+    for _ in range(8):
+        sq = {t: 0 for t in vocab}
+        for (s, d2), w in adj.items():
+            sq[d2] += math.floor(float(w * rq[s]) / outw[s] + 0.5)
+        rq = {
+            t: math.floor(0.15 * 1e9 / n + 0.85 * sq[t] + 0.5) for t in vocab
+        }
+    top = sorted(vocab, key=lambda t: (-rq[t], t))[:15]
+    rows = REGISTRY["text_textrank_keywords"].fn(spark, SF_SMALL).collect()
+    assert [r.word for r in rows] == top
+    for r in rows:
+        assert r.word not in stops
+        assert r.rank > 0
+        assert r.n_count == cnt[r.word]
+        assert abs(r.rank - math.floor(rq[r.word] / 1e9 * 1e6 + 0.5) / 1e6) < 1e-9
