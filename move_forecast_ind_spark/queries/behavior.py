@@ -707,3 +707,95 @@ def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("entropy_normalized"),
     )
+
+
+# --- Lorenz curve -----------------------------------------------------------------
+
+
+@register(
+    "events_lorenz_curve",
+    tags=("aggregate", "statistics", "olap"),
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    rk AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS r,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS tot
+      FROM v
+    ),
+    dec AS (
+      SELECT CAST(CEIL(r * 10.0 / n) AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             MAX(n) AS n, MAX(tot) AS tot
+      FROM rk GROUP BY 1
+    )
+    SELECT decile, n_orders,
+           FLOOR(CAST(SUM(n_orders) OVER (ORDER BY decile) AS DOUBLE)
+                 / n * 1e6 + 0.5) / 1e6 AS cum_pop_share,
+           FLOOR(CAST(SUM(cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / tot * 1e6 + 0.5) / 1e6 AS cum_value_share
+    FROM dec
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of order-value concentration in deciles: orders
+    ranked ascending by exact cents (total (cents, orderkey) order),
+    split into 10 population deciles, cumulative population vs
+    cumulative value share — the curve behind a_gini_concentration's
+    scalar (the Gini is twice the area between this curve and the
+    diagonal), the standard whale-analysis readout. Exactness: ranks,
+    decile sums, and cumulative sums are BIGINT; the two shares are
+    single exact divisions. Engine shape: one global rank window (the
+    oracle formulation) — at scale the rank is a range-partitioned sort
+    and the 10-row decile frame aggregates map-side; a pre-bucketed
+    histogram variant (value buckets -> interpolated deciles) removes
+    the sort entirely when approximate deciles suffice."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.orderBy("cents", "o_orderkey")
+    wall = Window.partitionBy()
+    rk = v.select(
+        "cents",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    dec = rk.groupBy(
+        F.ceil(F.col("r") * 10.0 / F.col("n")).cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+    )
+    wc = Window.orderBy("decile")
+    return dec.select(
+        "decile",
+        "n_orders",
+        (
+            F.floor(
+                F.sum("n_orders").over(wc).cast("double") / F.col("n") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cum_pop_share"),
+        (
+            F.floor(
+                F.sum("cents").over(wc).cast("double") / F.col("tot") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cum_value_share"),
+    )

@@ -1381,3 +1381,160 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("variance_explained"),
     )
+
+
+# --- Ljung-Box whiteness test ---------------------------------------------------
+
+_LB_LAGS = 7
+_LB_CRIT = "1.4067140449340169e1"  # chi2_{0.95, df=7}, shared literal
+
+
+def _lb_oracle() -> str:
+    lag_cols = []
+    for k in range(1, _LB_LAGS + 1):
+        lag_cols.append(
+            f"""CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN y * y{k} END)
+                 AS BIGINT) AS s{k},
+             CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN y END) AS BIGINT)
+               AS a{k},
+             CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN y{k} END) AS BIGINT)
+               AS b{k}"""
+        )
+    lags_sql = ",\n             ".join(
+        f"LAG(y, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    ck = []
+    for k in range(1, _LB_LAGS + 1):
+        ck.append(
+            f"(s{k} - CAST(sy AS DOUBLE) / n * (a{k} + b{k})"
+            f" + (n - {k}) * (CAST(sy AS DOUBLE) / n)"
+            f" * (CAST(sy AS DOUBLE) / n)) AS c{k}"
+        )
+    terms = " + ".join(
+        f"CAST(FLOOR((c{k} / c0) * (c{k} / c0) / (n - {k}) * 1e12 + 0.5)"
+        f" AS BIGINT)"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, y, day,
+             {lags_sql},
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy
+      FROM daily
+    ),
+    mom AS (
+      SELECT event_type, MAX(n) AS n, MAX(sy) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS s00,
+             {", ".join(lag_cols)}
+      FROM lagged GROUP BY 1
+    ),
+    cov AS (
+      SELECT event_type, n,
+             (s00 - CAST(sy AS DOUBLE) / n * (sy + sy)
+                  + n * (CAST(sy AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n)) AS c0,
+             {", ".join(ck)}
+      FROM mom
+    ),
+    q AS (
+      SELECT event_type, n,
+             CAST({terms} AS BIGINT) AS tq
+      FROM cov
+    )
+    SELECT event_type, n,
+           FLOOR(n * (n + 2) * (tq / 1e12) * 1e4 + 0.5) / 1e4 AS q_stat,
+           CAST({_LB_LAGS} AS INT) AS df,
+           CAST(n * (n + 2) * (tq / 1e12) > {_LB_CRIT} AS BOOLEAN)
+             AS reject_whiteness
+    FROM q
+    """
+
+
+@register(
+    "ts_ljung_box",
+    tags=("timeseries", "statistics"),
+    oracle=_lb_oracle(),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test per event-type daily series:
+    Q = n(n+2) sum_{{k=1..{lags}}} r_k^2/(n-k) against the chi-square
+    5% critical value at df={lags} — the standard residual/seasonality
+    diagnostic (Ljung & Box 1978) that tells whether the ACF tier's
+    correlations are jointly significant. Autocorrelations come from
+    the same exact lagged-moment expansion as ml_ar2_forecast (BIGINT
+    cross sums + one ybar), each r_k^2/(n-k) term is quantized at 1e12
+    and summed as BIGINT. One lag window with {lags} lags in a single
+    pass, one k-row reduce."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    cols = [
+        "event_type",
+        "y",
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("y").over(wa).cast("long").alias("sy"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        cols.append(F.lag("y", k).over(wo).alias(f"y{k}"))
+    lagged = daily.select(*cols)
+    aggs = [
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s00"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum(F.when(yk.isNotNull(), F.col("y") * yk))
+            .cast("long")
+            .alias(f"s{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y")))
+            .cast("long")
+            .alias(f"a{k}"),
+            F.sum(F.when(yk.isNotNull(), yk)).cast("long").alias(f"b{k}"),
+        ]
+    mom = lagged.groupBy("event_type").agg(*aggs)
+    ybar = F.col("sy").cast("double") / F.col("n")
+    c0 = (
+        F.col("s00") - ybar * (F.col("sy") + F.col("sy"))
+        + F.col("n") * ybar * ybar
+    )
+    cov_cols = [F.col("event_type"), F.col("n"), c0.alias("c0")]
+    for k in range(1, _LB_LAGS + 1):
+        cov_cols.append(
+            (
+                F.col(f"s{k}")
+                - ybar * (F.col(f"a{k}") + F.col(f"b{k}"))
+                + (F.col("n") - k) * ybar * ybar
+            ).alias(f"c{k}")
+        )
+    cov = mom.select(*cov_cols)
+    tq = None
+    for k in range(1, _LB_LAGS + 1):
+        rk = F.col(f"c{k}") / F.col("c0")
+        term = F.floor(rk * rk / (F.col("n") - k) * 1e12 + F.lit(0.5)).cast(
+            "long"
+        )
+        tq = term if tq is None else tq + term
+    q = cov.select("event_type", "n", tq.cast("long").alias("tq"))
+    stat = F.col("n") * (F.col("n") + 2) * (F.col("tq") / 1e12)
+    return q.select(
+        "event_type",
+        "n",
+        (F.floor(stat * 1e4 + F.lit(0.5)) / 1e4).alias("q_stat"),
+        F.lit(_LB_LAGS).cast("int").alias("df"),
+        (stat > float(_LB_CRIT)).alias("reject_whiteness"),
+    )
+
+
+ts_ljung_box.__doc__ = ts_ljung_box.__doc__.format(lags=_LB_LAGS)

@@ -1116,3 +1116,293 @@ def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shap_weekend"
         ),
     )
+
+
+# --- AR(2) Yule-Walker forecast --------------------------------------------------
+
+_AR2_H = 7
+
+
+def _ar2_oracle() -> str:
+    """Autocovariances by exact-moment expansion, Yule-Walker closed
+    form, then 7 unrolled recursion layers (identical op order to the
+    Spark fold)."""
+    steps = []
+    prev2, prev1 = "c.ylast2", "c.ylast1"
+    fc_rows = []
+    for h in range(1, _AR2_H + 1):
+        cur = f"f{h}"
+        steps.append(
+            f"{cur} AS (SELECT c.*, c.ybar + c.phi1 * ({prev1} - c.ybar)"
+            f" + c.phi2 * ({prev2} - c.ybar) AS yh{h}"
+            f" FROM {'c' if h == 1 else f'f{h - 1}'} c)"
+        )
+        prev2 = prev1 if h == 1 else f"c.yh{h - 1}"
+        prev1 = f"c.yh{h}"
+        fc_rows.append(
+            f"SELECT event_type, {h} AS h,"
+            f" FLOOR(yh{h} * 1e4 + 0.5) / 1e4 AS forecast,"
+            f" FLOOR(phi1 * 1e6 + 0.5) / 1e6 AS phi1,"
+            f" FLOOR(phi2 * 1e6 + 0.5) / 1e6 AS phi2"
+            f" FROM f{_AR2_H}"
+        )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y, day,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t,
+             LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+             LAG(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy
+      FROM daily
+    ),
+    mom AS (
+      SELECT event_type, MAX(n) AS n, MAX(sy) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS s00,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS BIGINT)
+               AS s01,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y1 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y * y2 END) AS BIGINT)
+               AS s02,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y2 END) AS BIGINT) AS b2,
+             MAX(CASE WHEN t = n THEN y END) AS ylast1,
+             MAX(CASE WHEN t = n - 1 THEN y END) AS ylast2
+      FROM idx GROUP BY 1
+    ),
+    cov AS (
+      SELECT event_type, n, ylast1, ylast2,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             (s00 - CAST(sy AS DOUBLE) / n * (sy + sy)
+                  + n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               AS c0,
+             (s01 - CAST(sy AS DOUBLE) / n * (a1 + b1)
+                  + (n - 1) * (CAST(sy AS DOUBLE) / n)
+                    * (CAST(sy AS DOUBLE) / n)) AS c1,
+             (s02 - CAST(sy AS DOUBLE) / n * (a2 + b2)
+                  + (n - 2) * (CAST(sy AS DOUBLE) / n)
+                    * (CAST(sy AS DOUBLE) / n)) AS c2
+      FROM mom
+    ),
+    c AS (
+      SELECT event_type, n, ybar,
+             CAST(ylast1 AS DOUBLE) AS ylast1,
+             CAST(ylast2 AS DOUBLE) AS ylast2,
+             (c1 / c0) * (1e0 - c2 / c0)
+               / (1e0 - (c1 / c0) * (c1 / c0)) AS phi1,
+             (c2 / c0 - (c1 / c0) * (c1 / c0))
+               / (1e0 - (c1 / c0) * (c1 / c0)) AS phi2
+      FROM cov
+    ),
+    {", ".join(steps)}
+    {" UNION ALL ".join(fc_rows)}
+    """
+
+
+@register(
+    "ml_ar2_forecast",
+    tags=("ml", "forecast", "timeseries"),
+    oracle=_ar2_oracle(),
+)
+def ml_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) forecast per event-type daily series, fit by Yule-Walker:
+    autocovariances c0/c1/c2 from exact BIGINT cross moments (the
+    lagged-product expansion — no centered double accumulates across
+    rows), phi1/phi2 in closed form, then a 7-step mean-reverting
+    recursion seeded with the last two observations — the order-2
+    upgrade of ml_ar1_forecast that can express oscillation/momentum an
+    AR(1) cannot. Exactness: the recursion unrolls with the identical
+    left-associated expression per step on both engines (7 layers on a
+    5-row frame — far below the 4^K projection-blowup regime, and the
+    oracle's generated CTE stack is the same sequence). Engine shape:
+    one daily aggregate, one lag window, a k-row moment reduce; the
+    recursion is constant-size column math."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.lag("y", 1).over(wo).alias("y1"),
+        F.lag("y", 2).over(wo).alias("y2"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("y").over(wa).cast("long").alias("sy"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s00"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y") * F.col("y1")))
+        .cast("long")
+        .alias("s01"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y")))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y1")))
+        .cast("long")
+        .alias("b1"),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y") * F.col("y2")))
+        .cast("long")
+        .alias("s02"),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y")))
+        .cast("long")
+        .alias("a2"),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y2")))
+        .cast("long")
+        .alias("b2"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("y"))).alias("ylast1"),
+        F.max(F.when(F.col("t") == F.col("n") - 1, F.col("y"))).alias(
+            "ylast2"
+        ),
+    )
+    ybar = F.col("sy").cast("double") / F.col("n")
+    cov = mom.select(
+        "event_type",
+        "n",
+        "ylast1",
+        "ylast2",
+        ybar.alias("ybar"),
+        (
+            F.col("s00")
+            - ybar * (F.col("sy") + F.col("sy"))
+            + F.col("n") * ybar * ybar
+        ).alias("c0"),
+        (
+            F.col("s01")
+            - ybar * (F.col("a1") + F.col("b1"))
+            + (F.col("n") - 1) * ybar * ybar
+        ).alias("c1"),
+        (
+            F.col("s02")
+            - ybar * (F.col("a2") + F.col("b2"))
+            + (F.col("n") - 2) * ybar * ybar
+        ).alias("c2"),
+    )
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    c = cov.select(
+        "event_type",
+        "n",
+        "ybar",
+        F.col("ylast1").cast("double").alias("ylast1"),
+        F.col("ylast2").cast("double").alias("ylast2"),
+        (r1 * (F.lit(1e0) - r2) / (F.lit(1e0) - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (F.lit(1e0) - r1 * r1)).alias("phi2"),
+    )
+    cur = c
+    prev2, prev1 = F.col("ylast2"), F.col("ylast1")
+    for h in range(1, _AR2_H + 1):
+        cur = cur.withColumn(
+            f"yh{h}",
+            F.col("ybar")
+            + F.col("phi1") * (prev1 - F.col("ybar"))
+            + F.col("phi2") * (prev2 - F.col("ybar")),
+        )
+        prev2 = prev1 if h == 1 else F.col(f"yh{h - 1}")
+        prev1 = F.col(f"yh{h}")
+    parts = [
+        cur.select(
+            "event_type",
+            F.lit(h).cast("int").alias("h"),
+            (F.floor(F.col(f"yh{h}") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "forecast"
+            ),
+            (F.floor(F.col("phi1") * 1e6 + F.lit(0.5)) / 1e6).alias("phi1"),
+            (F.floor(F.col("phi2") * 1e6 + F.lit(0.5)) / 1e6).alias("phi2"),
+        )
+        for h in range(1, _AR2_H + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- empirical quantile forecast ---------------------------------------------------
+
+
+@register(
+    "ml_quantile_forecast",
+    tags=("ml", "forecast", "uncertainty"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    rk AS (
+      SELECT event_type, dow, n, day,
+             ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                ORDER BY n, day) AS r,
+             COUNT(*) OVER (PARTITION BY event_type, dow) AS m
+      FROM daily
+    ),
+    qs AS (
+      SELECT event_type, dow,
+             MAX(CASE WHEN r = CAST(CEIL(m * 0.1) AS BIGINT) THEN n END)
+               AS p10,
+             MAX(CASE WHEN r = CAST(CEIL(m * 0.5) AS BIGINT) THEN n END)
+               AS p50,
+             MAX(CASE WHEN r = CAST(CEIL(m * 0.9) AS BIGINT) THEN n END)
+               AS p90,
+             CAST(MAX(m) AS BIGINT) AS n_obs
+      FROM rk GROUP BY 1, 2
+    ),
+    future AS (
+      SELECT b.mx + CAST(i AS INT) AS day,
+             CAST(dayofweek(b.mx + CAST(i AS INT)) + 1 AS INT) AS dow
+      FROM bounds b,
+           LATERAL (SELECT unnest(generate_series(1, {_HORIZON})) AS i) g
+    )
+    SELECT q.event_type, f.day, q.p10, q.p50, q.p90, q.n_obs
+    FROM future f JOIN qs q ON q.dow = f.dow
+    """,
+)
+def ml_quantile_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical quantile forecast: next week's per-type P10/P50/P90
+    daily-volume bands from each weekday's observed distribution —
+    rank-picked exact order statistics (ceil(m*q) under a total
+    (value, day) order), the nonparametric uncertainty product next to
+    the conformal tier (conformal bounds the point model's error; this
+    forecasts the distribution itself, the M5-uncertainty protocol).
+    All integers end to end — no rounding grid at all. One spine
+    aggregate, one (type, dow) window, broadcast onto the generated
+    future axis."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    wr = Window.partitionBy("event_type", "dow").orderBy("n", "day")
+    wm = Window.partitionBy("event_type", "dow")
+    rk = daily.select(
+        "event_type",
+        "dow",
+        "n",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wm).cast("long").alias("m"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("r") == F.ceil(F.col("m") * q).cast("long"), F.col("n")
+        )
+    )
+    qs = rk.groupBy("event_type", "dow").agg(
+        pick(0.1).alias("p10"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        F.max("m").cast("long").alias("n_obs"),
+    )
+    bounds = daily.agg(F.max("day").alias("mx"))
+    future = bounds.select(
+        F.explode(
+            F.sequence(F.date_add("mx", 1), F.date_add("mx", _HORIZON))
+        ).alias("day")
+    ).select("day", F.dayofweek("day").cast("int").alias("dow"))
+    return future.join(F.broadcast(qs), "dow").select(
+        "event_type", "day", "p10", "p50", "p90", "n_obs"
+    )

@@ -300,3 +300,61 @@ def test_interval_allocation_conserves_revenue(spark):
     alloc = sum(r.allocated_revenue for r in rows)
     assert abs(alloc - total / 100) < 0.5  # cents-days grid rounding
     assert all(r.n_orders > 0 for r in rows)
+
+
+def test_ar2_recursion_replica(spark):
+    """phi1/phi2 and the 7-step recursion recomputed from scratch must
+    match; forecasts revert toward the series mean as h grows when
+    |phi| < 1."""
+    spine, mn, mx = _daily(spark)
+    rows = defaultdict(dict)
+    for r in _q(spark, "ml_ar2_forecast").collect():
+        rows[r.event_type][r.h] = r
+    for ty in rows:
+        ys = [
+            n
+            for (tyy, d), n in sorted(spine.items(), key=lambda kv: kv[0][1])
+            if tyy == ty
+        ]
+        n = len(ys)
+        sy = sum(ys)
+        ybar = sy / n
+        s00 = sum(y * y for y in ys)
+        c0 = s00 - ybar * (sy + sy) + n * ybar * ybar
+
+        def ck(k):
+            sab = sum(ys[i] * ys[i - k] for i in range(k, n))
+            sa = sum(ys[k:])
+            sb = sum(ys[: n - k])
+            return sab - ybar * (sa + sb) + (n - k) * ybar * ybar
+
+        r1, r2 = ck(1) / c0, ck(2) / c0
+        phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        p2, p1 = float(ys[-2]), float(ys[-1])
+        for h in range(1, 8):
+            yh = ybar + phi1 * (p1 - ybar) + phi2 * (p2 - ybar)
+            got = rows[ty][h]
+            assert abs(got.forecast - math.floor(yh * 1e4 + 0.5) / 1e4) < 1e-9
+            assert abs(got.phi1 - math.floor(phi1 * 1e6 + 0.5) / 1e6) < 1e-9
+            p2, p1 = p1, yh
+        # mean reversion when stationary
+        if abs(phi1) + abs(phi2) < 1:
+            d1 = abs(rows[ty][1].forecast - ybar)
+            d7 = abs(rows[ty][7].forecast - ybar)
+            assert d7 <= d1 + 1e-6
+
+
+def test_quantile_forecast_band_order(spark):
+    """P10 <= P50 <= P90 everywhere, all from the observed support, one
+    band per future day per type."""
+    spine, mn, mx = _daily(spark)
+    rows = _q(spark, "ml_quantile_forecast").collect()
+    assert len(rows) == 35
+    support = defaultdict(set)
+    for (ty, d), n in spine.items():
+        support[ty].add(n)
+    for r in rows:
+        assert r.p10 <= r.p50 <= r.p90
+        for v in (r.p10, r.p50, r.p90):
+            assert v in support[r.event_type]

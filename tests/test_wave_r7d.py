@@ -260,3 +260,49 @@ def test_centroid_drift_self_consistency(spark):
         assert r.l2_drift >= 0.0
         if r.l2_drift == 0.0:
             assert r.centroid_cosine > 0.999999
+
+
+def test_ljung_box_replica(spark):
+    """Q recomputed from scratch (same quantized-term pipeline) must
+    match; Q >= 0; verdict consistent with the critical value."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in _q(spark, "ts_ljung_box").collect()}
+    for ty, dd in daily.items():
+        ys = [dd[d] for d in sorted(dd)]
+        n = len(ys)
+        sy = sum(ys)
+        ybar = sy / n
+        c0 = sum(y * y for y in ys) - ybar * (sy + sy) + n * ybar * ybar
+        tq = 0
+        for k in range(1, 8):
+            sab = sum(ys[i] * ys[i - k] for i in range(k, n))
+            sa, sb = sum(ys[k:]), sum(ys[: n - k])
+            ckv = sab - ybar * (sa + sb) + (n - k) * ybar * ybar
+            rk = ckv / c0
+            tq += math.floor(rk * rk / (n - k) * 1e12 + 0.5)
+        q = n * (n + 2) * (tq / 1e12)
+        r = rows[ty]
+        assert r.n == n and r.df == 7
+        assert abs(r.q_stat - math.floor(q * 1e4 + 0.5) / 1e4) < 1e-9
+        assert r.q_stat >= 0.0
+        assert r.reject_whiteness == (q > 14.067140449340169)
+
+
+def test_lorenz_curve_monotone_convex(spark):
+    """Cumulative shares are monotone, end at 1.0, and the curve sits
+    below the diagonal (value share <= population share everywhere for
+    an ascending-sorted Lorenz curve)."""
+    rows = sorted(_q(spark, "events_lorenz_curve").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    prev_p = prev_v = 0.0
+    for r in rows:
+        assert r.cum_pop_share >= prev_p and r.cum_value_share >= prev_v
+        assert r.cum_value_share <= r.cum_pop_share + 1e-9
+        prev_p, prev_v = r.cum_pop_share, r.cum_value_share
+    assert abs(rows[-1].cum_pop_share - 1.0) < 1e-9
+    assert abs(rows[-1].cum_value_share - 1.0) < 1e-9
