@@ -1538,3 +1538,187 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_ljung_box.__doc__ = ts_ljung_box.__doc__.format(lags=_LB_LAGS)
+
+
+# --- overdispersion check -------------------------------------------------------
+
+_OD_Z = "1.6448536269514722e0"  # one-sided 5% normal critical value
+
+
+@register(
+    "ts_overdispersion",
+    tags=("timeseries", "statistics", "dq"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY 1
+    ),
+    st AS (
+      SELECT event_type, n,
+             CAST(sy AS DOUBLE) / n AS mean,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+               AS var
+      FROM mom
+    )
+    SELECT event_type, n,
+           FLOOR(mean * 1e4 + 0.5) / 1e4 AS mean,
+           FLOOR(var * 1e4 + 0.5) / 1e4 AS variance,
+           FLOOR(var / mean * 1e4 + 0.5) / 1e4 AS dispersion_index,
+           FLOOR(((n - 1) * (var / mean) - (n - 1))
+                 / sqrt(2e0 * (n - 1)) * 1e4 + 0.5) / 1e4 AS z_stat,
+           CAST(((n - 1) * (var / mean) - (n - 1))
+                / sqrt(2e0 * (n - 1)) > {_OD_Z} AS BOOLEAN) AS overdispersed
+    FROM st
+    """,
+)
+def ts_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check per event-type daily series: index of
+    dispersion D = s²/ȳ with the chi-square dispersion test in its
+    normal approximation, z = ((n-1)D - (n-1)) / sqrt(2(n-1)) — the
+    Poisson-vs-negative-binomial gate (Cameron & Trivedi 1990) that
+    decides whether count forecasts can trust Poisson intervals (D~1)
+    or need NB-width ones (D>1). Feeds directly into which uncertainty
+    tier (conformal / quantile) is appropriate per series. Exactness:
+    moments are BIGINT, mean/variance/D/z each one IEEE expression.
+    One daily aggregate + k-row reduce."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n")
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / (F.col("n") - 1)
+    st = mom.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    z = (
+        (F.col("n") - 1) * (F.col("var") / F.col("mean")) - (F.col("n") - 1)
+    ) / F.sqrt(F.lit(2e0) * (F.col("n") - 1))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return st.select(
+        "event_type",
+        "n",
+        q4(F.col("mean")).alias("mean"),
+        q4(F.col("var")).alias("variance"),
+        q4(F.col("var") / F.col("mean")).alias("dispersion_index"),
+        q4(z).alias("z_stat"),
+        (z > float(_OD_Z)).alias("overdispersed"),
+    )
+
+
+# --- string pattern census ------------------------------------------------------
+
+_PC_TOPK = 5
+
+
+@register(
+    "dq_pattern_census",
+    tags=("dq", "text"),
+    oracle=f"""
+    WITH vals AS (
+      SELECT 'c_name' AS col_name, c_name AS v FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    pat AS (
+      SELECT col_name,
+             regexp_replace(regexp_replace(regexp_replace(
+               v, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+               '[0-9]', '9', 'g') AS pattern
+      FROM vals
+    ),
+    census AS (
+      SELECT col_name, pattern,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY col_name) AS BIGINT)
+               AS n_col
+      FROM pat GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT col_name, pattern, n,
+             FLOOR(CAST(n AS DOUBLE) / n_col * 1e6 + 0.5) / 1e6 AS share,
+             ROW_NUMBER() OVER (PARTITION BY col_name
+                                ORDER BY n DESC, pattern) AS rk
+      FROM census
+    )
+    SELECT col_name, pattern, n, share, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_PC_TOPK}
+    """,
+)
+def dq_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-pattern census over three representative columns: every
+    value maps to its character-class skeleton (A-Z -> A, a-z -> a,
+    0-9 -> 9, punctuation kept) and the top {k} patterns per column are
+    emitted with exact counts and shares — the format-profiling DQ
+    check (a new pattern appearing at >0% is how a malformed upstream
+    export announces itself before any constraint fails). Patterns are
+    produced by three chained regexp_replace passes over simple
+    character classes — semantics identical between Java regex and
+    DuckDB RE2 for these classes. One map-side pattern projection +
+    one (column, pattern) aggregate; the census frame is bounded by
+    format diversity, not volume."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        cust.select(F.lit("c_name").alias("col_name"), F.col("c_name").alias("v"))
+        .unionAll(
+            cust.select(
+                F.lit("c_mktsegment").alias("col_name"),
+                F.col("c_mktsegment").alias("v"),
+            )
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderpriority").alias("col_name"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+    )
+    pattern = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("v"), "[A-Z]", "A"), "[a-z]", "a"
+        ),
+        "[0-9]",
+        "9",
+    )
+    pat = vals.select("col_name", pattern.alias("pattern"))
+    census = pat.groupBy("col_name", "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wcol = Window.partitionBy("col_name")
+    wrk = Window.partitionBy("col_name").orderBy(F.col("n").desc(), "pattern")
+    ranked = census.select(
+        "col_name",
+        "pattern",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(wcol).cast("long")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("share"),
+        F.row_number().over(wrk).cast("int").alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _PC_TOPK)
+
+
+dq_pattern_census.__doc__ = dq_pattern_census.__doc__.format(k=_PC_TOPK)

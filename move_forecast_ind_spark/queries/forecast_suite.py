@@ -1406,3 +1406,184 @@ def ml_quantile_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return future.join(F.broadcast(qs), "dow").select(
         "event_type", "day", "p10", "p50", "p90", "n_obs"
     )
+
+
+# --- forecast combination ---------------------------------------------------------
+
+_FC_TRAIN_MAX = 15   # t 0..15 train, 16..22 validation, 23..29 test
+_FC_VAL_MAX = 22
+
+
+@register(
+    "ml_forecast_combination",
+    tags=("ml", "forecast", "ensemble"),
+    oracle=f"""
+    WITH {_DAILY_SPINE_SQL},
+    m_last AS (
+      SELECT event_type, CAST(n AS DOUBLE) AS fc
+      FROM daily WHERE t = {_FC_TRAIN_MAX}
+    ),
+    m_seas AS (
+      SELECT event_type, dow, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS fc
+      FROM daily WHERE t <= {_FC_TRAIN_MAX} GROUP BY 1, 2
+    ),
+    m_mean AS (
+      SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS fc
+      FROM daily WHERE t <= {_FC_TRAIN_MAX} GROUP BY 1
+    ),
+    joined AS (
+      SELECT d.event_type, d.t, d.n,
+             ml.fc AS fl, ms.fc AS fs, mm.fc AS fm
+      FROM daily d
+      JOIN m_last ml ON ml.event_type = d.event_type
+      JOIN m_seas ms ON ms.event_type = d.event_type AND ms.dow = d.dow
+      JOIN m_mean mm ON mm.event_type = d.event_type
+      WHERE d.t > {_FC_TRAIN_MAX}
+    ),
+    val AS (
+      SELECT event_type,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fl - n) / (ABS(fl) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS svl,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fs - n) / (ABS(fs) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS svs,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fm - n) / (ABS(fm) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS svm
+      FROM joined WHERE t <= {_FC_VAL_MAX} GROUP BY 1
+    ),
+    wts AS (
+      SELECT event_type,
+             CAST(FLOOR(1e12 / (svl + 1)) AS BIGINT) AS wl,
+             CAST(FLOOR(1e12 / (svs + 1)) AS BIGINT) AS ws,
+             CAST(FLOOR(1e12 / (svm + 1)) AS BIGINT) AS wm,
+             svl, svs, svm
+      FROM val
+    ),
+    test AS (
+      SELECT j.event_type, j.n,
+             j.fl, j.fs, j.fm,
+             (j.fl + j.fs + j.fm) / 3e0 AS fe,
+             (w.wl * j.fl + w.ws * j.fs + w.wm * j.fm)
+               / (w.wl + w.ws + w.wm) AS fw,
+             w.svl, w.svs, w.svm
+      FROM joined j JOIN wts w ON w.event_type = j.event_type
+      WHERE j.t > {_FC_VAL_MAX}
+    ),
+    sm AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS nt,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fe - n) / (ABS(fe) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS se,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fw - n) / (ABS(fw) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sw,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fl - n) / (ABS(fl) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sl,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fs - n) / (ABS(fs) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ss,
+             CAST(SUM(CAST(FLOOR(2.0 * ABS(fm - n) / (ABS(fm) + ABS(n))
+                  * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS smn,
+             MAX(svl) AS svl, MAX(svs) AS svs, MAX(svm) AS svm
+      FROM test GROUP BY 1
+    )
+    SELECT event_type,
+           FLOOR(CAST(se AS DOUBLE) / nt / 1e9 * 1e6 + 0.5) / 1e6
+             AS smape_equal,
+           FLOOR(CAST(sw AS DOUBLE) / nt / 1e9 * 1e6 + 0.5) / 1e6
+             AS smape_weighted,
+           FLOOR(CAST(LEAST(sl, ss, smn) AS DOUBLE) / nt / 1e9 * 1e6 + 0.5)
+             / 1e6 AS smape_best_single,
+           CASE WHEN sl <= ss AND sl <= smn THEN 'last'
+                WHEN smn <= ss AND smn < sl THEN 'mean'
+                ELSE 'seasonal' END AS best_single,
+           CAST(LEAST(se, sw) < LEAST(sl, ss, smn) AS BOOLEAN)
+             AS combo_beats_best
+    FROM sm
+    """,
+)
+def ml_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination per series: the three standing forecasters
+    fit on days 0-15, inverse-SMAPE weights learned on the 16-22
+    validation week, and both the equal-weight and weighted ensembles
+    evaluated on the 23-29 test week against the best single model —
+    the M4 lesson ("combinations beat constituents", Makridakis et al.
+    2020) made measurable per series. Exactness: all SMAPE terms are
+    the registry-standard 1e9-quantized BIGINT sums; combination
+    weights are exact integers FLOOR(1e12/(sv+1)); the weighted
+    forecast is one IEEE expression of integer weights and the shared
+    model doubles; best-single ties break last < mean < seasonal
+    exactly as ml_model_selection. Engine shape: spine aggregate, three
+    broadcast model frames, two broadcast-joined scoring passes —
+    schema-sized after the first aggregate."""
+    tune(spark)
+    daily = _daily_spine(spark, sf_dir)
+    m_last = daily.filter(F.col("t") == _FC_TRAIN_MAX).select(
+        "event_type", F.col("n").cast("double").alias("fl")
+    )
+    train = daily.filter(F.col("t") <= _FC_TRAIN_MAX)
+    m_seas = train.groupBy("event_type", "dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("fs")
+    )
+    m_mean = train.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("fm")
+    )
+    joined = (
+        daily.filter(F.col("t") > _FC_TRAIN_MAX)
+        .join(F.broadcast(m_last), "event_type")
+        .join(F.broadcast(m_seas), ["event_type", "dow"])
+        .join(F.broadcast(m_mean), "event_type")
+    )
+
+    def sterm(fc):
+        y = F.col("n").cast("double")
+        return F.floor(
+            2.0 * F.abs(fc - y) / (F.abs(fc) + F.abs(y)) * 1e9 + F.lit(0.5)
+        ).cast("long")
+
+    val = joined.filter(F.col("t") <= _FC_VAL_MAX).groupBy("event_type").agg(
+        F.sum(sterm(F.col("fl"))).cast("long").alias("svl"),
+        F.sum(sterm(F.col("fs"))).cast("long").alias("svs"),
+        F.sum(sterm(F.col("fm"))).cast("long").alias("svm"),
+    )
+    wts = val.select(
+        "event_type",
+        F.floor(1e12 / (F.col("svl") + 1)).cast("long").alias("wl"),
+        F.floor(1e12 / (F.col("svs") + 1)).cast("long").alias("ws"),
+        F.floor(1e12 / (F.col("svm") + 1)).cast("long").alias("wm"),
+    )
+    test = joined.filter(F.col("t") > _FC_VAL_MAX).join(
+        F.broadcast(wts), "event_type"
+    )
+    fe = (F.col("fl") + F.col("fs") + F.col("fm")) / F.lit(3e0)
+    fw = (
+        F.col("wl") * F.col("fl")
+        + F.col("ws") * F.col("fs")
+        + F.col("wm") * F.col("fm")
+    ) / (F.col("wl") + F.col("ws") + F.col("wm"))
+    sm = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum(sterm(fe)).cast("long").alias("se"),
+        F.sum(sterm(fw)).cast("long").alias("sw"),
+        F.sum(sterm(F.col("fl"))).cast("long").alias("sl"),
+        F.sum(sterm(F.col("fs"))).cast("long").alias("ss"),
+        F.sum(sterm(F.col("fm"))).cast("long").alias("smn"),
+    )
+    out6 = lambda s: F.floor(  # noqa: E731
+        s.cast("double") / F.col("nt") / 1e9 * 1e6 + F.lit(0.5)
+    ) / 1e6
+    best_q = F.least("sl", "ss", "smn")
+    return sm.select(
+        "event_type",
+        out6(F.col("se")).alias("smape_equal"),
+        out6(F.col("sw")).alias("smape_weighted"),
+        out6(best_q).alias("smape_best_single"),
+        F.when(
+            (F.col("sl") <= F.col("ss")) & (F.col("sl") <= F.col("smn")),
+            F.lit("last"),
+        )
+        .when(
+            (F.col("smn") <= F.col("ss")) & (F.col("smn") < F.col("sl")),
+            F.lit("mean"),
+        )
+        .otherwise(F.lit("seasonal"))
+        .alias("best_single"),
+        (F.least("se", "sw") < best_q).alias("combo_beats_best"),
+    )

@@ -358,3 +358,22 @@ def test_quantile_forecast_band_order(spark):
         assert r.p10 <= r.p50 <= r.p90
         for v in (r.p10, r.p50, r.p90):
             assert v in support[r.event_type]
+
+
+def test_forecast_combination_internal_consistency(spark):
+    """best_single SMAPE <= both single alternatives implied by the
+    winner name; ensembles within the convex range sanity (equal combo
+    SMAPE can exceed best single, but all values in [0,2]); verdict
+    recomputable from the emitted numbers."""
+    rows = _q(spark, "ml_forecast_combination").collect()
+    assert len(rows) == 5
+    for r in rows:
+        for v in (r.smape_equal, r.smape_weighted, r.smape_best_single):
+            assert 0.0 <= v <= 2.0
+        assert r.best_single in ("last", "mean", "seasonal")
+        combo_best = min(r.smape_equal, r.smape_weighted)
+        # r6 grid: re-derive the verdict with grid slack
+        if combo_best < r.smape_best_single - 2e-6:
+            assert r.combo_beats_best
+        if combo_best > r.smape_best_single + 2e-6:
+            assert not r.combo_beats_best

@@ -306,3 +306,40 @@ def test_lorenz_curve_monotone_convex(spark):
         prev_p, prev_v = r.cum_pop_share, r.cum_value_share
     assert abs(rows[-1].cum_pop_share - 1.0) < 1e-9
     assert abs(rows[-1].cum_value_share - 1.0) < 1e-9
+
+
+def test_overdispersion_replica(spark):
+    """Mean/variance/D recomputed from the daily series must match;
+    dispersion index positive."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in _q(spark, "ts_overdispersion").collect()}
+    for ty, dd in daily.items():
+        ys = [dd[d] for d in sorted(dd)]
+        n = len(ys)
+        mean = sum(ys) / n
+        var = (sum(y * y for y in ys) - sum(ys) ** 2 / n) / (n - 1)
+        r = rows[ty]
+        assert r.n == n
+        assert abs(r.mean - math.floor(mean * 1e4 + 0.5) / 1e4) < 1e-9
+        assert abs(r.variance - math.floor(var * 1e4 + 0.5) / 1e4) < 1e-9
+        assert r.dispersion_index > 0
+
+
+def test_pattern_census_shares_and_patterns(spark):
+    """Every pattern uses only the class alphabet; shares per column sum
+    to <= 1 (top-5 cut); the customer-name pattern is the expected
+    'Aaaaaaaa#999999999' skeleton."""
+    rows = _q(spark, "dq_pattern_census").collect()
+    by_col = defaultdict(list)
+    for r in rows:
+        by_col[r.col_name].append(r)
+        assert r.rk <= 5 and r.n > 0
+        assert all(ch in "Aa9#_-. " for ch in r.pattern), r.pattern
+    assert sum(r.share for r in by_col["c_name"]) <= 1.0 + 1e-6
+    top_name = max(by_col["c_name"], key=lambda r: r.n)
+    assert top_name.pattern == "Aaaaaaaa#999999999"
