@@ -1531,3 +1531,275 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_chunk_windows.__doc__ = corpus_chunk_windows.__doc__.format(
     w=_CHUNK_TOKENS, s=_CHUNK_STRIDE, o=_CHUNK_TOKENS - _CHUNK_STRIDE
 )
+
+
+# --- cross-modal: cluster term profiles ------------------------------------------
+
+_CTP_STOPS = ("the", "and", "of", "is", "a")
+_CTP_MIN_C = 3
+_CTP_TOPK = 3
+
+
+@register(
+    "corpus_cluster_term_profile",
+    tags=("corpus", "embedding", "text"),
+    oracle=f"""
+    WITH lab AS (
+      SELECT d.doc_id, e.label,
+             lower(unnest(string_split_regex(trim(d.text), '\\s+'))) AS tok
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    kept AS (SELECT * FROM lab WHERE tok NOT IN {_CTP_STOPS!r}),
+    lt AS (
+      SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM kept GROUP BY 1, 2
+    ),
+    tl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tlab FROM lt GROUP BY 1),
+    gt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM lt GROUP BY 1),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM lt),
+    lift AS (
+      SELECT l.label, l.tok, l.c,
+             CAST(FLOOR(CAST(l.c AS DOUBLE) * tt.tot
+                        / (tl.tlab * CAST(gt.ct AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS liftq
+      FROM lt l
+      JOIN tl ON tl.label = l.label
+      JOIN gt ON gt.tok = l.tok
+      CROSS JOIN tt
+      WHERE l.c >= {_CTP_MIN_C}
+    ),
+    ranked AS (
+      SELECT label, tok, c, liftq,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY liftq DESC, tok) AS rk
+      FROM lift
+    )
+    SELECT label, tok AS term, c AS n_in_cluster,
+           liftq / 1e6 AS lift, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_CTP_TOPK}
+    """,
+)
+def corpus_cluster_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster labeling: for every EMBEDDING label (the
+    semantic cluster), the top {k} distinguishing TERMS of its documents
+    by lift = P(term|cluster)/P(term) — the step that turns an opaque
+    cluster id into a human-readable topic, joining the text and vector
+    modalities through the doc_id == vec_id key. Terms under {mc}
+    in-cluster occurrences are fenced out (lift is unstable on
+    singletons). Exactness: all four count frames are BIGINT; lift is
+    one IEEE expression quantized at 1e6 BEFORE ranking (ties to the
+    alphabetical term). Engine shape: one broadcast label join onto the
+    token explode, then three schema-sized aggregates — at 100 TB only
+    tokenization touches data volume."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    lab = (
+        docs.join(F.broadcast(emb), "doc_id")
+        .select(
+            "label",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok0"),
+        )
+        .select("label", F.lower(F.col("tok0")).alias("tok"))
+        .filter(~F.col("tok").isin(*_CTP_STOPS))
+    )
+    lt = lab.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tl = lt.groupBy("label").agg(F.sum("c").cast("long").alias("tlab"))
+    gt = lt.groupBy("tok").agg(F.sum("c").cast("long").alias("ct"))
+    tt = lt.agg(F.sum("c").cast("long").alias("tot"))
+    lift = (
+        lt.filter(F.col("c") >= _CTP_MIN_C)
+        .join(F.broadcast(tl), "label")
+        .join(gt, "tok")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "label",
+            "tok",
+            "c",
+            F.floor(
+                F.col("c").cast("double")
+                * F.col("tot")
+                / (F.col("tlab") * F.col("ct").cast("double"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("liftq"),
+        )
+    )
+    wrk = Window.partitionBy("label").orderBy(F.col("liftq").desc(), "tok")
+    return (
+        lift.withColumn("rk", F.row_number().over(wrk).cast("int"))
+        .filter(F.col("rk") <= _CTP_TOPK)
+        .select(
+            "label",
+            F.col("tok").alias("term"),
+            F.col("c").alias("n_in_cluster"),
+            (F.col("liftq") / 1e6).alias("lift"),
+            "rk",
+        )
+    )
+
+
+corpus_cluster_term_profile.__doc__ = corpus_cluster_term_profile.__doc__.format(
+    k=_CTP_TOPK, mc=_CTP_MIN_C
+)
+
+
+# --- cross-modal: lexical-semantic agreement audit --------------------------------
+
+
+@register(
+    "corpus_modal_agreement",
+    tags=("corpus", "embedding", "dedup", "dq"),
+    oracle="""
+    WITH lab AS (
+      SELECT d.doc_id, e.label, d.text
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    bg AS (
+      SELECT doc_id, label,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split_regex(trim(text),
+                                                         '\\s+')) - 1),
+               i -> array_to_string(
+                 (string_split_regex(trim(text), '\\s+'))[i:i+1], ' ')))
+               AS hs
+      FROM lab
+    ),
+    intra AS (
+      SELECT label, doc_id, hs,
+             LAG(doc_id) OVER (PARTITION BY label ORDER BY doc_id) AS pid,
+             LAG(hs) OVER (PARTITION BY label ORDER BY doc_id) AS phs
+      FROM bg
+    ),
+    inter AS (
+      SELECT label, doc_id, hs,
+             LAG(label) OVER (ORDER BY doc_id) AS plab,
+             LAG(hs) OVER (ORDER BY doc_id) AS phs
+      FROM bg
+    ),
+    ij AS (
+      SELECT label,
+             CAST(FLOOR(CAST(len(list_intersect(hs, phs)) AS DOUBLE)
+                  / (len(hs) + len(phs) - len(list_intersect(hs, phs)))
+                  * 1e9 + 0.5) AS BIGINT) AS jq
+      FROM intra WHERE pid IS NOT NULL
+    ),
+    xj AS (
+      SELECT CAST(FLOOR(CAST(len(list_intersect(hs, phs)) AS DOUBLE)
+                  / (len(hs) + len(phs) - len(list_intersect(hs, phs)))
+                  * 1e9 + 0.5) AS BIGINT) AS jq
+      FROM inter WHERE plab IS NOT NULL AND plab <> label
+    ),
+    intra_m AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(jq) AS BIGINT) AS sq
+      FROM ij GROUP BY 1
+    ),
+    inter_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(jq) AS BIGINT) AS sq
+      FROM xj
+    )
+    SELECT 'intra' AS scope, CAST(label AS INT) AS label, n_pairs,
+           FLOOR(CAST(sq AS DOUBLE) / n_pairs / 1e9 * 1e6 + 0.5) / 1e6
+             AS mean_jaccard
+    FROM intra_m
+    UNION ALL
+    SELECT 'inter', CAST(NULL AS INT), n_pairs,
+           FLOOR(CAST(sq AS DOUBLE) / n_pairs / 1e9 * 1e6 + 0.5) / 1e6
+    FROM inter_m
+    """,
+)
+def corpus_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-semantic agreement audit across modalities: mean word-
+    bigram Jaccard of id-consecutive document pairs WITHIN each
+    embedding label (semantic cluster) vs ACROSS labels — if the
+    embedding space means anything lexically, intra-cluster pairs
+    should beat the inter baseline. Chain pairing (each doc with its
+    label-order predecessor) keeps the audit at exactly n-1 pairs per
+    group — deterministic and volume-linear, never the O(cluster²)
+    grind (the SemDeDup fence lesson applied to an audit). Exactness:
+    bigram sets are distinct lists, per-pair Jaccard is an integer
+    ratio quantized at 1e9, group means exact BIGINT sums. At 100 TB:
+    one label broadcast join, one lag window per ordering — the
+    set-intersection work is bounded by pairs x bigrams/doc."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    lab = docs.join(F.broadcast(emb), "doc_id").select(
+        "doc_id", "label", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    bg = lab.select(
+        "doc_id",
+        "label",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', slice(w, i, 2)))"
+            )
+        ).alias("hs"),
+    )
+    jacq = (
+        F.floor(
+            F.size(F.array_intersect("hs", "phs")).cast("double")
+            / (
+                F.size("hs")
+                + F.size("phs")
+                - F.size(F.array_intersect("hs", "phs"))
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jq")
+    )
+    wl = Window.partitionBy("label").orderBy("doc_id")
+    intra = bg.select(
+        "label",
+        "hs",
+        F.lag("doc_id").over(wl).alias("pid"),
+        F.lag("hs").over(wl).alias("phs"),
+    ).filter(F.col("pid").isNotNull())
+    wg = Window.orderBy("doc_id")
+    inter = bg.select(
+        "label",
+        "hs",
+        F.lag("label").over(wg).alias("plab"),
+        F.lag("hs").over(wg).alias("phs"),
+    ).filter(F.col("plab").isNotNull() & (F.col("plab") != F.col("label")))
+    intra_m = intra.select("label", jacq).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("jq").cast("long").alias("sq"),
+    )
+    inter_m = inter.select(jacq).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("jq").cast("long").alias("sq"),
+    )
+    mean6 = (
+        F.floor(
+            F.col("sq").cast("double") / F.col("n_pairs") / 1e9 * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    ).alias("mean_jaccard")
+    return intra_m.select(
+        F.lit("intra").alias("scope"),
+        F.col("label").cast("int").alias("label"),
+        "n_pairs",
+        mean6,
+    ).unionAll(
+        inter_m.select(
+            F.lit("inter").alias("scope"),
+            F.lit(None).cast("int").alias("label"),
+            "n_pairs",
+            mean6,
+        )
+    )

@@ -374,3 +374,69 @@ def test_chunk_windows_cover_and_overlap(spark):
         # coverage: last chunk reaches the final token
         last = rs[-1]
         assert last.start_tok - 1 + last.n_tok >= n
+
+
+def test_cluster_term_profile_lift_replica(spark):
+    """Lift recomputed from scratch for every emitted (label, term) must
+    match; terms respect the stopword and min-count fences; <=3 rows
+    per label."""
+    import math
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    emb = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    stops = {"the", "and", "of", "is", "a"}
+    lt = defaultdict(int)
+    for d in docs:
+        lab = emb[d.doc_id]
+        for w in d.text.strip().split():
+            w = w.lower()
+            if w not in stops:
+                lt[(lab, w)] += 1
+    tlab = defaultdict(int)
+    ct = defaultdict(int)
+    for (lab, w), c in lt.items():
+        tlab[lab] += c
+        ct[w] += c
+    tot = sum(lt.values())
+    rows = REGISTRY["corpus_cluster_term_profile"].fn(spark, SF_SMALL).collect()
+    per_label = defaultdict(int)
+    for r in rows:
+        per_label[r.label] += 1
+        assert r.term not in stops
+        c = lt[(r.label, r.term)]
+        assert c == r.n_in_cluster and c >= 3
+        lift = math.floor(c * tot / (tlab[r.label] * ct[r.term]) * 1e6 + 0.5) / 1e6
+        assert abs(r.lift - lift) < 1e-9
+        assert 1 <= r.rk <= 3
+    assert all(v <= 3 for v in per_label.values())
+
+
+def test_modal_agreement_scopes(spark):
+    """One inter row plus one intra row per label with >=2 members;
+    mean Jaccards in [0,1]; intra pair counts = label size - 1."""
+    from collections import Counter
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.sources import load_table
+
+    sizes = Counter(
+        r.label
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    )
+    rows = REGISTRY["corpus_modal_agreement"].fn(spark, SF_SMALL).collect()
+    inter = [r for r in rows if r.scope == "inter"]
+    intra = [r for r in rows if r.scope == "intra"]
+    assert len(inter) == 1 and inter[0].label is None
+    for r in intra:
+        assert r.n_pairs == sizes[r.label] - 1
+        assert 0.0 <= r.mean_jaccard <= 1.0
+    assert 0.0 <= inter[0].mean_jaccard <= 1.0
