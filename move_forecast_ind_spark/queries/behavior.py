@@ -799,3 +799,110 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("cum_value_share"),
     )
+
+
+# --- growth accounting ---------------------------------------------------------
+
+
+@register(
+    "events_growth_accounting",
+    tags=("events", "analytics", "cohort"),
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    uw AS (
+      SELECT DISTINCT e.user_id,
+             CAST(FLOOR(CAST(CAST(e.ts AS DATE) - b.d0 AS BIGINT) / 7)
+                  AS INT) AS wk
+      FROM events e CROSS JOIN b
+    ),
+    per_user AS (
+      SELECT user_id, list_sort(list(wk)) AS wks, MIN(wk) AS first_wk
+      FROM uw GROUP BY 1
+    ),
+    mx AS (SELECT MAX(wk) AS maxwk FROM uw),
+    staged AS (
+      SELECT u.user_id, w.wk,
+             CASE
+               WHEN list_contains(u.wks, w.wk) AND u.first_wk = w.wk
+                 THEN 'new'
+               WHEN list_contains(u.wks, w.wk)
+                    AND list_contains(u.wks, w.wk - 1) THEN 'retained'
+               WHEN list_contains(u.wks, w.wk) THEN 'resurrected'
+               WHEN list_contains(u.wks, w.wk - 1) THEN 'churned'
+             END AS stage
+      FROM per_user u
+      CROSS JOIN (SELECT unnest(generate_series(0, (SELECT maxwk FROM mx)))
+                  AS wk) w
+      WHERE w.wk >= u.first_wk
+    )
+    SELECT CAST(wk AS INT) AS week, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged WHERE stage IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every user classified per week as new
+    (first active week), retained (active this week and last),
+    resurrected (active, dormant last week, seen before), or churned
+    (active last week, absent now) — the MAU decomposition
+    new + retained + resurrected - churned every growth team reports.
+    Engine shape: one distinct (user, week) aggregate, each user's
+    active-week set collected IN-ROW (<= #weeks, a schema constant),
+    then a bounded week fan-out evaluates membership per week — no
+    per-week self-joins, no shuffle after the per-user collect. All
+    counts exact integers; no rounding anywhere. At 100 TB the state
+    per user is one small int array — the same bounded-collect doctrine
+    as the co-activity tier."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    uw = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7
+            )
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    per_user = uw.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("wk")).alias("wks"),
+        F.min("wk").alias("first_wk"),
+    )
+    mx = uw.agg(F.max("wk").alias("maxwk"))
+    staged = (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "wks",
+            "first_wk",
+            F.explode(F.sequence(F.lit(0), F.col("maxwk"))).alias("wk"),
+        )
+        .filter(F.col("wk") >= F.col("first_wk"))
+        .select(
+            "wk",
+            F.when(
+                F.array_contains("wks", F.col("wk"))
+                & (F.col("first_wk") == F.col("wk")),
+                F.lit("new"),
+            )
+            .when(
+                F.array_contains("wks", F.col("wk"))
+                & F.array_contains("wks", F.col("wk") - 1),
+                F.lit("retained"),
+            )
+            .when(F.array_contains("wks", F.col("wk")), F.lit("resurrected"))
+            .when(
+                F.array_contains("wks", F.col("wk") - 1), F.lit("churned")
+            )
+            .alias("stage"),
+        )
+        .filter(F.col("stage").isNotNull())
+    )
+    return staged.groupBy(
+        F.col("wk").cast("int").alias("week"), "stage"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -1722,3 +1722,76 @@ def dq_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dq_pattern_census.__doc__ = dq_pattern_census.__doc__.format(k=_PC_TOPK)
+
+
+# --- event-id / event-time order audit --------------------------------------------
+
+
+@register(
+    "dq_id_order_audit",
+    tags=("dq", "timeseries"),
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY event_id) AS pus
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pus IS NOT NULL AND us < pus
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           FLOOR(CAST(SUM(CASE WHEN pus IS NOT NULL AND us < pus
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(COUNT(*) - 1, 1) * 1e6 + 0.5) / 1e6
+             AS inversion_rate,
+           CAST(MAX(CASE WHEN pus IS NOT NULL AND us < pus
+                         THEN pus - us ELSE 0 END) AS BIGINT)
+             AS max_backstep_us
+    FROM s GROUP BY 1
+    """,
+)
+def dq_id_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: per event type, how often does the
+    assigned event_id order DISAGREE with event time (adjacent-pair
+    inversions under the id order), plus the worst backstep in
+    microseconds — the check that catches a sharded id generator or a
+    clock-skewed producer before any time-window logic silently
+    misbuckets (the streaming tier's watermark assumptions depend on
+    exactly this). All integer comparisons on exact microsecond lags —
+    no rounding beyond the final exact-ratio rate. One lag window per
+    type; at 100 TB this partitions by (type, id-range bucket) with
+    boundary pairs handled by a one-row-per-bucket overlap, same
+    telescoping as every adjacent-pair audit here."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pus"),
+    )
+    inv = F.when(
+        F.col("pus").isNotNull() & (F.col("us") < F.col("pus")), 1
+    ).otherwise(0)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(inv).cast("long").alias("n_inversions"),
+        (
+            F.floor(
+                F.sum(inv).cast("double")
+                / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("inversion_rate"),
+        F.max(
+            F.when(
+                F.col("pus").isNotNull() & (F.col("us") < F.col("pus")),
+                F.col("pus") - F.col("us"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("max_backstep_us"),
+    )

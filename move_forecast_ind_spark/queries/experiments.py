@@ -961,3 +961,130 @@ def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("margin") - F.col("diff")) / F.col("se") > z)
         ).alias("equivalent"),
     )
+
+
+# --- delta-method ratio-metric CI ---------------------------------------------------
+
+_RM_Z = "1.959963984540054e0"
+
+
+@register(
+    "a_ratio_metric_ci",
+    tags=("aggregate", "experiment", "statistics"),
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ycents,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ycents) AS BIGINT) AS sy,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(ycents * ycents) AS HUGEINT) AS syy,
+             CAST(SUM(m * m) AS BIGINT) AS smm,
+             CAST(SUM(ycents * m) AS BIGINT) AS sym
+      FROM per_user
+    ),
+    st AS (
+      SELECT n, sy, sm,
+             CAST(sy AS DOUBLE) / sm AS r,
+             CAST(sm AS DOUBLE) / n AS mbar,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+               AS vy,
+             (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n) / (n - 1)
+               AS vm,
+             (CAST(sym AS DOUBLE) - CAST(sy AS DOUBLE) * sm / n) / (n - 1)
+               AS cym
+      FROM mom
+    ),
+    se AS (
+      SELECT n, r, mbar,
+             sqrt((vy - 2e0 * r * cym + r * r * vm) / n) / mbar AS se_r
+      FROM st
+    )
+    SELECT n AS n_users,
+           FLOOR(r / 1e2 * 1e6 + 0.5) / 1e6 AS ratio,
+           FLOOR(se_r / 1e2 * 1e6 + 0.5) / 1e6 AS se,
+           FLOOR((r - {_RM_Z} * se_r) / 1e2 * 1e6 + 0.5) / 1e6 AS ci_lo,
+           FLOOR((r + {_RM_Z} * se_r) / 1e2 * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM se
+    """,
+)
+def a_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric — purchase
+    revenue per event, R = sum(Y_u)/sum(M_u) over per-user pairs — the
+    estimator every experimentation platform needs because both
+    numerator and denominator are user-level random variables (Deng,
+    Knoblich & Lu 2018): Var(R) = (vy - 2R*cov + R²vm) / (n*mbar²).
+    A naive per-event mean would understate the variance by ignoring
+    user clustering. Exactness: per-user aggregates are BIGINT cents /
+    counts; the five moments are exact integer sums (squares HUGEINT on
+    the oracle, double-safe on Spark); R, SE, and the CI are single
+    IEEE expressions. One user aggregate + one global reduce."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("ycents"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ycents").cast("long").alias("sy"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum(F.col("ycents").cast("double") * F.col("ycents")).alias("syy"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+        F.sum(F.col("ycents") * F.col("m")).cast("long").alias("sym"),
+    )
+    r = F.col("sy").cast("double") / F.col("sm")
+    mbar = F.col("sm").cast("double") / F.col("n")
+    vy = (
+        F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / (F.col("n") - 1)
+    vm = (
+        F.col("smm").cast("double")
+        - F.col("sm").cast("double") * F.col("sm") / F.col("n")
+    ) / (F.col("n") - 1)
+    cym = (
+        F.col("sym").cast("double")
+        - F.col("sy").cast("double") * F.col("sm") / F.col("n")
+    ) / (F.col("n") - 1)
+    st = mom.select(
+        "n",
+        r.alias("r"),
+        mbar.alias("mbar"),
+        vy.alias("vy"),
+        vm.alias("vm"),
+        cym.alias("cym"),
+    )
+    se_r = (
+        F.sqrt(
+            (
+                F.col("vy")
+                - F.lit(2e0) * F.col("r") * F.col("cym")
+                + F.col("r") * F.col("r") * F.col("vm")
+            )
+            / F.col("n")
+        )
+        / F.col("mbar")
+    )
+    z = float(_RM_Z)
+    o6 = lambda c: F.floor(c / 1e2 * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    se = st.select("n", "r", se_r.alias("se_r"))
+    return se.select(
+        F.col("n").alias("n_users"),
+        o6(F.col("r")).alias("ratio"),
+        o6(F.col("se_r")).alias("se"),
+        o6(F.col("r") - F.lit(z) * F.col("se_r")).alias("ci_lo"),
+        o6(F.col("r") + F.lit(z) * F.col("se_r")).alias("ci_hi"),
+    )

@@ -203,3 +203,70 @@ def test_ipw_estimators_consistent(spark):
         assert abs(v) < 5e5  # bounded by the price range
     # HT and Hájek agree closely when weights are near-uniform
     assert abs(r.ate_ipw - r.ate_hajek) < abs(r.naive_diff) + 2e3
+
+
+def test_growth_accounting_identities(spark):
+    """Per week w>0: new + retained + resurrected = weekly active users;
+    week 0 is all 'new'; churned_w = active_{w-1} - retained_w."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    d0 = min(r.ts.date() for r in ev)
+    active = defaultdict(set)
+    for r in ev:
+        active[(r.ts.date() - d0).days // 7].add(r.user_id)
+    rows = defaultdict(dict)
+    for r in _q(spark, "events_growth_accounting").collect():
+        rows[r.week][r.stage] = r.n_users
+    weeks = sorted(active)
+    assert set(rows[0]) == {"new"} and rows[0]["new"] == len(active[0])
+    for w in weeks[1:]:
+        got = rows[w]
+        total = (
+            got.get("new", 0)
+            + got.get("retained", 0)
+            + got.get("resurrected", 0)
+        )
+        assert total == len(active[w]), (w, got)
+        churn_expected = len(active[w - 1]) - got.get("retained", 0)
+        assert got.get("churned", 0) == churn_expected, (w, got)
+
+
+def test_ratio_metric_ci_replica(spark):
+    """Ratio and delta-method SE recomputed from per-user pairs must
+    match; CI brackets the ratio."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r.event_type == "purchase":
+            per[r.user_id][0] += math.floor(r.value * 100 + 0.5)
+        per[r.user_id][1] += 1
+    ys = [v[0] for v in per.values()]
+    ms = [v[1] for v in per.values()]
+    n = len(ys)
+    ratio = sum(ys) / sum(ms)
+    mbar = sum(ms) / n
+    vy = (sum(y * y for y in ys) - sum(ys) ** 2 / n) / (n - 1)
+    vm = (sum(m * m for m in ms) - sum(ms) ** 2 / n) / (n - 1)
+    cym = (
+        sum(y * m for y, m in zip(ys, ms)) - sum(ys) * sum(ms) / n
+    ) / (n - 1)
+    se = math.sqrt((vy - 2 * ratio * cym + ratio * ratio * vm) / n) / mbar
+    r = _q(spark, "a_ratio_metric_ci").collect()[0]
+    assert r.n_users == n
+    assert abs(r.ratio - math.floor(ratio / 1e2 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(r.se - math.floor(se / 1e2 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert r.ci_lo <= r.ratio <= r.ci_hi
+
+
+def test_id_order_audit_bounds(spark):
+    """Inversion counts bounded by n-1; rate in [0,1]; max backstep
+    positive iff any inversion exists."""
+    rows = _q(spark, "dq_id_order_audit").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_inversions <= r.n_events - 1
+        assert 0.0 <= r.inversion_rate <= 1.0
+        assert (r.max_backstep_us > 0) == (r.n_inversions > 0)
