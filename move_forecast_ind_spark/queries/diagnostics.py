@@ -1795,3 +1795,98 @@ def dq_id_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_backstep_us"),
     )
+
+
+# --- cross-table financial consistency ---------------------------------------------
+
+
+@register(
+    "dq_order_total_consistency",
+    tags=("dq", "join", "finance"),
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount)
+                                 * (1e0 + l_tax) * 1e2 + 0.5) AS BIGINT))
+                  AS BIGINT) AS derived_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 1e2 + 0.5) AS BIGINT) AS header,
+             li.derived_cents, li.n_lines,
+             CASE WHEN li.k IS NULL THEN 'no_lines'
+                  WHEN ABS(CAST(FLOOR(o.o_totalprice * 1e2 + 0.5) AS BIGINT)
+                           - li.derived_cents) <= li.n_lines
+                    THEN 'consistent'
+                  ELSE 'mismatch' END AS status,
+             CASE WHEN li.k IS NOT NULL
+                  THEN ABS(CAST(FLOOR(o.o_totalprice * 1e2 + 0.5) AS BIGINT)
+                           - li.derived_cents) ELSE 0 END AS abs_diff
+      FROM orders o LEFT JOIN li ON li.k = o.o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(abs_diff) AS BIGINT) AS total_abs_diff_cents,
+           CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents
+    FROM j GROUP BY 1
+    """,
+)
+def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial consistency: every order header total
+    recomputed from its line items (extendedprice x (1-discount) x
+    (1+tax), cents-quantized per line) and classified consistent /
+    mismatch / no_lines, with the exact aggregate and worst-case cent
+    drift — the reconciliation audit that catches a broken ETL join or
+    a re-priced line before finance does. Tolerance = n_lines cents
+    (per-line half-cent rounding headroom, identical both engines).
+    Exactness: per-line cents are BIGINT, header cents are BIGINT, the
+    diff is integer. Engine shape: one lineitem aggregate keyed by
+    order (map-side combine over the natural key), one key-colocated
+    left join — the bucketed-tables shuffle-free shape at 100 TB."""
+    tune(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1e0) - F.col("l_discount"))
+                * (F.lit(1e0) + F.col("l_tax"))
+                * 1e2
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("cents").cast("long").alias("derived_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("header"),
+    )
+    j = o.join(li, o.o_orderkey == li.k, "left")
+    diff = F.abs(F.col("header") - F.col("derived_cents"))
+    status = (
+        F.when(F.col("k").isNull(), F.lit("no_lines"))
+        .when(diff <= F.col("n_lines"), F.lit("consistent"))
+        .otherwise(F.lit("mismatch"))
+    )
+    classified = j.select(
+        status.alias("status"),
+        F.when(F.col("k").isNotNull(), diff)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("abs_diff"),
+    )
+    return classified.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("abs_diff").cast("long").alias("total_abs_diff_cents"),
+        F.max("abs_diff").cast("long").alias("max_abs_diff_cents"),
+    )

@@ -515,3 +515,179 @@ def a_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("rake_factor"),
     )
+
+
+# --- ergodic Markov stationary distribution --------------------------------------
+
+_MS_STATES = ("click", "error", "purchase", "signup", "view")
+_MS_K = 15
+
+
+def _ms_oracle() -> str:
+    sts = _MS_STATES
+    q_cols = ", ".join(
+        f"""CAST(SUM(CASE WHEN f = '{f}' AND t = '{t}' THEN 1 ELSE 0 END)
+             AS DOUBLE)
+           / GREATEST(SUM(CASE WHEN f = '{f}' THEN 1 ELSE 0 END), 1)
+             AS p_{f}_{t}"""
+        for f in sts
+        for t in sts
+    )
+    n_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN f = '{f}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{f}"
+        for f in sts
+    )
+    layers = [
+        "p0 AS (SELECT "
+        + ", ".join(
+            f"CAST(FLOOR(1e9 / {len(sts)} + 0.5) AS BIGINT) AS pi_{s}"
+            for s in sts
+        )
+        + ")"
+    ]
+    prev = "p0"
+    for k in range(1, _MS_K + 1):
+        exprs = ", ".join(
+            "CAST(FLOOR("
+            + " + ".join(
+                f"{prev}.pi_{f} * qm.p_{f}_{t}" for f in sts
+            )
+            + " + 0.5) AS BIGINT)"
+            + f" AS pi_{t}"
+            for t in sts
+        )
+        layers.append(f"p{k} AS (SELECT {exprs} FROM {prev} CROSS JOIN qm)")
+        prev = f"p{k}"
+    selects = " UNION ALL ".join(
+        f"""SELECT '{s}' AS state, qm.n_{s} AS n_out,
+            FLOOR({prev}.pi_{s} / 1e9 * 1e6 + 0.5) / 1e6 AS pi
+        FROM qm CROSS JOIN {prev}"""
+        for s in sts
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tr AS (
+      SELECT a.event_type AS f, b.event_type AS t
+      FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ),
+    qm AS (SELECT {q_cols}, {n_cols} FROM tr),
+    {", ".join(layers)}
+    {selects}
+    """
+
+
+@register(
+    "events_markov_stationary",
+    tags=("events", "graph", "iterative"),
+    oracle=_ms_oracle(),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the FULL user-journey Markov chain
+    (all five states, purchase included — the ergodic complement to
+    events_absorbing_markov): pi' = pi P iterated 15 rounds from
+    uniform on a 1e9 integer grid, over the same (ts, event_id)-ordered
+    transition counts. pi answers "where does a long session spend its
+    time" — the steady-state engagement mix. Exactness: P entries are
+    exact count ratios in ONE pivoted row; each round's five dot
+    products unroll left-associated identically on both engines (the
+    absorbing-Markov doctrine) and requantize to BIGINT, so there is
+    never a cross-row double sum. Engine shape: transition extraction
+    touches data once; the 15 rounds are constant-size column math on
+    one row (single sequence-fold — no 5^K projection blowup)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("t"),
+        F.col("rn").alias("b_rn"),
+    )
+    tr = e.join(
+        b,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_rn") == F.col("rn") + 1),
+    ).select(F.col("event_type").alias("f"), "t")
+    sts = _MS_STATES
+    aggs = []
+    for f in sts:
+        denom = F.greatest(
+            F.sum(F.when(F.col("f") == f, 1).otherwise(0)), F.lit(1)
+        )
+        for t in sts:
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(
+                            (F.col("f") == f) & (F.col("t") == t), 1
+                        ).otherwise(0)
+                    ).cast("double")
+                    / denom
+                ).alias(f"p_{f}_{t}")
+            )
+        aggs.append(
+            F.sum(F.when(F.col("f") == f, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{f}")
+        )
+    qm = tr.agg(*aggs)
+    pmat = F.array(
+        *[F.array(*[F.col(f"p_{f}_{t}") for t in sts]) for f in sts]
+    )
+    k = len(sts)
+    init = F.array(
+        *[
+            F.floor(F.lit(1e9) / k + F.lit(0.5)).cast("double")
+            for _ in sts
+        ]
+    )
+    # pi'_t = FLOOR(sum_f pi_f * P[f][t] + .5): fold over rounds; the
+    # inner sum folds f-ordered with init 0 then +0.5 regrid — matching
+    # the oracle's left-associated "a + b + c + d + e" exactly requires
+    # init = first term: emulate by folding from 0 where the SQL also
+    # starts the chain at the first product: (p1+p2)+... vs (0+p1)+p2...
+    # differ; use explicit first-element seed below.
+    tvec = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MS_K)),
+        init,
+        lambda acc, _k: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda t: F.floor(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(k - 1)),
+                    F.element_at(acc, 1)
+                    * F.element_at(F.element_at(pmat, 1), t + 1),
+                    lambda s, f: s
+                    + F.element_at(acc, f + 1)
+                    * F.element_at(F.element_at(pmat, f + 1), t + 1),
+                )
+                + F.lit(0.5)
+            ).cast("double"),
+        ),
+    )
+    cur = qm.select("*", tvec.alias("tv"))
+    parts = [
+        cur.select(
+            F.lit(s).alias("state"),
+            F.col(f"n_{s}").alias("n_out"),
+            (
+                F.floor(
+                    F.element_at(F.col("tv"), i + 1) / 1e9 * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pi"),
+        )
+        for i, s in enumerate(sts)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1851,3 +1851,147 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_target_encoding.__doc__ = ml_target_encoding.__doc__.format(
     k=_TE_FOLDS, m=_TE_SMOOTH
 )
+
+
+# --- Murphy decomposition of the Brier score ---------------------------------
+
+
+@register(
+    "ml_brier_decomposition",
+    tags=("ml", "aggregate", "eval"),
+    oracle=_eval_pairs_sql()
+    + """
+    , binned AS (
+      SELECT CAST(LEAST(CAST(FLOOR(p * 10e0) AS BIGINT) + 1, 10) AS BIGINT)
+               AS bin,
+             CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT) AS pq,
+             y,
+             CAST(FLOOR((p - y) * (p - y) * 1e9 + 0.5) AS BIGINT) AS sqq
+      FROM j
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pq) AS BIGINT) AS spq,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sy) AS BIGINT) AS syt,
+             (SELECT CAST(SUM(sqq) AS BIGINT) FROM binned) AS sbq
+      FROM per_bin
+    ),
+    terms AS (
+      SELECT t.nn, t.sbq,
+             CAST(SUM(CAST(FLOOR(
+               b.n * (CAST(b.spq AS DOUBLE) / b.n / 1e9
+                      - CAST(b.sy AS DOUBLE) / b.n)
+                   * (CAST(b.spq AS DOUBLE) / b.n / 1e9
+                      - CAST(b.sy AS DOUBLE) / b.n) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS relq,
+             CAST(SUM(CAST(FLOOR(
+               b.n * (CAST(b.sy AS DOUBLE) / b.n
+                      - CAST(t.syt AS DOUBLE) / t.nn)
+                   * (CAST(b.sy AS DOUBLE) / b.n
+                      - CAST(t.syt AS DOUBLE) / t.nn) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS resq,
+             CAST(t.syt AS DOUBLE) / t.nn AS obar
+      FROM per_bin b CROSS JOIN tot t
+      GROUP BY 1, 2, 5
+    )
+    SELECT nn AS n,
+           FLOOR(CAST(sbq AS DOUBLE) / nn / 1e9 * 1e6 + 0.5) / 1e6 AS brier,
+           FLOOR(CAST(relq AS DOUBLE) / nn / 1e9 * 1e6 + 0.5) / 1e6
+             AS reliability,
+           FLOOR(CAST(resq AS DOUBLE) / nn / 1e9 * 1e6 + 0.5) / 1e6
+             AS resolution,
+           FLOOR(obar * (1e0 - obar) * 1e6 + 0.5) / 1e6 AS uncertainty,
+           FLOOR((CAST(sbq AS DOUBLE) / nn / 1e9
+                  - (CAST(relq AS DOUBLE) / nn / 1e9
+                     - CAST(resq AS DOUBLE) / nn / 1e9
+                     + obar * (1e0 - obar))) * 1e6 + 0.5) / 1e6
+             AS residual
+    FROM terms
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the hashed classifier's Brier score over
+    the 10 reliability bins: Brier ≈ REL - RES + UNC (Murphy 1973) —
+    reliability (calibration badness), resolution (how much the bins
+    separate outcomes), uncertainty (outcome base-rate variance), plus
+    the explicit residual (within-bin forecast variance, nonzero
+    whenever p varies inside a bin — emitting it keeps the identity
+    honest instead of pretending the textbook 3-term form is exact).
+    Shares the exact pair construction and binning of
+    ml_reliability_bins. Exactness: y-sums and counts are BIGINT; p and
+    (p-y)² quantize per ROW at 1e9 (so bin means are exact integer
+    ratios); each bin's REL/RES term quantizes at 1e9 before the final
+    BIGINT sum. One bin aggregate + one 10-row reduce."""
+    tune(spark)
+    jf = _eval_pairs(spark, sf_dir)
+    binned = jf.select(
+        F.least(F.floor(F.col("p") * 10.0).cast("long") + 1, F.lit(10))
+        .cast("long")
+        .alias("bin"),
+        F.floor(F.col("p") * 1e9 + F.lit(0.5)).cast("long").alias("pq"),
+        "y",
+        F.floor(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")) * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sqq"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("sqq").cast("long").alias("sbq_bin"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sy").cast("long").alias("syt"),
+        F.sum("sbq_bin").cast("long").alias("sbq"),
+    )
+    pbar = F.col("spq").cast("double") / F.col("n") / 1e9
+    obin = F.col("sy").cast("double") / F.col("n")
+    obar = F.col("syt").cast("double") / F.col("nn")
+    terms = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "nn",
+            "sbq",
+            obar.alias("obar"),
+            F.floor(
+                F.col("n") * (pbar - obin) * (pbar - obin) * 1e9 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("relq_t"),
+            F.floor(
+                F.col("n") * (obin - obar) * (obin - obar) * 1e9 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("resq_t"),
+        )
+        .groupBy("nn", "sbq", "obar")
+        .agg(
+            F.sum("relq_t").cast("long").alias("relq"),
+            F.sum("resq_t").cast("long").alias("resq"),
+        )
+    )
+    b6 = lambda q: F.floor(  # noqa: E731
+        q.cast("double") / F.col("nn") / 1e9 * 1e6 + F.lit(0.5)
+    ) / 1e6
+    brier = F.col("sbq").cast("double") / F.col("nn") / 1e9
+    rel = F.col("relq").cast("double") / F.col("nn") / 1e9
+    res = F.col("resq").cast("double") / F.col("nn") / 1e9
+    unc = F.col("obar") * (F.lit(1e0) - F.col("obar"))
+    return terms.select(
+        F.col("nn").alias("n"),
+        b6(F.col("sbq")).alias("brier"),
+        b6(F.col("relq")).alias("reliability"),
+        b6(F.col("resq")).alias("resolution"),
+        (F.floor(unc * 1e6 + F.lit(0.5)) / 1e6).alias("uncertainty"),
+        (
+            F.floor((brier - (rel - res + unc)) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("residual"),
+    )

@@ -343,3 +343,63 @@ def test_pattern_census_shares_and_patterns(spark):
     assert sum(r.share for r in by_col["c_name"]) <= 1.0 + 1e-6
     top_name = max(by_col["c_name"], key=lambda r: r.n)
     assert top_name.pattern == "Aaaaaaaa#999999999"
+
+
+def test_brier_decomposition_identity(spark):
+    """Brier must match ml_classifier_auc's brier to the shared grid;
+    the 3-term Murphy identity holds up to the emitted residual; all
+    components non-negative (uncertainty, reliability, resolution)."""
+    rows = _q(spark, "ml_brier_decomposition").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0.0 <= r.uncertainty <= 0.25 + 1e-9
+    lhs = r.brier
+    rhs = r.reliability - r.resolution + r.uncertainty + r.residual
+    assert abs(lhs - rhs) < 5e-6
+    auc_rows = _q(spark, "ml_classifier_auc").collect()
+    brier_cols = [c for c in auc_rows[0].asDict() if "brier" in c]
+    if brier_cols:
+        assert abs(auc_rows[0][brier_cols[0]] - r.brier) < 1e-3
+
+
+def test_markov_stationary_is_distribution(spark):
+    """pi sums to 1 (grid slack), every component nonnegative, and pi is
+    approximately invariant: |pi P - pi| small after 15 rounds."""
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = {r.state: r for r in _q(spark, "events_markov_stationary").collect()}
+    assert abs(sum(r.pi for r in rows.values()) - 1.0) < 1e-3
+    assert all(r.pi >= 0 for r in rows.values())
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    sts = ("click", "error", "purchase", "signup", "view")
+    cnt = defaultdict(int)
+    out = defaultdict(int)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rs, rs[1:]):
+            out[a.event_type] += 1
+            cnt[(a.event_type, b.event_type)] += 1
+    p = {
+        (f, t): cnt[(f, t)] / max(out[f], 1) for f in sts for t in sts
+    }
+    pi = {s: rows[s].pi for s in sts}
+    for t in sts:
+        nxt = sum(pi[f] * p[(f, t)] for f in sts)
+        assert abs(nxt - pi[t]) < 5e-3, (t, nxt, pi[t])
+
+
+def test_order_total_consistency_covers_orders(spark):
+    """Status counts partition the orders table; TPC-H-style fixtures
+    should reconcile (mismatch bucket absent or tiny)."""
+    from move_forecast_ind_spark.sources import load_table
+
+    n = load_table(spark, SF_SMALL, "orders").count()
+    rows = {r.status: r for r in _q(spark, "dq_order_total_consistency").collect()}
+    assert sum(r.n_orders for r in rows.values()) == n
+    assert "consistent" in rows or "mismatch" in rows
+    for r in rows.values():
+        assert r.max_abs_diff_cents <= r.total_abs_diff_cents or r.n_orders == 0
