@@ -1088,3 +1088,216 @@ def a_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         o6(F.col("r") - F.lit(z) * F.col("se_r")).alias("ci_lo"),
         o6(F.col("r") + F.lit(z) * F.col("se_r")).alias("ci_hi"),
     )
+
+
+# --- off-policy evaluation (IPS / SNIPS) --------------------------------------------
+
+
+@register(
+    "ml_offpolicy_ips",
+    tags=("ml", "experiment", "causal"),
+    oracle=f"""
+    WITH lg AS (
+      SELECT {_sql_md5_bucket("o_orderkey", 2)} AS a,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS pi_a,
+             CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS r
+      FROM orders
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = pi_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             CAST(SUM(CASE WHEN a = pi_a THEN r * 2 ELSE 0 END) AS BIGINT)
+               AS ips_cents,
+             CAST(SUM(r) AS BIGINT) AS r_cents
+      FROM lg
+    )
+    SELECT n, n_matched,
+           FLOOR(CAST(n_matched AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS match_rate,
+           FLOOR(CAST(r_cents AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4
+             AS value_logging,
+           FLOOR(CAST(ips_cents AS DOUBLE) / n / 1e2 * 1e4 + 0.5) / 1e4
+             AS value_ips,
+           FLOOR(CAST(ips_cents AS DOUBLE) / 2 / n_matched / 1e2 * 1e4 + 0.5)
+             / 1e4 AS value_snips
+    FROM t
+    """,
+)
+def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy (treat
+    open orders) against uniformly-logged actions (md5 arm, known
+    propensity 1/2): the inverse-propensity-scored value estimate
+    V_IPS = mean(1[a=pi(x)]/0.5 * r) and its self-normalized SNIPS
+    variant (weights sum replaces n — lower variance, small bias), next
+    to the logging policy's raw value — the counterfactual "what would
+    this targeting rule have earned" readout (Horvitz-Thompson;
+    Swaminathan & Joachims 2015 for SNIPS), the bandit-world sibling of
+    ml_propensity_ipw. Known propensities make every weight the exact
+    integer 2, so ALL three estimates are exact BIGINT cent sums with
+    single final divisions — no quantization needed anywhere. One
+    map-side aggregate."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    lg = o.select(
+        _md5_bucket(F.col("o_orderkey"), 2).alias("a"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("pi_a"),
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("r"),
+    )
+    m = F.col("a") == F.col("pi_a")
+    t = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(m, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(m, F.col("r") * 2).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("ips_cents"),
+        F.sum("r").cast("long").alias("r_cents"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return t.select(
+        "n",
+        "n_matched",
+        (
+            F.floor(
+                F.col("n_matched").cast("double") / F.col("n") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("match_rate"),
+        f4(F.col("r_cents").cast("double") / F.col("n") / 1e2).alias(
+            "value_logging"
+        ),
+        f4(F.col("ips_cents").cast("double") / F.col("n") / 1e2).alias(
+            "value_ips"
+        ),
+        f4(
+            F.col("ips_cents").cast("double")
+            / 2
+            / F.col("n_matched")
+            / 1e2
+        ).alias("value_snips"),
+    )
+
+
+# --- empirical-Bayes rate shrinkage ---------------------------------------------------
+
+
+@register(
+    "a_eb_rate_shrinkage",
+    tags=("aggregate", "statistics"),
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(FLOOR(CAST(k AS DOUBLE) / n * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS spq,
+             CAST(SUM(CAST(FLOOR((CAST(k AS DOUBLE) / n)
+                                 * (CAST(k AS DOUBLE) / n) * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sppq,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM g
+    ),
+    prior AS (
+      SELECT ng, ntot,
+             spq / 1e9 / ng AS mu,
+             GREATEST((sppq / 1e9 - (spq / 1e9) * (spq / 1e9) / ng)
+                      / (ng - 1), 1e-9) AS v
+      FROM mom
+    ),
+    ab AS (
+      SELECT mu, v,
+             GREATEST(mu * (1e0 - mu) / v - 1e0, 1e-2) AS strength
+      FROM prior
+    )
+    SELECT g.nation, g.n, g.k,
+           FLOOR(CAST(g.k AS DOUBLE) / g.n * 1e6 + 0.5) / 1e6 AS raw_rate,
+           FLOOR((g.k + ab.mu * ab.strength) / (g.n + ab.strength)
+                 * 1e6 + 0.5) / 1e6 AS shrunk_rate,
+           FLOOR(ab.mu * 1e6 + 0.5) / 1e6 AS prior_mean,
+           FLOOR(ab.strength * 1e4 + 0.5) / 1e4 AS prior_strength
+    FROM g CROSS JOIN ab
+    """,
+)
+def a_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation BUILDING-segment rates
+    toward a method-of-moments Beta prior: prior strength
+    s = mu(1-mu)/var - 1 from the across-group rate moments, posterior
+    rate = (k + mu*s)/(n + s) — the James-Stein-flavored smoothing every
+    small-n dashboard cell needs (Robinson's "empirical Bayes on
+    baseball" construction), and the standalone sibling of the
+    smoothing inside ml_target_encoding. Exactness: group rates and
+    their squares quantize at 1e9 per GROUP row and sum as BIGINT (the
+    across-group moments are over ~25 rows but the rule is uniform);
+    prior and posteriors are single IEEE expressions, variance floored
+    at 1e-9 and strength at 1e-2 identically both engines. One group
+    aggregate + one broadcast prior row."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    g = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    mom = g.agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.floor(p * 1e9 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spq"),
+        F.sum(F.floor(p * p * 1e9 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sppq"),
+    )
+    mu = F.col("spq") / 1e9 / F.col("ng")
+    v = F.greatest(
+        (
+            F.col("sppq") / 1e9
+            - (F.col("spq") / 1e9) * (F.col("spq") / 1e9) / F.col("ng")
+        )
+        / (F.col("ng") - 1),
+        F.lit(1e-9),
+    )
+    ab = mom.select(
+        mu.alias("mu"),
+        F.greatest(
+            mu * (F.lit(1e0) - mu) / v - F.lit(1e0), F.lit(1e-2)
+        ).alias("strength"),
+    )
+    return g.crossJoin(F.broadcast(ab)).select(
+        "nation",
+        "n",
+        "k",
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("raw_rate"),
+        (
+            F.floor(
+                (F.col("k") + F.col("mu") * F.col("strength"))
+                / (F.col("n") + F.col("strength"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("shrunk_rate"),
+        (F.floor(F.col("mu") * 1e6 + F.lit(0.5)) / 1e6).alias("prior_mean"),
+        (F.floor(F.col("strength") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "prior_strength"
+        ),
+    )

@@ -270,3 +270,35 @@ def test_id_order_audit_bounds(spark):
         assert 0 <= r.n_inversions <= r.n_events - 1
         assert 0.0 <= r.inversion_rate <= 1.0
         assert (r.max_backstep_us > 0) == (r.n_inversions > 0)
+
+
+def test_offpolicy_ips_identities(spark):
+    """With uniform logging, IPS = 2 * (matched revenue)/n and SNIPS =
+    mean reward over matched rows; both near the logging value when
+    reward is action-independent."""
+    r = _q(spark, "ml_offpolicy_ips").collect()[0]
+    assert 0 < r.n_matched <= r.n
+    assert abs(r.match_rate - r.n_matched / r.n) < 1e-5
+    # SNIPS is the conditional mean of matched rewards: between min and
+    # max possible order values
+    assert 0 < r.value_snips < 5.1e5
+    # IPS = 2 * match_rate * SNIPS (algebraic identity)
+    assert abs(r.value_ips - 2 * r.n_matched / r.n * r.value_snips) < 0.5
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark):
+    """Every shrunk rate lies strictly between its raw rate and the
+    prior mean (or equals both when they coincide); shrinkage is
+    stronger for smaller groups."""
+    rows = _q(spark, "a_eb_rate_shrinkage").collect()
+    assert rows
+    mu = rows[0].prior_mean
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, mu))
+        assert lo - 1e-6 <= r.shrunk_rate <= hi + 1e-6, r
+        assert r.prior_strength > 0
+        # movement fraction ~ strength/(n+strength): smaller n moves more
+        if r.raw_rate != mu:
+            frac = abs(r.shrunk_rate - r.raw_rate) / abs(mu - r.raw_rate)
+            expected = r.prior_strength / (r.n + r.prior_strength)
+            assert abs(frac - expected) < 0.05, r
