@@ -1890,3 +1890,132 @@ def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("abs_diff").cast("long").alias("total_abs_diff_cents"),
         F.max("abs_diff").cast("long").alias("max_abs_diff_cents"),
     )
+
+
+# --- classical multiplicative seasonal indices ---------------------------------------
+
+
+@register(
+    "ts_seasonal_indices",
+    tags=("timeseries", "forecast"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ma AS (
+      SELECT event_type, day, dow, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_n
+      FROM daily
+    ),
+    ratio AS (
+      SELECT event_type, dow,
+             CAST(FLOOR(CAST(y AS DOUBLE)
+                        / (CAST(win_sum AS DOUBLE) / 7) * 1e9 + 0.5)
+                  AS BIGINT) AS rq
+      FROM ma WHERE win_n = 7
+    ),
+    per_dow AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(rq) AS BIGINT) AS srq
+      FROM ratio GROUP BY 1, 2
+    ),
+    norm AS (
+      SELECT event_type,
+             SUM(CAST(srq AS DOUBLE) / n_obs) / COUNT(*) AS grand
+      FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n_obs,
+           FLOOR(CAST(p.srq AS DOUBLE) / p.n_obs / 1e9 * 1e6 + 0.5) / 1e6
+             AS raw_index,
+           FLOOR(CAST(p.srq AS DOUBLE) / p.n_obs / n.grand * 1e6 + 0.5) / 1e6
+             AS seasonal_index
+    FROM per_dow p JOIN norm n ON n.event_type = p.event_type
+    """,
+)
+def ts_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal indices (ratio-to-moving-
+    average, the Census-decomposition step): per series, each day's
+    count divided by its CENTERED 7-day moving average (full windows
+    only), averaged per weekday, then normalized so the seven indices
+    mean 1.0 — the multiplicative complement to ts_stl_decompose's
+    additive components, and the index the reference's percentage
+    tables imply but never compute. Exactness: window sums/counts are
+    BIGINT; each ratio is one IEEE expression quantized at 1e9; per-dow
+    sums are exact; the normalizer is a 7-term mean of exact ratios
+    (sum order over 7 CONSTANT-order terms... engine GROUP BY order is
+    not fixed, so the normalizer rides the r6 grid like every
+    k-row reduce here — documented contract). Engine shape: one daily
+    aggregate, one bounded 7-row window, two schema-sized reduces."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).withColumn(
+        "dow", F.dayofweek("day").cast("int")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "dow",
+        "y",
+        F.sum("y").over(w7).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("win_n"),
+    )
+    ratio = ma.filter(F.col("win_n") == 7).select(
+        "event_type",
+        "dow",
+        F.floor(
+            F.col("y").cast("double")
+            / (F.col("win_sum").cast("double") / 7)
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    per_dow = ratio.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("rq").cast("long").alias("srq"),
+    )
+    norm = per_dow.groupBy("event_type").agg(
+        (
+            F.sum(F.col("srq").cast("double") / F.col("n_obs"))
+            / F.count(F.lit(1))
+        ).alias("grand")
+    )
+    return per_dow.join(F.broadcast(norm), "event_type").select(
+        "event_type",
+        "dow",
+        "n_obs",
+        (
+            F.floor(
+                F.col("srq").cast("double") / F.col("n_obs") / 1e9 * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("raw_index"),
+        (
+            F.floor(
+                F.col("srq").cast("double")
+                / F.col("n_obs")
+                / F.col("grand")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("seasonal_index"),
+    )

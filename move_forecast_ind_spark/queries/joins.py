@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import r2, sql_r2
 from ..operators.joins import asof_join, range_join
@@ -452,4 +453,77 @@ def j_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             (F.col("cc") - F.col("sc")).cast("long").alias("diff_cents"),
         )
+    )
+
+
+# --- as-of join with tolerance -------------------------------------------------
+
+_ASOF_TOL_US = 3600 * 1_000_000  # 1 h match window
+
+
+@register(
+    "j_asof_tolerance_join",
+    tags=("join", "timeseries"),
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(last_click_us IS NOT NULL
+                AND us - last_click_us <= {_ASOF_TOL_US} AS BOOLEAN)
+             AS matched,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND us - last_click_us <= {_ASOF_TOL_US}
+                THEN us - last_click_us END AS gap_us
+    FROM s WHERE event_type = 'purchase'
+    """,
+)
+def j_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance=``
+    member, completing the backward/forward pair): every purchase
+    matches its user's most recent prior click only if the gap is
+    within 1 hour — stale matches become non-matches instead of wrong
+    ones, the semantics ad-attribution and sensor fusion actually need.
+    Expressed as ONE running-max window over the unified per-user event
+    stream (no join at all: the as-of candidate is
+    max(click ts) over preceding rows under the total (ts, event_id)
+    order), then a tolerance predicate. All integer microseconds.
+    At 100 TB this is the classic sessionized-stream shape — one
+    shuffle on user_id, sorted within partition, zero join exchanges;
+    the join-based formulation would shuffle both sides AND range-scan;
+    the window form is strictly better and exactly how the streaming
+    tier's stateful gap operator already thinks."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(
+            F.when(
+                F.col("event_type") == "click", F.unix_micros("ts")
+            )
+        )
+        .over(w)
+        .alias("last_click_us"),
+    )
+    ok = F.col("last_click_us").isNotNull() & (
+        F.col("us") - F.col("last_click_us") <= _ASOF_TOL_US
+    )
+    return s.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        ok.alias("matched"),
+        F.when(ok, F.col("us") - F.col("last_click_us")).alias("gap_us"),
     )

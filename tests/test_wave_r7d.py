@@ -403,3 +403,53 @@ def test_order_total_consistency_covers_orders(spark):
     assert "consistent" in rows or "mismatch" in rows
     for r in rows.values():
         assert r.max_abs_diff_cents <= r.total_abs_diff_cents or r.n_orders == 0
+
+
+def test_seasonal_indices_normalized(spark):
+    """Per series the seven seasonal indices average 1.0; raw vs
+    normalized differ by exactly the per-series normalizer; indices
+    positive."""
+    rows = _q(spark, "ts_seasonal_indices").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        assert r.seasonal_index > 0 and r.raw_index > 0
+        by_type[r.event_type].append(r)
+    for ty, rs in by_type.items():
+        assert len(rs) == 7
+        assert abs(sum(r.seasonal_index for r in rs) / 7 - 1.0) < 1e-4, ty
+        ratio = {round(r.raw_index / r.seasonal_index, 4) for r in rs}
+        assert max(ratio) - min(ratio) < 1e-3  # one shared normalizer
+
+
+def test_asof_tolerance_replica(spark):
+    """Matched/gap recomputed from a per-user replay must agree; every
+    matched gap within tolerance; purchases with a recent click are
+    matched."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expect = {}
+    tol = 3600 * 1_000_000
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (int(r.ts.timestamp() * 1e6), r.event_id))
+        last_click = None
+        for r in rs:
+            us = int(r.ts.timestamp() * 1e6)
+            if r.event_type == "purchase":
+                if last_click is not None and us - last_click <= tol:
+                    expect[r.event_id] = us - last_click
+                else:
+                    expect[r.event_id] = None
+            if r.event_type == "click":
+                last_click = us
+    rows = _q(spark, "j_asof_tolerance_join").collect()
+    assert {r.purchase_id for r in rows} == set(expect)
+    for r in rows:
+        want = expect[r.purchase_id]
+        assert r.matched == (want is not None)
+        assert r.gap_us == want
+        if r.matched:
+            assert 0 <= r.gap_us <= tol
