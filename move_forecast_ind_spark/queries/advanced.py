@@ -1011,3 +1011,128 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("centroid_cosine"),
     )
+
+
+# --- triplet-margin embedding audit ----------------------------------------------
+
+
+@register(
+    "emb_triplet_margin_audit",
+    tags=("embedding", "evaluation", "dq"),
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    chained AS (
+      SELECT vec_id, label, v,
+             LEAD(v) OVER (PARTITION BY label ORDER BY vec_id) AS pos_v,
+             LEAD(label) OVER (ORDER BY vec_id) AS nxt_label,
+             LEAD(v) OVER (ORDER BY vec_id) AS neg_v
+      FROM e
+    ),
+    trip AS (
+      SELECT label,
+             CAST(FLOOR(GREATEST(
+               list_inner_product(v, v)
+               - 2 * list_inner_product(v, pos_v)
+               + list_inner_product(pos_v, pos_v), 0e0) * 1e6 + 0.5)
+               AS BIGINT) AS dap,
+             CAST(FLOOR(GREATEST(
+               list_inner_product(v, v)
+               - 2 * list_inner_product(v, neg_v)
+               + list_inner_product(neg_v, neg_v), 0e0) * 1e6 + 0.5)
+               AS BIGINT) AS dan
+      FROM chained
+      WHERE pos_v IS NOT NULL AND neg_v IS NOT NULL
+        AND nxt_label <> label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           CAST(SUM(CASE WHEN dap >= dan THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           FLOOR(CAST(SUM(CASE WHEN dap >= dan THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS violation_rate,
+           FLOOR(CAST(SUM(dan - dap) AS DOUBLE) / COUNT(*) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_margin
+    FROM trip GROUP BY 1
+    """,
+)
+def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit of the labeled embedding space: for each
+    anchor, positive = its next same-label vector, negative = its next
+    vector in global id order when differently labeled (chain sampling
+    — deterministic, volume-linear, the same fence doctrine as
+    corpus_modal_agreement); a violation is d(a,p) >= d(a,n), the
+    quantity a triplet/contrastive loss trains to zero (Schroff et al.
+    2015, FaceNet). Emits per label the violation rate and the mean
+    (d_an - d_ap) margin — near-random embeddings sit at rate ~0.5,
+    margin ~0. Exactness: squared L2 via the proven inner-product
+    expansion, clamped and quantized at 1e6 BEFORE comparison; margins
+    sum as exact BIGINTs. Engine shape: two lead windows + one per-label
+    aggregate; no pairwise anything."""
+    tune(spark)
+    from ..functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+
+    def ip(xs, ys):
+        return F.aggregate(
+            F.zip_with(xs, ys, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    wg = Window.orderBy("vec_id")
+    chained = e.select(
+        "label",
+        "v",
+        F.lead("v").over(wl).alias("pos_v"),
+        F.lead("label").over(wg).alias("nxt_label"),
+        F.lead("v").over(wg).alias("neg_v"),
+    )
+
+    def d2q(a, b):
+        return F.floor(
+            F.greatest(
+                ip(a, a) - F.lit(2.0) * ip(a, b) + ip(b, b), F.lit(0e0)
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long")
+
+    trip = chained.filter(
+        F.col("pos_v").isNotNull()
+        & F.col("neg_v").isNotNull()
+        & (F.col("nxt_label") != F.col("label"))
+    ).select(
+        "label",
+        d2q(F.col("v"), F.col("pos_v")).alias("dap"),
+        d2q(F.col("v"), F.col("neg_v")).alias("dan"),
+    )
+    viol = F.when(F.col("dap") >= F.col("dan"), 1).otherwise(0)
+    return trip.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (
+            F.floor(
+                F.sum(viol).cast("double") / F.count(F.lit(1)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("violation_rate"),
+        (
+            F.floor(
+                F.sum(F.col("dan") - F.col("dap")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_margin"),
+    )

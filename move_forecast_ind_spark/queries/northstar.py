@@ -1180,3 +1180,71 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spans.filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+
+
+# --- declared-vs-detected language confusion matrix -------------------------------
+
+
+@register(
+    "dq_lang_confusion",
+    tags=("dq", "text"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"{_sql_marker_hits(lang)} AS h_{lang}" for lang in LANG_MARKERS)}
+      FROM documents
+    ),
+    guessed AS (
+      SELECT labeled_lang,
+             CASE
+               WHEN GREATEST({", ".join(f"h_{lang}" for lang in LANG_MARKERS)}) = 0 THEN 'und'
+               {" ".join(
+                 f"WHEN h_{lang} = GREATEST({', '.join(f'h_{o}' for o in LANG_MARKERS)}) THEN '{lang}'"
+                 for lang in LANG_MARKERS)}
+             END AS guessed_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM guessed GROUP BY 1, 2
+    )
+    SELECT labeled_lang, guessed_lang, n,
+           FLOOR(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY labeled_lang) * 1e6 + 0.5) / 1e6
+             AS row_share,
+           CAST(labeled_lang = guessed_lang AS BOOLEAN) AS is_correct
+    FROM cells
+    """,
+)
+def dq_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: the corpus's
+    labeled ``lang`` cross-tabulated against the marker-stopword
+    detector (same scorer as text_langid), with per-declared-language
+    row shares — the audit that separates "the metadata is wrong" from
+    "the detector is weak" before a language filter drops data on
+    either's say-so. Counts exact; shares single divisions. One
+    map-side scoring pass + one (labeled, guessed) aggregate — the
+    matrix is |langs|² regardless of volume."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        langid(F.col("text")).alias("guessed_lang"),
+    )
+    cells = g.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / F.sum("n").over(wrow) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("row_share"),
+        (F.col("labeled_lang") == F.col("guessed_lang")).alias("is_correct"),
+    )

@@ -453,3 +453,37 @@ def test_asof_tolerance_replica(spark):
         assert r.gap_us == want
         if r.matched:
             assert 0 <= r.gap_us <= tol
+
+
+def test_lang_confusion_diag_dominates(spark):
+    """Row shares per declared language sum to 1; confusion cells cover
+    every document; diagonal agreement matches text_langid's output."""
+    rows = _q(spark, "dq_lang_confusion").collect()
+    by_lab = defaultdict(list)
+    total = 0
+    for r in rows:
+        by_lab[r.labeled_lang].append(r)
+        total += r.n
+        assert r.is_correct == (r.labeled_lang == r.guessed_lang)
+    from move_forecast_ind_spark.sources import load_table
+
+    assert total == load_table(spark, SF_SMALL, "documents").count()
+    for lab, rs in by_lab.items():
+        assert abs(sum(r.row_share for r in rs) - 1.0) < 1e-4
+    li = _q(spark, "text_langid").collect()
+    agree = sum(1 for r in li if r.labeled_lang == r.guessed_lang)
+    diag = sum(r.n for r in rows if r.is_correct)
+    assert diag == agree
+
+
+def test_triplet_audit_random_embeddings_near_half(spark):
+    """Violation rate in [0,1]; for these near-random embeddings the
+    pooled rate sits in a wide band around 0.5; margins finite."""
+    rows = _q(spark, "emb_triplet_margin_audit").collect()
+    assert rows
+    tot = sum(r.n_triplets for r in rows)
+    viol = sum(r.n_violations for r in rows)
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_triplets
+        assert 0.0 <= r.violation_rate <= 1.0
+    assert 0.2 <= viol / tot <= 0.8
