@@ -906,3 +906,204 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy(
         F.col("wk").cast("int").alias("week"), "stage"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# --- weekly segment migration ---------------------------------------------------
+
+
+@register(
+    "events_segment_migration",
+    tags=("events", "analytics", "cohort"),
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    uw AS (
+      SELECT e.user_id,
+             CAST(FLOOR(CAST(CAST(e.ts AS DATE) - b.d0 AS BIGINT) / 7)
+                  AS INT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e CROSS JOIN b
+      GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM uw),
+    weeks AS (SELECT unnest(generate_series(0, (SELECT MAX(wk) FROM uw)))
+              AS wk),
+    spine AS (
+      SELECT u.user_id, w.wk, COALESCE(x.c, 0) AS c
+      FROM users u CROSS JOIN weeks w
+      LEFT JOIN uw x ON x.user_id = u.user_id AND x.wk = w.wk
+    ),
+    lv AS (
+      SELECT user_id, wk,
+             CASE WHEN c = 0 THEN 'none'
+                  WHEN c <= 2 THEN 'light' ELSE 'heavy' END AS lvl
+      FROM spine
+    ),
+    tr AS (
+      SELECT wk, lvl,
+             LAG(lvl) OVER (PARTITION BY user_id ORDER BY wk) AS plvl
+      FROM lv
+    )
+    SELECT CAST(wk AS INT) AS week, plvl AS from_level, lvl AS to_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM tr WHERE plvl IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly engagement-segment migration matrix: every user classified
+    per week as none (0 events), light (1-2), or heavy (3+) on a
+    zero-filled user x week spine, then week-over-week transition counts
+    — the Sankey/alluvial segment-migration readout growth teams pair
+    with growth accounting (which tracks presence; this tracks
+    INTENSITY movement). Thresholds are integer constants, the spine is
+    users x weeks (weeks is a schema constant), and every count is
+    exact — no rounding anywhere. Engine shape: one (user, week)
+    aggregate, a bounded week fan-out to zero-fill, one lag window, one
+    (week, from, to) aggregate of <= weeks x 9 rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    uw = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7
+            )
+            .cast("int")
+            .alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    users = uw.select("user_id").distinct()
+    weeks = uw.agg(F.max("wk").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("wk")
+    )
+    spine = users.crossJoin(F.broadcast(weeks)).join(
+        uw, ["user_id", "wk"], "left"
+    ).select(
+        "user_id", "wk", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+    lvl = (
+        F.when(F.col("c") == 0, F.lit("none"))
+        .when(F.col("c") <= 2, F.lit("light"))
+        .otherwise(F.lit("heavy"))
+    )
+    lv = spine.select("user_id", "wk", lvl.alias("lvl"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    tr = lv.select(
+        "wk", "lvl", F.lag("lvl").over(w).alias("plvl")
+    ).filter(F.col("plvl").isNotNull())
+    return tr.groupBy(
+        F.col("wk").cast("int").alias("week"),
+        F.col("plvl").alias("from_level"),
+        F.col("lvl").alias("to_level"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# --- journey entropy rate --------------------------------------------------------
+
+
+@register(
+    "events_journey_entropy_rate",
+    tags=("events", "statistics", "graph"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tr AS (
+      SELECT a.event_type AS f, b.event_type AS t
+      FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ),
+    cells AS (
+      SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2
+    ),
+    rows_ AS (
+      SELECT f, CAST(SUM(c) AS BIGINT) AS nf FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(nf) AS BIGINT) AS n FROM rows_),
+    hrow AS (
+      SELECT c.f, r.nf,
+             CAST(SUM(CAST(FLOOR(
+               -(CAST(c.c AS DOUBLE) / r.nf)
+               * ln(CAST(c.c AS DOUBLE) / r.nf) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS hq
+      FROM cells c JOIN rows_ r ON r.f = c.f
+      GROUP BY 1, 2
+    )
+    SELECT h.f AS state, h.nf AS n_out,
+           FLOOR(h.hq / 1e9 * 1e6 + 0.5) / 1e6 AS row_entropy_nats,
+           FLOOR(CAST(SUM(CAST(FLOOR(CAST(h2.nf AS DOUBLE) / t.n
+                                     * (h2.hq / 1e9) * 1e9 + 0.5) AS BIGINT))
+                      OVER () AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+             AS entropy_rate_nats
+    FROM hrow h
+    JOIN hrow h2 ON h2.f = h.f
+    CROSS JOIN tot t
+    """,
+)
+def events_journey_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey chain: per from-state the
+    conditional next-step entropy H(next|state) = -sum p ln p, and the
+    chain's entropy rate sum_f w_f H_f weighted by the empirical
+    from-state frequencies — how PREDICTABLE the next action is
+    (0 = deterministic journeys, ln(5) = uniform chaos), the
+    information-theoretic capstone on the Markov family (Shannon;
+    Cover & Thomas ch. 4). Exactness: counts BIGINT; each -p ln p term
+    and each w_f * H_f contribution is one IEEE expression quantized at
+    1e9 and summed as BIGINT. Same transition extraction as the Markov
+    tier; everything after is k-row."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    bb = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("t"),
+        F.col("rn").alias("b_rn"),
+    )
+    tr = e.join(
+        bb,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_rn") == F.col("rn") + 1),
+    ).select(F.col("event_type").alias("f"), "t")
+    cells = tr.groupBy("f", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows_ = cells.groupBy("f").agg(F.sum("c").cast("long").alias("nf"))
+    tot = rows_.agg(F.sum("nf").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("nf")
+    hrow = (
+        cells.join(F.broadcast(rows_), "f")
+        .select(
+            "f",
+            "nf",
+            F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long").alias("hterm"),
+        )
+        .groupBy("f", "nf")
+        .agg(F.sum("hterm").cast("long").alias("hq"))
+    )
+    wall = Window.partitionBy()
+    contrib = F.floor(
+        F.col("nf").cast("double") / F.col("n") * (F.col("hq") / 1e9) * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    return hrow.crossJoin(F.broadcast(tot)).select(
+        F.col("f").alias("state"),
+        F.col("nf").alias("n_out"),
+        (F.floor(F.col("hq") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "row_entropy_nats"
+        ),
+        (
+            F.floor(
+                F.sum(contrib).over(wall).cast("double") / 1e9 * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("entropy_rate_nats"),
+    )

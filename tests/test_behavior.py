@@ -302,3 +302,42 @@ def test_eb_shrinkage_pulls_toward_prior(spark):
             frac = abs(r.shrunk_rate - r.raw_rate) / abs(mu - r.raw_rate)
             expected = r.prior_strength / (r.n + r.prior_strength)
             assert abs(frac - expected) < 0.05, r
+
+
+def test_segment_migration_conserves_users(spark):
+    """Per week w>0 the from-level marginals must sum to the full user
+    population (the zero-filled spine guarantees every user appears in
+    every transition week)."""
+    from move_forecast_ind_spark.sources import load_table
+
+    n_users = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = _q(spark, "events_segment_migration").collect()
+    by_week = defaultdict(int)
+    for r in rows:
+        assert r.from_level in ("none", "light", "heavy")
+        assert r.to_level in ("none", "light", "heavy")
+        by_week[r.week] += r.n_users
+    assert by_week  # at least one transition week
+    for wk, n in by_week.items():
+        assert n == n_users, (wk, n, n_users)
+
+
+def test_journey_entropy_bounds(spark):
+    """Row entropies in [0, ln 5]; the entropy rate equals the
+    frequency-weighted mean of row entropies (replica); same rate on
+    every row."""
+    rows = _q(spark, "events_journey_entropy_rate").collect()
+    assert len(rows) == 5
+    ln5 = math.log(5)
+    tot = sum(r.n_out for r in rows)
+    rate = rows[0].entropy_rate_nats
+    for r in rows:
+        assert 0.0 <= r.row_entropy_nats <= ln5 + 1e-9
+        assert r.entropy_rate_nats == rate
+    approx = sum(r.n_out / tot * r.row_entropy_nats for r in rows)
+    assert abs(rate - approx) < 1e-4
