@@ -2769,3 +2769,129 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
     v=_TR_VOCAB, k=_TR_TOPK
 )
+
+
+# --- conversion-time CDF ------------------------------------------------------------
+
+_CDF_CHECKPOINTS = (5, 30, 60, 360, 1440, 10080)  # minutes
+
+
+@register(
+    "w_conversion_time_cdf",
+    tags=("events", "funnel", "aggregate"),
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    up AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN uc ON uc.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > uc.first_click_us
+      GROUP BY 1
+    ),
+    lag_t AS (
+      SELECT uc.user_id,
+             up.first_purchase_us - uc.first_click_us AS lag_us
+      FROM uc LEFT JOIN up ON up.user_id = uc.user_id
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+             CAST(COUNT(lag_us) AS BIGINT) AS n_converted
+      FROM lag_t
+    )
+    SELECT CAST(cp.m AS BIGINT) AS checkpoint_minutes,
+           b.n_clickers, b.n_converted,
+           CAST(SUM(CASE WHEN l.lag_us IS NOT NULL
+                         AND l.lag_us <= CAST(cp.m AS BIGINT) * 60000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within,
+           FLOOR(CAST(SUM(CASE WHEN l.lag_us IS NOT NULL
+                          AND l.lag_us <= CAST(cp.m AS BIGINT) * 60000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / b.n_converted * 1e6 + 0.5) / 1e6
+             AS share_of_conversions,
+           FLOOR(CAST(SUM(CASE WHEN l.lag_us IS NOT NULL
+                          AND l.lag_us <= CAST(cp.m AS BIGINT) * 60000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / b.n_clickers * 1e6 + 0.5) / 1e6
+             AS share_of_clickers
+    FROM lag_t l
+    CROSS JOIN (SELECT unnest(ARRAY{list(_CDF_CHECKPOINTS)}) AS m) cp
+    CROSS JOIN base b
+    GROUP BY 1, 2, 3
+    """,
+)
+def w_conversion_time_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert CDF at fixed checkpoints (5 min .. 7 days): the
+    share of first-click->first-purchase conversions completed within
+    each horizon, both as a share of conversions (the CDF itself) and
+    of all clickers (absolute funnel depth) — the curve behind
+    events_conversion_lag's three order statistics, at the grain a
+    budget-pacing or attribution-window decision actually reads
+    ("a 1-day window captures X% of conversions"). Same first-click /
+    first-later-purchase pair definition as the lag tier. All counts
+    exact; shares single divisions. Engine shape: two per-user MIN
+    aggregates, a 6-way checkpoint fan-out of the per-user lag frame
+    (users, not events), one aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_click_us")
+    )
+    up = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(uc, "user_id")
+        .filter(F.unix_micros("ts") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_purchase_us"))
+    )
+    lag_t = uc.join(up, "user_id", "left").select(
+        "user_id",
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias("lag_us"),
+    )
+    base = lag_t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clickers"),
+        F.count("lag_us").cast("long").alias("n_converted"),
+    )
+    cp = lag_t.sparkSession.createDataFrame(
+        [(m,) for m in _CDF_CHECKPOINTS], "m int"
+    )
+    within = F.when(
+        F.col("lag_us").isNotNull()
+        & (F.col("lag_us") <= F.col("m").cast("long") * 60000000),
+        1,
+    ).otherwise(0)
+    return (
+        lag_t.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(base))
+        .groupBy(
+            F.col("m").cast("long").alias("checkpoint_minutes"),
+            "n_clickers",
+            "n_converted",
+        )
+        .agg(F.sum(within).cast("long").alias("n_within"))
+        .select(
+            "checkpoint_minutes",
+            "n_clickers",
+            "n_converted",
+            "n_within",
+            (
+                F.floor(
+                    F.col("n_within").cast("double")
+                    / F.col("n_converted")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("share_of_conversions"),
+            (
+                F.floor(
+                    F.col("n_within").cast("double")
+                    / F.col("n_clickers")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("share_of_clickers"),
+        )
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4
 from ..plans.training import (
@@ -1994,4 +1995,135 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor((brier - (rel - res + unc)) * 1e6 + F.lit(0.5)) / 1e6
         ).alias("residual"),
+    )
+
+
+# --- McNemar paired-classifier test ------------------------------------------------
+
+_MCN_CRIT = "3.841458820694124e0"  # chi2_{0.95, df=1}
+
+
+@register(
+    "ml_mcnemar_paired",
+    tags=("ml", "statistics", "eval"),
+    oracle=_eval_pairs_sql()
+    + """
+    , lenr AS (
+      SELECT d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (ORDER BY d.n_chars, d.doc_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM documents d
+    ),
+    lmed AS (
+      SELECT n_chars AS med_chars FROM lenr
+      WHERE r = CAST(CEIL(n * 0.5) AS BIGINT)
+    ),
+    mc_preds AS (
+      SELECT j.doc_id, j.y,
+             CASE WHEN j.p > 0.5 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN d.n_chars > m.med_chars THEN 1 ELSE 0 END AS pb
+      FROM j
+      JOIN documents d ON d.doc_id = j.doc_id
+      CROSS JOIN lmed m
+    ),
+    mc_cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both,
+        CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+          AS n10,
+        CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+          AS n01,
+        CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_neither,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM mc_preds
+    )
+    SELECT n, n_both, n10 AS n_a_only, n01 AS n_b_only, n_neither,
+           FLOOR((ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+                 * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+                 / GREATEST(n10 + n01, 1) * 1e4 + 0.5) / 1e4 AS chi_square,
+           CAST((ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+                * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+                / GREATEST(n10 + n01, 1) > """
+    + _MCN_CRIT
+    + """ AS BOOLEAN)
+             AS significant
+    FROM mc_cells
+    """,
+)
+def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two classifiers of the SAME documents
+    on the SAME labels — the hashed-feature classifier (p > 0.5) vs the
+    naive length rule (chars > corpus median): the discordant cells
+    n_a_only / n_b_only carry all the information, chi-square with
+    continuity correction (|b-c|-1)²/(b+c) against 3.841 (McNemar 1947)
+    — the statistically correct way to claim "model A beats model B"
+    on a shared eval set (a two-proportion test on accuracies ignores
+    the pairing and overstates significance). Shares _eval_pairs with
+    the AUC/calibration tier; the median length is a rank-picked exact
+    order statistic. All cells BIGINT; the statistic is one IEEE
+    expression. One scoring pass + one median window + one reduce."""
+    tune(spark)
+    jf = _eval_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    wr = Window.orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy()
+    lenr = docs.select(
+        "n_chars",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    med = lenr.filter(
+        F.col("r") == F.ceil(F.col("n") * 0.5).cast("long")
+    ).select(F.col("n_chars").alias("med_chars"))
+    preds = (
+        jf.join(docs, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "y",
+            F.when(F.col("p") > 0.5, 1).otherwise(0).alias("pa"),
+            F.when(F.col("n_chars") > F.col("med_chars"), 1)
+            .otherwise(0)
+            .alias("pb"),
+        )
+    )
+    cells = preds.agg(
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n10"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n01"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neither"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    stat = (
+        (F.abs((F.col("n10") - F.col("n01")).cast("double")) - F.lit(1e0))
+        * (F.abs((F.col("n10") - F.col("n01")).cast("double")) - F.lit(1e0))
+        / F.greatest(F.col("n10") + F.col("n01"), F.lit(1))
+    )
+    return cells.select(
+        "n",
+        "n_both",
+        F.col("n10").alias("n_a_only"),
+        F.col("n01").alias("n_b_only"),
+        "n_neither",
+        (F.floor(stat * 1e4 + F.lit(0.5)) / 1e4).alias("chi_square"),
+        (stat > float(_MCN_CRIT)).alias("significant"),
     )

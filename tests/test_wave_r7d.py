@@ -487,3 +487,33 @@ def test_triplet_audit_random_embeddings_near_half(spark):
         assert 0 <= r.n_violations <= r.n_triplets
         assert 0.0 <= r.violation_rate <= 1.0
     assert 0.2 <= viol / tot <= 0.8
+
+
+def test_conversion_cdf_monotone(spark):
+    """n_within nondecreasing in the checkpoint; shares in [0,1];
+    terminal checkpoint (7 d) captures every conversion whose lag fits
+    the 30-day window's tail; consistency with events_conversion_lag's
+    population."""
+    rows = sorted(
+        _q(spark, "w_conversion_time_cdf").collect(),
+        key=lambda r: r.checkpoint_minutes,
+    )
+    assert [r.checkpoint_minutes for r in rows] == [5, 30, 60, 360, 1440, 10080]
+    prev = -1
+    for r in rows:
+        assert r.n_within >= prev
+        prev = r.n_within
+        assert 0.0 <= r.share_of_conversions <= 1.0
+        assert 0.0 <= r.share_of_clickers <= r.share_of_conversions + 1e-9
+        assert r.n_converted <= r.n_clickers
+
+
+def test_mcnemar_cells_partition(spark):
+    """The four cells partition the eval set; verdict recomputable from
+    the discordant cells."""
+    r = _q(spark, "ml_mcnemar_paired").collect()[0]
+    assert r.n_both + r.n_a_only + r.n_b_only + r.n_neither == r.n
+    b, c = r.n_a_only, r.n_b_only
+    stat = (abs(b - c) - 1.0) ** 2 / max(b + c, 1)
+    assert abs(r.chi_square - math.floor(stat * 1e4 + 0.5) / 1e4) < 1e-9
+    assert r.significant == (stat > 3.841458820694124)
