@@ -1107,3 +1107,172 @@ def events_journey_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("entropy_rate_nats"),
     )
+
+
+# --- retention half-life fit ------------------------------------------------------
+
+_RH_MAX_AGE = 14
+
+
+@register(
+    "events_retention_halflife",
+    tags=("events", "cohort", "ml"),
+    oracle=f"""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) AS age
+      FROM events e JOIN fs f ON f.user_id = e.user_id
+    ),
+    ages AS (SELECT unnest(generate_series(1, {_RH_MAX_AGE})) AS age),
+    risk AS (
+      SELECT a.age,
+             CAST(COUNT(*) AS BIGINT) AS n_at_risk
+      FROM ages a
+      JOIN fs f ON TRUE
+      CROSS JOIN mx
+      WHERE f.cohort_day + CAST(a.age AS INT) <= mx.max_day
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT c.age, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act c WHERE c.age BETWEEN 1 AND {_RH_MAX_AGE}
+      GROUP BY 1
+    ),
+    curve AS (
+      SELECT r.age, r.n_at_risk, COALESCE(h.n_active, 0) AS n_active,
+             CAST(FLOOR(ln(CAST(COALESCE(h.n_active, 0) AS DOUBLE)
+                           / r.n_at_risk) * 1e9 + 0.5) AS BIGINT) AS lnrq
+      FROM risk r LEFT JOIN hits h ON h.age = r.age
+      WHERE COALESCE(h.n_active, 0) > 0
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(age) AS BIGINT) AS sa,
+             CAST(SUM(CAST(age AS BIGINT) * age) AS BIGINT) AS saa,
+             CAST(SUM(lnrq) AS BIGINT) AS sl,
+             CAST(SUM(age * lnrq) AS BIGINT) AS sal
+      FROM curve
+    ),
+    fit AS (
+      SELECT CAST(k * sal - sa * sl AS DOUBLE)
+               / CAST(k * saa - sa * sa AS DOUBLE) / 1e9 AS slope
+      FROM mom
+    )
+    SELECT c.age, c.n_at_risk, c.n_active,
+           FLOOR(CAST(c.n_active AS DOUBLE) / c.n_at_risk * 1e6 + 0.5) / 1e6
+             AS retention_rate,
+           FLOOR(f.slope * 1e6 + 0.5) / 1e6 AS fit_slope,
+           CASE WHEN f.slope < 0
+                THEN FLOOR(-6.931471805599453e-1 / f.slope * 1e4 + 0.5) / 1e4
+           END AS halflife_days
+    FROM curve c CROSS JOIN fit f
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled retention curve with an exponential-decay fit: per age
+    1-{ma} days, the share of at-risk users (cohorts old enough to be
+    observed at that age) still active, plus the log-linear OLS slope
+    and the implied half-life -ln2/slope — the single-parameter summary
+    a retention curve feeds into LTV and payback math (the parametric
+    capstone on events_retention_cohorts' raw triangle). Exactness:
+    at-risk/active counts are exact; each ln(rate) is one IEEE/libm
+    expression quantized at 1e9 per AGE row; the OLS moments are exact
+    BIGINT sums of those, one double division for the slope. Engine
+    shape: two per-user aggregates, a bounded age fan-out against the
+    cohort frame, one 14-row fit reduce. A positive slope (retention
+    improving with age — possible on synthetic data) yields NULL
+    half-life identically on both engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    act = (
+        ev.join(fs, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("int")
+            .alias("age"),
+        )
+        .distinct()
+    )
+    ages = fs.sparkSession.range(1, _RH_MAX_AGE + 1).select(
+        F.col("id").cast("int").alias("age")
+    )
+    risk = (
+        fs.crossJoin(F.broadcast(ages))
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.date_add(F.col("cohort_day"), F.col("age")) <= F.col("max_day")
+        )
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_at_risk"))
+    )
+    hits = (
+        act.filter(F.col("age").between(1, _RH_MAX_AGE))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    curve = (
+        risk.join(hits, "age", "left")
+        .select(
+            "age",
+            "n_at_risk",
+            F.coalesce("n_active", F.lit(0).cast("long")).alias("n_active"),
+        )
+        .filter(F.col("n_active") > 0)
+        .withColumn(
+            "lnrq",
+            F.floor(
+                F.log(
+                    F.col("n_active").cast("double") / F.col("n_at_risk")
+                )
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    mom = curve.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("age").cast("long").alias("sa"),
+        F.sum(F.col("age").cast("long") * F.col("age")).cast("long").alias("saa"),
+        F.sum("lnrq").cast("long").alias("sl"),
+        F.sum(F.col("age") * F.col("lnrq")).cast("long").alias("sal"),
+    )
+    fit = mom.select(
+        (
+            (F.col("k") * F.col("sal") - F.col("sa") * F.col("sl")).cast("double")
+            / (F.col("k") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("slope")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "age",
+        "n_at_risk",
+        "n_active",
+        (
+            F.floor(
+                F.col("n_active").cast("double") / F.col("n_at_risk") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("retention_rate"),
+        (F.floor(F.col("slope") * 1e6 + F.lit(0.5)) / 1e6).alias("fit_slope"),
+        F.when(
+            F.col("slope") < 0,
+            F.floor(
+                F.lit(-6.931471805599453e-1) / F.col("slope") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4,
+        ).alias("halflife_days"),
+    )

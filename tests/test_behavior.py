@@ -341,3 +341,49 @@ def test_journey_entropy_bounds(spark):
         assert r.entropy_rate_nats == rate
     approx = sum(r.n_out / tot * r.row_entropy_nats for r in rows)
     assert abs(rate - approx) < 1e-4
+
+
+def test_retention_halflife_replica(spark):
+    """Rates and the log-linear slope recomputed from scratch must
+    match; half-life consistent with the slope's sign."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    first = {}
+    act = set()
+    for r in ev:
+        d = r.ts.date()
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+    for r in ev:
+        act.add((r.user_id, (r.ts.date() - first[r.user_id]).days))
+    max_day = max(r.ts.date() for r in ev)
+    rows = {r.age: r for r in _q(spark, "events_retention_halflife").collect()}
+    pts = []
+    for age in range(1, 15):
+        risk = sum(
+            1
+            for u, d in first.items()
+            if d + __import__("datetime").timedelta(days=age) <= max_day
+        )
+        active = sum(1 for (u, a) in act if a == age)
+        if active == 0:
+            assert age not in rows
+            continue
+        r = rows[age]
+        assert (r.n_at_risk, r.n_active) == (risk, active)
+        assert abs(
+            r.retention_rate - math.floor(active / risk * 1e6 + 0.5) / 1e6
+        ) < 1e-9
+        pts.append((age, math.floor(math.log(active / risk) * 1e9 + 0.5)))
+    k = len(pts)
+    sa = sum(a for a, _ in pts)
+    saa = sum(a * a for a, _ in pts)
+    sl = sum(l for _, l in pts)
+    sal = sum(a * l for a, l in pts)
+    slope = (k * sal - sa * sl) / (k * saa - sa * sa) / 1e9
+    any_row = next(iter(rows.values()))
+    assert abs(any_row.fit_slope - math.floor(slope * 1e6 + 0.5) / 1e6) < 1e-9
+    if slope < 0:
+        assert any_row.halflife_days is not None and any_row.halflife_days > 0
+    else:
+        assert any_row.halflife_days is None
