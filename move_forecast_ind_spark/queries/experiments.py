@@ -1301,3 +1301,91 @@ def a_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_strength"
         ),
     )
+
+
+# --- sequential probability ratio monitor --------------------------------------------
+
+# H0: purchase share p = 0.18 vs H1: p = 0.22; alpha = beta = 0.05.
+# The log-LR increments and boundaries are shared exact literals, so the
+# walk is k*C1 + (n-k)*C2 on exact integers — no libm at query time.
+_SPRT_C1 = "2.0067069546215124e-1"    # ln(0.22/0.18)
+_SPRT_C2 = "-5.0010420900357204e-2"   # ln(0.78/0.82)
+_SPRT_A = "2.9444389791664403e0"      # ln((1-beta)/alpha) = ln 19
+_SPRT_B = "-2.9444389791664403e0"     # ln(beta/(1-alpha))
+
+
+@register(
+    "events_sprt_monitor",
+    tags=("events", "experiment", "statistics"),
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+      WHERE {_sql_md5_bucket("user_id", 2)} = 1
+    ),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS k
+      FROM t GROUP BY 1
+    ),
+    walk AS (
+      SELECT day,
+             CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+             CAST(SUM(k) OVER (ORDER BY day) AS BIGINT) AS k_cum
+      FROM daily
+    ),
+    llr AS (
+      SELECT day, n_cum, k_cum,
+             k_cum * {_SPRT_C1} + (n_cum - k_cum) * {_SPRT_C2} AS l
+      FROM walk
+    )
+    SELECT day, n_cum, k_cum,
+           FLOOR(l * 1e6 + 0.5) / 1e6 AS llr,
+           CASE WHEN l >= {_SPRT_A} THEN 'accept_h1'
+                WHEN l <= {_SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test monitor (Wald 1945) over the
+    treatment arm's purchase share: the daily cumulative log-likelihood
+    ratio walk for H1 p=0.22 vs H0 p=0.18 with alpha=beta=0.05
+    boundaries — the peeking-SAFE sequential readout that a fixed-n
+    test (a_two_proportion_ztest) forbids: look every day, stop the
+    moment a boundary is crossed, error rates still hold. Exactness:
+    cumulative n/k are BIGINT window sums; the LLR is k*C1 + (n-k)*C2
+    with the log increments as shared exact literals (no runtime libm),
+    so both engines walk identical doubles; boundaries are literal
+    comparisons. Engine shape: one daily aggregate, one cumulative
+    window over |days| rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(_md5_bucket(F.col("user_id"), 2) == 1).select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    daily = t.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    w = Window.orderBy("day")
+    walk = daily.select(
+        "day",
+        F.sum("n").over(w).cast("long").alias("n_cum"),
+        F.sum("k").over(w).cast("long").alias("k_cum"),
+    )
+    l = F.col("k_cum") * float(_SPRT_C1) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * float(_SPRT_C2)
+    return walk.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        (F.floor(l * 1e6 + F.lit(0.5)) / 1e6).alias("llr"),
+        F.when(l >= float(_SPRT_A), F.lit("accept_h1"))
+        .when(l <= float(_SPRT_B), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

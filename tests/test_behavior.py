@@ -387,3 +387,41 @@ def test_retention_halflife_replica(spark):
         assert any_row.halflife_days is not None and any_row.halflife_days > 0
     else:
         assert any_row.halflife_days is None
+
+
+def test_sprt_walk_replica(spark):
+    """The cumulative LLR walk recomputed from scratch must match; the
+    walk is cumulative (n_cum nondecreasing); decisions follow the
+    literal boundaries."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+
+    def bucket(uid):
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if bucket(r.user_id) == 1:
+            d = r.ts.date()
+            daily[d][0] += 1
+            if r.event_type == "purchase":
+                daily[d][1] += 1
+    c1, c2 = 2.0067069546215124e-1, -5.0010420900357204e-2
+    a = 2.9444389791664403
+    rows = sorted(_q(spark, "events_sprt_monitor").collect(), key=lambda r: r.day)
+    n = k = 0
+    prev_n = -1
+    for r, d in zip(rows, sorted(daily)):
+        assert r.day == d
+        n += daily[d][0]
+        k += daily[d][1]
+        assert (r.n_cum, r.k_cum) == (n, k)
+        assert r.n_cum > prev_n
+        prev_n = r.n_cum
+        l = k * c1 + (n - k) * c2
+        assert abs(r.llr - math.floor(l * 1e6 + 0.5) / 1e6) < 1e-9
+        want = "accept_h1" if l >= a else ("accept_h0" if l <= -a else "continue")
+        assert r.decision == want
