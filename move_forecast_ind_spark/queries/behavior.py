@@ -1276,3 +1276,82 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4,
         ).alias("halflife_days"),
     )
+
+
+# --- user activity streaks --------------------------------------------------------
+
+
+@register(
+    "events_user_streaks",
+    tags=("events", "feature", "window"),
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS grp
+      FROM ud
+    ),
+    runs AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MAX(day) AS run_end
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT r.user_id,
+           CAST(SUM(r.len) AS BIGINT) AS n_active_days,
+           CAST(MAX(r.len) AS BIGINT) AS longest_streak,
+           CAST(COALESCE(MAX(CASE WHEN r.run_end = mx.max_day
+                                  THEN r.len END), 0) AS BIGINT)
+             AS current_streak
+    FROM runs r CROSS JOIN mx
+    GROUP BY 1
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity streaks via the gaps-and-islands trick
+    (day minus its per-user rank is constant within a consecutive run):
+    total active days, longest streak, and the CURRENT streak (the run
+    ending on the corpus's last day, else 0) — the engagement metric
+    every habit-loop product surfaces, at the user grain where
+    w_gaps_islands works per series. All integers; one distinct
+    (user, day) aggregate, one rank window, two user-keyed reductions —
+    every stage is user-partitioned and map-side combinable at any
+    scale."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("day").alias("run_end"),
+    )
+    return (
+        runs.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("run_end") == F.col("max_day"), F.col("len")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("current_streak"),
+        )
+    )

@@ -425,3 +425,35 @@ def test_sprt_walk_replica(spark):
         assert abs(r.llr - math.floor(l * 1e6 + 0.5) / 1e6) < 1e-9
         want = "accept_h1" if l >= a else ("accept_h0" if l <= -a else "continue")
         assert r.decision == want
+
+
+def test_user_streaks_replica(spark):
+    """Streak stats recomputed from per-user day sets must match; the
+    current streak is nonzero only for users active on the last day."""
+    from move_forecast_ind_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.ts.date())
+    max_day = max(d for s in days.values() for d in s)
+    rows = {r.user_id: r for r in _q(spark, "events_user_streaks").collect()}
+    assert set(rows) == set(days)
+    one = __import__("datetime").timedelta(days=1)
+    for u, ds in days.items():
+        sd = sorted(ds)
+        longest = cur = 1
+        for a, b in zip(sd, sd[1:]):
+            cur = cur + 1 if b - a == one else 1
+            longest = max(longest, cur)
+        current = 0
+        if max_day in ds:
+            current = 1
+            d = max_day - one
+            while d in ds:
+                current += 1
+                d -= one
+        r = rows[u]
+        assert r.n_active_days == len(ds)
+        assert r.longest_streak == longest
+        assert r.current_streak == current
