@@ -2025,9 +2025,12 @@ _AHASH_CTES = """
     m AS (SELECT doc_id, SUM(v) / 36.0 AS mean_v FROM s GROUP BY 1),
     hs AS (
       SELECT s.doc_id,
-             SUM(CASE WHEN s.v > m.mean_v
+             -- CAST the SUM itself: DuckDB widens SUM(BIGINT) to HUGEINT,
+             -- which the driver's Arrow fetch path degrades (r7's one red
+             -- row); BIGINT is exact here (36-bit hash < 2^63).
+             CAST(SUM(CASE WHEN s.v > m.mean_v
                       THEN CAST(1 AS BIGINT) << CAST(s.i * 6 + s.j AS INT)
-                      ELSE CAST(0 AS BIGINT) END) AS ahash
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
       FROM s JOIN m USING (doc_id)
       GROUP BY 1
     )"""

@@ -69,6 +69,28 @@ def test_registry_invariants():
     assert not missing, f"driver front references unknown queries: {missing}"
 
 
+def test_oracle_output_types_are_portable(duck):
+    """No oracle may emit a HUGEINT/UHUGEINT/INT128 or DECIMAL output
+    column (round-7 finding: `mm_ahash_dedup`'s uncast DuckDB
+    SUM(BIGINT) -> HUGEINT was bit-exact via fetchall() locally but
+    degraded in the driver's Arrow/.df() fetch path — the round's only
+    red row). Relation binding resolves output types without executing,
+    so this sweeps all 383 oracles in seconds. Intermediate HUGEINT
+    arithmetic inside CTEs is fine and deliberate (exact integer
+    moments); only the OUTPUT columns must be portable types."""
+    banned = {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None:
+            continue
+        rel = duck.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if t in banned or t.startswith("DECIMAL"):
+                offenders.append((name, col, t))
+    assert not offenders, f"non-portable oracle output types: {offenders}"
+
+
 def test_registry_rows_only_set_is_stable():
     """Exactly ONE documented non-SQL-expressible entry lacks an oracle
     (round 5: the Fourier/service queries gained fixed-point unrolled-CTE
