@@ -885,9 +885,10 @@ def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     find a difference; TOST affirmatively bounds it). The standard
     non-inferiority gate for infra A/B tests where "no change" is the
     success criterion. Exactness: arm moments are exact integer sums
-    (squares in HUGEINT on the oracle, guarded-int64-free on Spark via
-    the same cents domain as a_welch_ttest), every emitted statistic a
-    single IEEE expression of them. One aggregate, one row."""
+    (squares in HUGEINT on the oracle, decimal(38,0) on Spark — both
+    exact, so both engines round the same value once), every emitted
+    statistic a single IEEE expression of them. One aggregate, one
+    row."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     lab = o.select(
@@ -903,12 +904,20 @@ def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # Squares accumulate EXACTLY in decimal(38,0) — the Spark analogue of
+    # the oracle's HUGEINT sum. A double accumulator is partition-order
+    # dependent and can flip the last quantized digit of the variance at
+    # larger SFs even when the tested SFs agree (round-7 advice); the
+    # exact integer moment makes both engines round the SAME value once.
     mo = lab.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
         F.sum(
-            (F.col("cents").cast("double") * F.col("cents"))
-        ).alias("ssd"),
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ssd"),
     )
     a = mo.filter(F.col("arm") == 0).select(
         F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ssd").alias("ssa")
@@ -922,11 +931,17 @@ def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sa").cast("double") / F.col("na")).alias("ma"),
         (F.col("sb").cast("double") / F.col("nb")).alias("mb"),
         (
-            (F.col("ssa") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+            (
+                F.col("ssa").cast("double")
+                - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+            )
             / (F.col("na") - 1)
         ).alias("va"),
         (
-            (F.col("ssb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+            (
+                F.col("ssb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+            )
             / (F.col("nb") - 1)
         ).alias("vb"),
         (
@@ -1023,7 +1038,8 @@ def a_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     A naive per-event mean would understate the variance by ignoring
     user clustering. Exactness: per-user aggregates are BIGINT cents /
     counts; the five moments are exact integer sums (squares HUGEINT on
-    the oracle, double-safe on Spark); R, SE, and the CI are single
+    the oracle, decimal(38,0) on Spark — both exact); R, SE, and the CI
+    are single
     IEEE expressions. One user aggregate + one global reduce."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -1042,14 +1058,20 @@ def a_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("ycents").cast("long").alias("sy"),
         F.sum("m").cast("long").alias("sm"),
-        F.sum(F.col("ycents").cast("double") * F.col("ycents")).alias("syy"),
+        F.sum(
+            F.col("ycents").cast("decimal(19,0)")
+            * F.col("ycents").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("syy"),
         F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
         F.sum(F.col("ycents") * F.col("m")).cast("long").alias("sym"),
     )
     r = F.col("sy").cast("double") / F.col("sm")
     mbar = F.col("sm").cast("double") / F.col("n")
     vy = (
-        F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
     ) / (F.col("n") - 1)
     vm = (
         F.col("smm").cast("double")

@@ -414,11 +414,14 @@ def j_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. A pair can match in at most one exploded bucket (the
     customer's bucket is fixed; the supplier's 3 exploded keys are
     distinct), so no dedup pass is needed. The oracle states the naive
-    inequality join; Spark runs the rewrite — a BroadcastHashJoin here
-    (supplier is the small side; plan-asserted in tests), a shuffled hash
-    join on bucket keys when both sides are huge. At 100 TB this is THE
-    pattern for similarity-band joins on one dimension: candidate volume
-    is |pairs within 3 buckets|, never |A|x|B|."""
+    inequality join; Spark runs the rewrite with NO pinned broadcast
+    hint: size statistics pick BroadcastHashJoin while the exploded
+    supplier side fits the threshold (plan-asserted in tests at test SF)
+    and degrade to a shuffled hash join on the bucket key when both
+    sides are huge — a hard-coded F.broadcast would pin the small-side
+    plan past broadcast scale and OOM (round-7 advice). At 100 TB this
+    is THE pattern for similarity-band joins on one dimension: candidate
+    volume is |pairs within 3 buckets|, never |A|x|B|."""
     tune(spark)
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -446,7 +449,7 @@ def j_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     return (
-        c.join(F.broadcast(s), "b")
+        c.join(s, "b")
         .filter(F.abs(F.col("cc") - F.col("sc")) <= _BAND_CENTS)
         .select(
             "c_custkey",

@@ -2040,11 +2040,11 @@ _MCN_CRIT = "3.841458820694124e0"  # chi2_{0.95, df=1}
       FROM mc_preds
     )
     SELECT n, n_both, n10 AS n_a_only, n01 AS n_b_only, n_neither,
-           FLOOR((ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
-                 * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+           FLOOR(GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0, 0e0)
+                 * GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0, 0e0)
                  / GREATEST(n10 + n01, 1) * 1e4 + 0.5) / 1e4 AS chi_square,
-           CAST((ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
-                * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0)
+           CAST(GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0, 0e0)
+                * GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1e0, 0e0)
                 / GREATEST(n10 + n01, 1) > """
     + _MCN_CRIT
     + """ AS BOOLEAN)
@@ -2057,7 +2057,8 @@ def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the SAME labels — the hashed-feature classifier (p > 0.5) vs the
     naive length rule (chars > corpus median): the discordant cells
     n_a_only / n_b_only carry all the information, chi-square with
-    continuity correction (|b-c|-1)²/(b+c) against 3.841 (McNemar 1947)
+    continuity correction max(|b-c|-1, 0)²/(b+c) against 3.841 (McNemar
+    1947; the correction is capped so b == c yields exactly 0)
     — the statistically correct way to claim "model A beats model B"
     on a shared eval set (a two-proportion test on accuracies ignores
     the pairing and overstates significance). Shares _eval_pairs with
@@ -2113,11 +2114,14 @@ def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_neither"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    stat = (
-        (F.abs((F.col("n10") - F.col("n01")).cast("double")) - F.lit(1e0))
-        * (F.abs((F.col("n10") - F.col("n01")).cast("double")) - F.lit(1e0))
-        / F.greatest(F.col("n10") + F.col("n01"), F.lit(1))
+    # Continuity correction capped at 0 (standard convention caps |b-c|-1
+    # at |b-c|; with the square that reduces to GREATEST(.., 0)): at the
+    # b == c edge the statistic is exactly 0, not 1/(b+c).
+    corr = F.greatest(
+        F.abs((F.col("n10") - F.col("n01")).cast("double")) - F.lit(1e0),
+        F.lit(0e0),
     )
+    stat = corr * corr / F.greatest(F.col("n10") + F.col("n01"), F.lit(1))
     return cells.select(
         "n",
         "n_both",

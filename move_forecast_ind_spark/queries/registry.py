@@ -56,65 +56,66 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-6 front: the output of
-# suggest_next_front(50) after baking the r5 sample into _sample_history.py
-# (r5 came back 50/50 green) — all 50 slots are oracle-bearing queries with
-# ZERO prior driver samples, in registry insertion order, continuing the
-# backlog drain mandated by VERDICT r4 item #1. Everything here passes the
-# identical local oracle gate (tests/test_oracle.py) plus a check_oracle
-# sweep at the driver's sf0.01; this is evidence routing, not a semantics
-# change.
+# 50 entries of ``queries()``. Round-8 front: the output of
+# suggest_next_front(50) after baking the r7 sample (49/50 green; the one
+# red was the mm_ahash_dedup oracle HUGEINT typing, fixed this round) into
+# _sample_history.py — all 50 slots are oracle-bearing queries with ZERO
+# prior driver samples, continuing the never-sampled backlog drain
+# (VERDICT r7 item #5: 150 remaining -> 100 after this round). Everything
+# here passes the identical local oracle gate (tests/test_oracle.py) plus a
+# check_oracle sweep at the driver's sf0.01; this is evidence routing, not
+# a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "dedup_substring_spans",
-    "st_static_enrich_counts",
-    "ml_holt_winters",
-    "ml_holt_winters_seasonal",
-    "o_pagination",
-    "sub_lateral_correlated",
-    "w_time_range_frame",
-    "mm_decode_arrow",
-    "events_retention_cohorts",
-    "f_try_arithmetic",
-    "text_char_entropy",
-    "events_markov_transitions",
-    "emb_gram_matrix",
-    "text_pmi_collocations",
-    "corpus_bigram_lm_score",
-    "a_corr_covar",
-    "mm_pixel_stats",
-    "mm_ahash_dedup",
-    "mm_ahash_near_pairs",
-    "a_kmv_distinct",
-    "a_kmv_merge",
-    "ts_resample_gapfill",
-    "ts_ewma_smooth",
-    "ts_ohlc_daily",
-    "ts_interarrival_stats",
-    "events_top_sequences",
-    "w_gaps_islands",
-    "w_rolling_slope",
-    "dq_referential_orphans",
-    "dq_uniqueness_audit",
-    "dq_constraint_violations",
-    "j_grid_spatial_join",
-    "corpus_url_canonical_dedup",
-    "a_weighted_median",
-    "a_mode_per_group",
-    "s_incremental_agg_merge",
-    "emb_prefix_energy",
-    "w_cumulative_distinct_users",
-    "dq_skew_report",
-    "emb_intra_class_cosine",
-    "a_numeric_histogram",
-    "text_bm25_topk",
-    "ml_ols_two_feature",
-    "events_bot_score",
-    "ts_stl_decompose",
-    "dq_benford_score",
-    "corpus_tokenizer_fertility",
-    "events_rfm_scores",
-    "a_mad_robust",
-    "text_zipf_slope",
+    "j_value_band_join",
+    "j_asof_tolerance_join",
+    "dq_lang_confusion",
+    "st_topk_per_window",
+    "st_cdc_latest_state",
+    "st_decayed_engagement",
+    "ml_isotonic_trend",
+    "ml_croston_intermittent",
+    "ml_classifier_auc",
+    "ml_reliability_bins",
+    "ml_threshold_sweep",
+    "ml_target_encoding",
+    "ml_brier_decomposition",
+    "ml_mcnemar_paired",
+    "corpus_chunk_windows",
+    "corpus_cluster_term_profile",
+    "corpus_modal_agreement",
+    "events_late_arrival_audit",
+    "events_attribution_last_touch",
+    "a_welch_ttest",
+    "dq_drift_psi",
+    "a_gini_concentration",
+    "ml_survival_km",
+    "ts_changepoint_cusum",
+    "events_dau_wau",
+    "a_trimmed_mean",
+    "events_bfs_hops",
+    "events_triangle_count",
+    "w_interval_merge",
+    "a_chi_square_independence",
+    "a_ks_two_sample",
+    "a_mann_whitney_u",
+    "events_audience_overlap",
+    "o_skyline_pareto",
+    "ml_price_elasticity",
+    "dedup_similarity_histogram",
+    "a_two_proportion_ztest",
+    "ts_autocorrelation",
+    "ts_strength_measures",
+    "dq_column_profile",
+    "events_assoc_rules",
+    "events_label_propagation",
+    "events_kcore_peel",
+    "events_sequence_match",
+    "events_kaplan_meier",
+    "dq_k_anonymity",
+    "events_cuped_adjustment",
+    "events_link_prediction",
+    "a_bootstrap_ci",
+    "ts_periodogram",
 )
 
 
