@@ -98,10 +98,19 @@ def main() -> None:
     spark = get_spark("bench")
     specs = bench_queries()
 
+    # Host-contention telemetry (round-7 finding: the driver's r7 pass
+    # recorded q1 at ~87x its static anchor where a controlled run of the
+    # same code measures 2.5x — host contention, not code). loadavg at
+    # start/end plus the warm-up wall time make a contended recording
+    # self-identifying in the JSON.
+    load_start = os.getloadavg()
+
     # Warm the JVM/codegen path once on the cheapest query so the first
     # measured entry doesn't pay session startup.
+    t0 = time.perf_counter()
     first = next(iter(specs.values()))
     first.fn(spark, sf_dir).count()
+    warmup_sec = round(time.perf_counter() - t0, 3)
 
     # Timed runs per query (default 3), report the min: the first execution
     # of a wide plan pays multi-second Janino codegen compilation that a
@@ -128,9 +137,8 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    timings: dict[str, float] = {}
-    duck_live: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
+    def time_query(name, spec):
+        """min-of-n_runs Spark wall plus interleaved DuckDB live anchor."""
         best, n = float("inf"), -1
         duck_best = float("inf")
         for _ in range(n_runs):
@@ -148,6 +156,31 @@ def main() -> None:
                 except Exception as exc:  # pragma: no cover
                     print(f"# {name}: duckdb anchor failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+        return n, best, duck_best
+
+    def anomalous(name: str) -> bool:
+        """A reading that smells like host contention, not code: past 5x
+        its own static DuckDB anchor AND past a 1.5 s absolute floor
+        (floor-class queries with millisecond anchors legitimately sit
+        at 0.2-0.9 s steady state, >5x anchor — never retry those;
+        text_rrf_hybrid_topk measures 0.89 s vs a 0.151 s anchor on a
+        quiet host). On a quiet host this
+        flags nothing; under the r7-style contention it catches exactly
+        the inflated cells (q1 at ~9.6 s vs a 0.11 s anchor). Only
+        meaningful at the anchor SF — at other SFs the static anchors
+        measure different data and would misflag floor-bound queries."""
+        anchor = DUCKDB_ANCHOR_SEC.get(name)
+        return (
+            sf == DUCKDB_ANCHOR_SF
+            and anchor is not None
+            and timings[name] > 5 * anchor
+            and timings[name] > 1.5
+        )
+
+    timings: dict[str, float] = {}
+    duck_live: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        n, best, duck_best = time_query(name, spec)
         timings[name] = round(best, 3)
         if spec.oracle is not None and duck_best != float("inf"):
             duck_live[name] = round(duck_best, 3)
@@ -157,6 +190,24 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # End-of-suite retry of contention-suspect readings (round-7 advice):
+    # a transient load spike inflates whichever queries it overlapped;
+    # re-measuring them once after the suite (different minute, same
+    # process) replaces the inflated cell with the quiet one. Anything
+    # STILL anomalous after the retry is flagged as contended in the
+    # output rather than silently recorded.
+    contended: list[str] = []
+    for name in [n for n in timings if anomalous(n)]:
+        print(f"# retrying contention-suspect {name}", file=sys.stderr)
+        _, best, duck_best = time_query(name, specs[name])
+        timings[name] = min(timings[name], round(best, 3))
+        if specs[name].oracle is not None and duck_best != float("inf"):
+            duck_live[name] = min(
+                duck_live.get(name, float("inf")), round(duck_best, 3)
+            )
+        if anomalous(name):
+            contended.append(name)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite wall-clock "
@@ -165,7 +216,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "warmup_sec": warmup_sec,
     }
+    if contended:
+        out["contended"] = sorted(contended)
     if duck_live:
         live_ratios = {
             name: round(timings[name] / duck_live[name], 2) for name in duck_live

@@ -1080,7 +1080,9 @@ _SPAN_MIN_TOKENS = 8  # report only spans covering >= this many tokens
     FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}
     """,
 )
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, shape: str | None = None
+) -> DataFrame:
     """Exact duplicated-substring spans, the span-LEVEL dedup modality
     (Lee et al. 2021): every token k-gram (k=_SPAN_K=4) that occurs >= 2
     times corpus-wide (intra- or cross-document) marks its positions
@@ -1107,13 +1109,39 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     defeat ReuseExchange; 11.3-20.6 s). The window's ceiling is a
     mega-hot gram concentrating one partition (every occurrence of
     "the end of the" lands together); the agg+join shape stays immune
-    (AQE skew-join splits hot keys) and is the documented cluster
-    fallback if a corpus' max gram frequency approaches partition size.
-    At 100 TB the gram-hash key space hashes uniformly otherwise.
+    (AQE skew-join splits hot keys).
+
+    Shape selection is AUTOMATED (round-7 verdict item 6, replacing the
+    prose-only fallback): a map-side-combinable pre-probe measures the
+    corpus' max gram frequency against the expected post-shuffle
+    partition size; when the hottest gram would concentrate a partition
+    (>= _SPAN_HOT_PARTITION_FRAC of total positions / shuffle
+    partitions), the plan switches window -> agg+semi-join, whose hot
+    keys AQE skew-splits. On natural corpora the probe picks the
+    window; a boilerplate-degenerate corpus flips it (both branches
+    oracle-verified by tests on exactly such a corpus). ``shape``
+    ('window' | 'aggjoin' | None=auto) pins the branch for tests.
     """
     tune(spark)
     k = _SPAN_K
     docs = load_table(spark, sf_dir, "documents")
+    return _substring_spans_from_docs(spark, docs, k, shape)
+
+
+# Hot-gram switch threshold: flip to the skew-immune agg+join shape when
+# max(gram frequency) >= this fraction of the average post-shuffle
+# partition's position count. 0.5 means "one gram would fill half a
+# partition by itself" — far beyond any natural-language gram share at
+# scale, and far below the degenerate boilerplate corpora the fallback
+# exists for, so the branch point is unambiguous from either side.
+_SPAN_HOT_PARTITION_FRAC = 0.5
+
+
+def _substring_spans_from_docs(
+    spark: SparkSession, docs: DataFrame, k: int, shape: str | None = None
+) -> DataFrame:
+    """Span computation over any (doc_id, text) frame; see
+    dedup_substring_spans for semantics and the shape doctrine."""
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= k
     )
@@ -1136,13 +1164,48 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.i", "p.gh")
-    flagged = (
-        pos.withColumn(
-            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    if shape is None:
+        # Hot-gram pre-probe: one map-side-combinable aggregate reduced
+        # to a single row (max gram frequency + total positions). Cheap
+        # relative to either span shape — the combine collapses to
+        # distinct grams before the exchange and nothing else is
+        # computed — and it makes the skew fallback a measured decision
+        # instead of prose.
+        probe = (
+            pos.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").alias("maxc"),
+                F.sum("c").alias("total"),
+            )
+            .first()
         )
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        hot = (
+            probe["maxc"] is not None
+            and probe["maxc"]
+            >= _SPAN_HOT_PARTITION_FRAC * max(probe["total"] / max(parts, 1), 1.0)
+        )
+        shape = "aggjoin" if hot else "window"
+    if shape == "aggjoin":
+        # Skew-immune form: map-side-combined duplicate-gram set, LEFT
+        # SEMI join back on gh — AQE splits hot build keys; no single
+        # partition ever holds every occurrence of one gram.
+        dup_grams = (
+            pos.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gh")
+        )
+        flagged = pos.join(dup_grams, "gh", "left_semi")
+    else:
+        flagged = (
+            pos.withColumn(
+                "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
+            .filter(F.col("c") >= 2)
+            .drop("c")
+        )
     ps = F.col("ps")
     n = F.size(ps)
     idxs = F.sequence(F.lit(1), n)

