@@ -91,6 +91,24 @@ def test_oracle_output_types_are_portable(duck):
     assert not offenders, f"non-portable oracle output types: {offenders}"
 
 
+def test_driver_sampled_surface_is_fully_oracle_bearing():
+    """The correctness driver samples the FIRST 50 entries of queries();
+    a rows-only entry drawn there burns the slot as err:no_oracle
+    (VERDICT r4 item 1 / r7 item 7). This pins the exclusion
+    structurally: every sampled slot carries an oracle, so the one
+    by-design rows-only entry (ml_mllib_global_forecast — its ~1000-
+    category branch one-hot makes the normal-equation solve a
+    ~1012-dim system, not ANSI-SQL-expressible; see its docstring) can
+    never be drawn."""
+    import __spark_entry__ as e
+
+    osql = e.oracle_sql()
+    first50 = list(e.queries())[:50]
+    assert len(first50) == 50
+    missing = [n for n in first50 if n not in osql]
+    assert not missing, f"rows-only entries in the sampled surface: {missing}"
+
+
 def test_registry_rows_only_set_is_stable():
     """Exactly ONE documented non-SQL-expressible entry lacks an oracle
     (round 5: the Fourier/service queries gained fixed-point unrolled-CTE
