@@ -51,6 +51,29 @@ PERM_A: list[int] = [int(x) for x in _PERM_RNG.randint(1, MERSENNE31, N_PERM)]
 PERM_B: list[int] = [int(x) for x in _PERM_RNG.randint(0, MERSENNE31, N_PERM)]
 
 
+def fanout(df: DataFrame, *cols) -> DataFrame:
+    """Exchange that PINS partition count to the cluster's core count
+    (``sparkContext.defaultParallelism``), bypassing AQE's byte-based
+    coalescing for byte-light / compute-heavy frames.
+
+    The shingle→hash→permutation paths below carry a few MB of tokens but
+    evaluate 32 modular hashes per shingle — AQE's advisory-size coalesce
+    (bytes, not compute) collapses them to 1-2 post-shuffle partitions and
+    serializes the fold on one core (profiled round 8 at sf0.1: every
+    minhash stage ran 1-2 tasks on a 32-core box — the fixture parquet is
+    a single row group, so the scan itself is 1 task and every downstream
+    exchange re-coalesced). An EXPLICIT partition count is exempt from AQE
+    coalescing, and ``defaultParallelism`` tracks cluster size, so on 1000
+    executors this pins full-cluster parallelism rather than a constant.
+    Bytes cost: one pass over the slim (id, text/tokens) projection —
+    negligible next to the hashing it parallelizes; at 100 TB the upstream
+    scan already yields ≥cores partitions and this exchange is then merely
+    bytes-neutral rebalancing of the same slim frame.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via canonical fingerprint: one row per distinct content,
     keeper = min id, plus the duplicate count."""
@@ -126,8 +149,7 @@ def jaccard_pairs(
     # tokenize→shingle chain to evaluate twice (filter + generator) —
     # measured 3.2 s vs 0.6 s at sf0.1 for the postings stage alone.
     sets = (
-        docs.filter(F.length(F.col(text_col)) < _NMASK)
-        .repartition(F.col(id_col))
+        fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
     )
@@ -306,7 +328,7 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     through the checkpoint is the reliable materialization barrier.
     """
     return (
-        docs.repartition(F.col(id_col))
+        fanout(docs, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
         .select(
@@ -461,7 +483,6 @@ def minhash_dedup_pairs(
     # the signature groupBy shuffles on doc anyway, so pre-shuffling the
     # raw docs was a pure extra exchange. Measured at sf0.1:
     # postings 0.64→0.37 s, postings+signatures 0.64→0.41 s.
-    toks = tokens(F.col(text_col))
     n_toks = F.size("toks")
     win_hashes = F.transform(
         F.sequence(F.lit(1), n_toks - (k - 1)),
@@ -473,8 +494,13 @@ def minhash_dedup_pairs(
             F.col("d").alias("d"),
         ),
     )
+    # fanout BEFORE tokenize: the scan's task count is the file's row-group
+    # count (1 at the fixture SFs), and tokenize→window-hash→explode→
+    # partial-min is the cascade's dominant compute — without the pinned
+    # exchange it all runs inside that one scan task (round-8 profile).
     postings = (
-        docs.select(F.col(id_col).cast("long").alias("d"), toks.alias("toks"))
+        fanout(docs.select(F.col(id_col).cast("long").alias("d"), F.col(text_col).alias("t")))
+        .select("d", tokens(F.col("t")).alias("toks"))
         .filter(n_toks >= k)
         .select(F.explode(win_hashes).alias("p"))
         .select("p.h", "p.d")
@@ -554,7 +580,7 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     signature — and therefore exact Hamming-pair output — is
     oracle-checkable cross-engine (xxhash64 is Spark-only).
     """
-    tok = docs.repartition(F.col(id_col)).select(
+    tok = fanout(docs, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )

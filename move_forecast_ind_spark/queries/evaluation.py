@@ -1906,11 +1906,11 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-compute of the two tiny pair frames)."""
     tune(spark)
     from ..functions.text import shingles_from_tokens, tokens
-    from ..operators.dedup import _pairs_in_row, jaccard_pairs
+    from ..operators.dedup import _pairs_in_row, fanout, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.repartition(F.col("doc_id"))
+        fanout(docs, F.col("doc_id"))
         # toks MUST be its own projection: inlining tokens(text) into the
         # shingle lambda re-splits the document once per shingle position
         # (no CSE inside higher-order functions — the shingles_from_tokens
