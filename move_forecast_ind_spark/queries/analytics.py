@@ -34,6 +34,7 @@ from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
 from .registry import register
+from ..operators.dedup import fanout
 
 # --- time-series: dense-grid resampling -------------------------------------
 
@@ -3369,6 +3370,10 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computing v below the shuffle (1.64-1.84 s — wide 32-double rows
     # in the exchange payload). Same lesson as the pagerank adjacency
     # frame; output verified identical, oracle-checked both SFs.
+    # NOT fanout-pinned: this frame is 2000 slim vector rows consumed by the
+    # iterative k-means subtree many times via ReuseExchange - pinning 32
+    # post-shuffle partitions made every per-iteration read schedule 32 tasks
+    # over trivial bytes (interleaved A/B round 8: pinned 2.33 s vs 2.04 s).
     e = docs.repartition(F.col("doc_id")).select(
         F.col("doc_id").alias("vec_id"), v.alias("v")
     )

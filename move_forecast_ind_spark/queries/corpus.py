@@ -26,6 +26,7 @@ from ..functions.vectors import as_double
 from ..session import tune
 from ..sources import load_table
 from .registry import register
+from ..operators.dedup import fanout
 
 # C4-style chunk width (words per span). 10 ≈ the C4 paper's three-sentence
 # granularity on a corpus with no sentence delimiters.
@@ -623,7 +624,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shs", lambda s: F.struct(s.alias("sh"), F.col("doc_id").alias("d"))
     )
     postings = (
-        docs.repartition(F.col("doc_id"))
+        fanout(docs, F.col("doc_id"))
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("shs"))
         .select(F.explode(sh_arr).alias("p"))
@@ -1501,7 +1502,7 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     map stage with no shuffle at any scale (plan-asserted)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.repartition(F.col("doc_id")).select(
+    t = fanout(docs, F.col("doc_id")).select(
         "doc_id", tokens(F.col("text")).alias("w")
     )
     k_max = F.expr(

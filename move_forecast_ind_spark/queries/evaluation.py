@@ -691,8 +691,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, phrase)), one broadcast-shaped join back — all partitioned by
     doc_id, no corpus-wide state, embarrassingly parallel at 100 TB."""
     tune(spark)
+    from ..operators.dedup import fanout
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # fanout before the split: the fixture parquet is one row group, so
+    # the scan is 1 task and split+posexplode of ~200 tokens/doc would
+    # run single-core (round-8 profile); the pinned exchange moves ~2 MB
+    # of raw text and parallelizes the explode across the cluster.
+    tok = fanout(docs.select("doc_id", "text"), F.col("doc_id")).select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
             "pos", "tok"

@@ -572,8 +572,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(s).alias("h"), F.col("source").alias("source")
         ),
     )
+    from ..operators.dedup import fanout
+
     dh = (
-        docs.repartition(F.col("doc_id"))
+        fanout(docs, F.col("doc_id"))
         .select("source", tokens(F.col("text")).alias("toks"))
         .select("source", shingles_from_tokens(F.col("toks"), 2).alias("shs"))
         .select(F.explode(sh_arr).alias("p"))

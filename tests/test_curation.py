@@ -350,7 +350,9 @@ def test_chunk_windows_cover_and_overlap(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the ONLY exchange is the deliberate parallelism repartition — no
     # aggregation/join/sort shuffle anywhere
-    assert plan.count("Exchange") == plan.count("REPARTITION_BY_COL")
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM") + plan.count(
+        "REPARTITION_BY_COL"
+    )
     assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
     rows = df.collect()
     n_tokens = {
