@@ -1672,55 +1672,56 @@ def lloyd_assign(
     if not pre_materialized:
         e = materialize(e, "lloyd-vecs")
     w = Window.orderBy("vec_id")
+    # All heavy array expressions below are SQL strings (F.expr), not
+    # Column-lambda higher-order functions: profiling (round 8) showed
+    # DataFrame CONSTRUCTION, not execution, dominated this query's wall
+    # (3.6k Py4J roundtrips ≈ 2.0 s — each Python lambda HOF costs dozens
+    # of gateway calls, and the lazily-chained rounds multiply them). One
+    # expr string = one roundtrip; the parsed Catalyst tree is identical,
+    # so plans, results and oracles are unchanged (A/B: construct
+    # ~1.0 s → ~0.2 s, assignments bit-identical).
     cents = (
         e.orderBy("vec_id")
         .limit(k)
         .select(
             (F.row_number().over(w) - 1).cast("int").alias("cid"),
-            F.transform(
-                "v", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+            F.expr(
+                "transform(v, x -> CAST(FLOOR(x * 1e6 + 0.5D) AS BIGINT))"
             ).alias("c"),
         )
     )
 
-    self_dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    self_dot = F.expr(
+        "aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
     )
 
-    def dequant(c):
-        return F.transform(c, lambda y: y.cast("double") / F.lit(1e6))
+    # per-centroid squared distance, min index = assignment (position-1
+    # in the cid-sorted array IS the centroid id; first-min keeps the
+    # lowest-cid tie-break)
+    _DISTS = """
+    transform(cents, s -> xx
+      - 2 * aggregate(zip_with(v, transform(s.c, y -> CAST(y AS DOUBLE) / 1e6),
+                               (a, b) -> a * b), 0D, (acc, x) -> acc + x)
+      + aggregate(transform(s.c, y -> CAST(y AS DOUBLE) / 1e6),
+                  0D, (acc, y) -> acc + y * y))
+    """
 
     def assign(cents):
         # k-row centroid frame → ONE broadcast array row sorted by cid
-        # (struct sort = cid-first), so position-1 in the distance array
-        # IS the centroid id and first-min keeps the lowest-cid tie-break.
+        # (struct sort = cid-first).
         crow = cents.agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-        )
-        dists = F.transform(
-            F.col("cents"),
-            lambda s: F.col("xx")
-            - 2
-            * F.aggregate(
-                F.zip_with(F.col("v"), dequant(s["c"]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            + F.aggregate(
-                dequant(s["c"]), F.lit(0.0), lambda acc, y: acc + y * y
-            ),
         )
         return (
             e.crossJoin(F.broadcast(crow))
             .withColumn("xx", self_dot)
+            .withColumn("d", F.expr(_DISTS))
             .select(
                 "vec_id",
                 "v",
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias("cluster_id"),
+                F.expr(
+                    "CAST(array_position(d, array_min(d)) - 1 AS INT)"
+                ).alias("cluster_id"),
             )
         )
 
@@ -1732,9 +1733,9 @@ def lloyd_assign(
             .agg(F.avg("x").alias("m"))
             .groupBy("cluster_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: F.floor(s["m"] * 1e6 + F.lit(0.5)).cast("long"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), "
+                    "s -> CAST(FLOOR(s.m * 1e6 + 0.5D) AS BIGINT))"
                 ).alias("cu")
             )
         )
