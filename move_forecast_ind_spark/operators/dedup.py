@@ -356,20 +356,16 @@ def signatures_from_sets(sets: DataFrame) -> DataFrame:
     """
     hsd = sets.filter(F.size("hs") > 0).select("doc_id", "hs")
 
-    def perm_min(i: int):
-        # NB: the lambda must take exactly ONE argument — a two-arg lambda
-        # would be called as (element, array_index) by F.transform and
-        # silently shadow the permutation constant.
-        a, b = PERM_A[i], PERM_B[i]
-        return F.array_min(
-            F.transform(
-                "hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
-            )
-        )
-
-    return hsd.select(
-        "doc_id", F.array(*[perm_min(i) for i in range(N_PERM)]).alias("sig")
+    # One SQL string for all 32 folds: Column-lambda HOFs cost dozens of
+    # gateway roundtrips EACH and DataFrame construction (not execution)
+    # dominated the cascade's wall (round-8 profile) — the parsed tree is
+    # identical to the old per-permutation F.transform build.
+    folds = ", ".join(
+        f"array_min(transform(hs, h -> pmod(h * {PERM_A[i]}L + {PERM_B[i]}L, "
+        f"{MERSENNE31}L)))"
+        for i in range(N_PERM)
     )
+    return hsd.select("doc_id", F.expr(f"array({folds})").alias("sig"))
 
 
 def minhash_signatures(
@@ -380,20 +376,18 @@ def minhash_signatures(
     return signatures_from_sets(_shingle_sets(docs, id_col, text_col, k))
 
 
-def _pairs_in_row(ds) -> F.Column:
+def _pairs_in_row(ds: str) -> F.Column:
     """All (a < b) combinations of a sorted id array, built in-row: the
     shared expansion for every bucketed candidate generator (LSH bands,
     simhash chunks, winnowing fingerprints). Work per bucket is |ds|² —
-    callers bound |ds| (max_df fence / bucket width) before expanding."""
-    d = F.col(ds) if isinstance(ds, str) else ds
-    return F.flatten(
-        F.transform(
-            d,
-            lambda x, i: F.transform(
-                F.slice(d, i + F.lit(2), F.greatest(F.size(d) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    callers bound |ds| (max_df fence / bucket width) before expanding.
+    ``ds`` is a column NAME (every caller passes one); a single expr
+    string replaces the two nested Column-lambda HOFs (construction-cost
+    doctrine — see signatures_from_sets)."""
+    return F.expr(
+        f"flatten(transform({ds}, (x, i) -> "
+        f"transform(slice({ds}, i + 2, greatest(size({ds}) - i - 1, 0)), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
     )
 
 
@@ -409,24 +403,18 @@ def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
     sizes are bounded by the banding's collision behavior — a bucket is a
     set of docs agreeing on BAND_SIZE consecutive minhashes, so large
     buckets are themselves near-duplicate clusters, not skew."""
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({slots}) AS bh)".format(
+            b=b,
+            slots=", ".join(
+                f"element_at(sig, {b * BAND_SIZE + j + 1})"
+                for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
     bands = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * BAND_SIZE + j + 1)
-                                for j in range(BAND_SIZE)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     buckets = (
         bands.groupBy("band", "bh")
@@ -483,16 +471,14 @@ def minhash_dedup_pairs(
     # the signature groupBy shuffles on doc anyway, so pre-shuffling the
     # raw docs was a pure extra exchange. Measured at sf0.1:
     # postings 0.64→0.37 s, postings+signatures 0.64→0.41 s.
-    n_toks = F.size("toks")
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), n_toks - (k - 1)),
-        lambda i: F.struct(
-            F.pmod(
-                F.xxhash64(*[F.element_at("toks", i + j) for j in range(k)]),
-                F.lit(MERSENNE31),
-            ).alias("h"),
-            F.col("d").alias("d"),
-        ),
+    # Expression strings throughout (construction-cost doctrine — see
+    # signatures_from_sets): the parsed trees are identical to the old
+    # Column-lambda builds, but each string is ONE gateway roundtrip where
+    # the 32-permutation/8-band comprehensions cost hundreds.
+    win_slots = ", ".join(f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k))
+    win_hashes = (
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> struct(pmod(xxhash64({win_slots}), {MERSENNE31}L) AS h, d AS d))"
     )
     # fanout BEFORE tokenize: the scan's task count is the file's row-group
     # count (1 at the fixture SFs), and tokenize→window-hash→explode→
@@ -501,32 +487,27 @@ def minhash_dedup_pairs(
     postings = (
         fanout(docs.select(F.col(id_col).cast("long").alias("d"), F.col(text_col).alias("t")))
         .select("d", tokens(F.col("t")).alias("toks"))
-        .filter(n_toks >= k)
-        .select(F.explode(win_hashes).alias("p"))
+        .filter(F.size("toks") >= k)
+        .select(F.expr(f"explode({win_hashes})").alias("p"))
         .select("p.h", "p.d")
     )
     mins = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]), F.lit(MERSENNE31))
-        ).alias(f"m{i}")
+        F.expr(
+            f"min(pmod(h * {PERM_A[i]}L + {PERM_B[i]}L, {MERSENNE31}L)) AS m{i}"
+        )
         for i in range(N_PERM)
     ]
     sig = postings.groupBy("d").agg(*mins)
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({slots}) AS bh)".format(
+            b=b,
+            slots=", ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(N_BANDS)
+    )
     bands = sig.select(
         F.col("d").alias("doc_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     buckets = (
         bands.groupBy("band", "bh")
@@ -584,21 +565,29 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    # Expression strings for the 48 conditional sums and the 48-term
+    # signature reassembly (construction-cost doctrine — see
+    # signatures_from_sets): identical parsed trees, a handful of
+    # roundtrips instead of a few hundred. h is PROJECTED once (its own
+    # column) so md5 is computed once per token, not once per bit.
+    hcol = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT)").alias("h"),
+    )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{i}"
+        )
         for i in range(SIMHASH_BITS)
     ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.alias("simhash"))
+    sums = hcol.groupBy("doc_id").agg(*bit_sums)
+    sig_terms = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i}L AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(sig_terms).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -647,21 +636,11 @@ def simhash_near_pairs(
         )
         .filter(F.size("ms") > 1)
     )
-    m = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, greatest(size(ms) - i - 1, 0)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
     )
     return (
         buckets.select(F.explode(pair_structs).alias("p"))

@@ -1937,28 +1937,20 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _M31
         ).alias("h"),
     )
+    # expression strings (construction-cost doctrine —
+    # operators/dedup.py signatures_from_sets)
     sig = hs.groupBy("doc_id").agg(
         *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_M31)).alias(
-                f"s{i}"
-            )
+            F.expr(f"min((h * {a}L + {b}L) % {_M31}L) AS s{i}")
             for i, (a, b) in enumerate(_LSH_EVAL_PERMS)
         ]
     )
+    band_structs = ", ".join(
+        f"struct({b} AS band, s{2 * b} AS v1, s{2 * b + 1} AS v2)"
+        for b in range(_LSH_EVAL_BANDS)
+    )
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"s{2 * b}").alias("v1"),
-                        F.col(f"s{2 * b + 1}").alias("v2"),
-                    )
-                    for b in range(_LSH_EVAL_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.v1", "bb.v2")
     cand = (
         bands.groupBy("band", "v1", "v2")

@@ -24,6 +24,7 @@ from ..functions.text import (
 from ..multimodal import decode_media_stub, sample_frames, to_media_table
 from ..operators.dedup import (
     exact_dedup,
+    fanout,
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash_near_pairs,
@@ -774,6 +775,15 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
             lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
         ).alias("h"),
     )
+    # EXCHANGE BARRIER before the window mins — without it CollapseProject
+    # inlines the md5 hash array `h` into the per-position
+    # array_min(slice(h, i, w)) lambda (no CSE inside higher-order
+    # functions), re-hashing the whole gram array once per window position:
+    # O(n²) md5s per doc. At sf0.01 that is a hidden ~quadratic slowdown;
+    # at sf0.1 the query effectively hangs (round-8 finding: >9 min, vs
+    # ~2 s with the barrier). Same trap _shingle_sets / corpus_semdedup
+    # document; fanout doubles as the parallelism spread.
+    hs = fanout(hs, F.col("doc_id"))
     m = F.size("h")
     wins = hs.select(
         "doc_id",

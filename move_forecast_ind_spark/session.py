@@ -39,6 +39,20 @@ RUNTIME_CONF: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long (epoch nanos) and normalize in sources.tables.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+    # below every explode, and filter PUSHDOWN then inlines the generator
+    # input's full expression chain into that condition (twice) beneath any
+    # exchange barrier. For computed-array generators that re-evaluates the
+    # chain ~3x per row — and when the chain's per-element lambda references
+    # the array being built (winnowing's array_min(slice(h, i, w))), the
+    # inlined filter turns O(n) hashing into O(n²) PER ROW:
+    # text_winnow_fingerprints at sf0.1 ran >9 min with the rule, 2 s
+    # without (round-8 finding). Every generator in this engine explodes a
+    # computed array, never a prunable source column, so the rule only ever
+    # costs; results are identical (it is a pure optimization rule).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 # A/B hook for bench noise characterization (BASELINE.md "AQE coalesce A/B"):
