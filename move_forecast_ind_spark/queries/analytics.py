@@ -3444,8 +3444,13 @@ def _coactivity_adjacency(
     # so no standalone ev.distinct() shuffle is needed; the idx joins are
     # broadcast (map-side) BEFORE the one pair shuffle.
     pairs = (
-        ev.groupBy("event_type", "h")
-        .agg(F.collect_set("user_id").alias("us"))
+        # fanout between the bucket aggregate and the |us|²-per-bucket
+        # expansion: post-shuffle AQE byte-coalescing left the expansion
+        # (and the map-side idx joins above it) on 1-2 tasks (round-8
+        # profile); the bucket frame is tiny (one row per (type, bucket))
+        # so the pinned exchange is bytes-free and the quadratic in-row
+        # work spreads cluster-wide.
+        fanout(ev.groupBy("event_type", "h").agg(F.collect_set("user_id").alias("us")))
         .select(
             F.explode(
                 F.expr(
