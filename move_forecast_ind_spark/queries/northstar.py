@@ -586,8 +586,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     return (
+        # BOTH sides fanned out: the nested-loop join broadcasts whichever
+        # side its size estimate favors, and the choice flipped between
+        # runs — when it broadcast the pinned side, the STREAMED side was
+        # back to the 1-task scan and the n² loop serialized (observed
+        # 9.5 s vs >120 s for identical code). Pinning both makes either
+        # choice stream 32 tasks.
         fanout(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .join(fanout(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos",
             F.expr(
