@@ -5699,7 +5699,10 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row per surviving candidate."""
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
-    sl = full.select(
+    # fanout before the per-user sn x sn expansion: the adjacency frame is
+    # one AQE-coalesced post-agg partition, so unpinned the cap^2 pair
+    # fan-out serialized on one core (10x probe: 73 s -> parallel).
+    sl = fanout(full, F.col("i")).select(
         "i",
         "user_id",
         "deg",
@@ -6051,7 +6054,8 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join on existing edges, per-user window)."""
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
-    sl = full.select(
+    # fanout before the expansion - same rationale as events_link_prediction
+    sl = fanout(full, F.col("i")).select(
         "i",
         "deg",
         F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
