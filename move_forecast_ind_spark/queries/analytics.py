@@ -3592,19 +3592,24 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = full.crossJoin(F.broadcast(n0)).select(
         "i", "deg", (F.lit(1.0) / F.col("n")).alias("r")
     )
+    # HOFs as expr strings (construction-cost doctrine — lloyd_assign):
+    # same parsed trees, one gateway roundtrip each instead of dozens per
+    # round. FP constants stay F.lit Columns so the literal values are
+    # bit-identical to the old build (SQL decimal literals would parse as
+    # DECIMAL, not DOUBLE).
+    _CARR = (
+        "transform(array_sort(collect_list(struct(i, deg, r))), "
+        "s -> CASE WHEN s.deg > 0 THEN s.r / s.deg ELSE 0D END) AS carr"
+    )
+    _CONTRIB = "aggregate(nbrs, 0D, (acc, nb) -> acc + element_at(carr, nb + 1))"
     for _t in range(_PR_ITERS):
         # ONE one-row broadcast per round: carr[i] = r/deg contribution
         # (0 for dangling nodes — their index is never referenced since
         # the graph is symmetric), dm = dangling mass, n = |V|.
         stats = r.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "deg", "r"))),
-                lambda s: F.when(s["deg"] > 0, s["r"] / s["deg"]).otherwise(0.0),
-            ).alias("carr"),
-            F.sum(
-                F.when(F.col("deg") == 0, F.col("r")).otherwise(0.0)
-            ).alias("dm"),
-            F.count(F.lit(1)).cast("double").alias("n"),
+            F.expr(_CARR),
+            F.expr("sum(CASE WHEN deg = 0 THEN r ELSE 0D END) AS dm"),
+            F.expr("CAST(count(1) AS DOUBLE) AS n"),
         )
         r = full.crossJoin(F.broadcast(stats)).select(
             "i",
@@ -3612,17 +3617,9 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     (
-                        (1 - _PR_DAMP) / F.col("n")
-                        + _PR_DAMP
-                        * (
-                            F.aggregate(
-                                "nbrs",
-                                F.lit(0.0),
-                                lambda acc, nb: acc
-                                + F.element_at(F.col("carr"), nb + 1),
-                            )
-                            + F.col("dm") / F.col("n")
-                        )
+                        F.lit(1 - _PR_DAMP) / F.col("n")
+                        + F.lit(_PR_DAMP)
+                        * (F.expr(_CONTRIB) + F.col("dm") / F.col("n"))
                     )
                     * 1e9
                     + F.lit(0.5)
