@@ -3347,17 +3347,16 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # either way — the oracle's explode/groupBy replica produces the
     # identical vectors; 100 TB posture improves too (doc vectors now
     # need zero shuffles).
-    ha = F.transform(
-        tokens(F.col("text")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
-        % _SD_D,
+    # expr strings (construction-cost doctrine — lloyd_assign): identical
+    # parsed trees to the old Column-lambda build, fewer gateway calls.
+    _HA = (
+        "transform(split(trim(text), '\\\\s+'), "
+        f"t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT) % {_SD_D})"
     )
-    v = F.aggregate(
-        ha,
-        F.array_repeat(F.lit(0.0), _SD_D),
-        lambda acc, h: F.transform(
-            acc, lambda c, i: F.when(i.cast("long") == h, c + 1.0).otherwise(c)
-        ),
+    v = F.expr(
+        f"aggregate({_HA}, array_repeat(0D, {_SD_D}), "
+        "(acc, h) -> transform(acc, "
+        "(c, i) -> CASE WHEN CAST(i AS BIGINT) = h THEN c + 1D ELSE c END))"
     )
     # e has many consumers (k-means init + per-round updates + the final
     # assignment + the pair stage); without a barrier each one re-inlines
