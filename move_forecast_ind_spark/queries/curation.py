@@ -2006,6 +2006,12 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Max (band, value) bucket width for the near-pair candidate stage — the
+# same fence class as jaccard's max_df / _WINNOW_MAX_DF. Fixture widths:
+# 172 (sf0.01, output UNchanged) / 1705 (sf0.1) / 16.8k (10× probe, where
+# the unfenced expansion is quadratic in corpus size).
+_AHASH_MAX_DF = 1000
+
 # Closed-form replica of multimodal.ahash_real over the fixture raster
 # (pixel (x,y) = (x+y+doc_id) % 256, dims = f(doc_id)): shared by the
 # exact- and near-match ahash oracles. Ends in ``hs(doc_id, ahash)``.
@@ -2095,9 +2101,13 @@ def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              (ahash >> CAST(r.range * 12 AS INT)) & 4095 AS bv
       FROM hs CROSS JOIN range(3) r
     ),
+    bf AS (
+      SELECT doc_id, band, bv FROM b
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= {_AHASH_MAX_DF}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      FROM b a JOIN b b2
+      FROM bf a JOIN bf b2
         ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -2151,7 +2161,16 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bands.groupBy("band", "bv")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        # max-width fence (mirrored in the oracle's QUALIFY): bucket width
+        # grows linearly with corpus size on duplicate-heavy media (the
+        # synthetic space has ~56 buckets total), so unfenced pair
+        # expansion is quadratic in the corpus — the round-8 10x probe
+        # timed out >180 s on 16.8k-wide buckets. Docs inside a >cap
+        # bucket are giant EQUAL-image classes — mm_ahash_dedup's
+        # grouping tier is their scale-correct output; the pigeonhole
+        # radius-2 guarantee now holds for pairs whose shared band bucket
+        # is within the fence, the same trade simhash/jaccard document.
+        .filter((F.size("ds") > 1) & (F.size("ds") <= _AHASH_MAX_DF))
         .select(F.explode(_pairs_in_row("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
