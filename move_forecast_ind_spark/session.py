@@ -53,6 +53,15 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
+    # Recursive-CTE cumulative-row guardrail. The default (1M rows across
+    # all iterations) trips as soon as the sessionization recursion sees
+    # ~1M events (10× probe: RECURSION_ROW_LIMIT_EXCEEDED) — it guards
+    # against runaway recursion, but our recursive operators are
+    # depth-bounded by data semantics (session length), not by row count,
+    # and 1M rows is three orders below a production event table. The
+    # level limit (100) stays at its default — THAT is the real runaway
+    # guard.
+    "spark.sql.cteRecursionRowLimit": str(2_000_000_000),
 }
 
 # A/B hook for bench noise characterization (BASELINE.md "AQE coalesce A/B"):
