@@ -56,66 +56,66 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-8 front: the output of
-# suggest_next_front(50) after baking the r7 sample (49/50 green; the one
-# red was the mm_ahash_dedup oracle HUGEINT typing, fixed this round) into
-# _sample_history.py — all 50 slots are oracle-bearing queries with ZERO
-# prior driver samples, continuing the never-sampled backlog drain
-# (VERDICT r7 item #5: 150 remaining -> 100 after this round). Everything
-# here passes the identical local oracle gate (tests/test_oracle.py) plus a
-# check_oracle sweep at the driver's sf0.01; this is evidence routing, not
-# a semantics change.
+# 50 entries of ``queries()``. Round-9 front: slot 1 is mm_ahash_dedup — the
+# only query whose latest driver row is red (r7; fixed in r8 commit 13aa010
+# and judge-re-verified bit-exact) — queued for its post-fix driver
+# confirmation (VERDICT r8 items #1/#2). Slots 2-50 are the next 49
+# oracle-bearing queries with ZERO prior driver samples (insertion order via
+# suggest_next_front), draining the never-sampled backlog 100 -> 51.
+# Everything here passes the identical local oracle gate
+# (tests/test_oracle.py) plus a check_oracle sweep at the driver's sf0.01;
+# this is evidence routing, not a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "j_value_band_join",
-    "j_asof_tolerance_join",
-    "dq_lang_confusion",
-    "st_topk_per_window",
-    "st_cdc_latest_state",
-    "st_decayed_engagement",
-    "ml_isotonic_trend",
-    "ml_croston_intermittent",
-    "ml_classifier_auc",
-    "ml_reliability_bins",
-    "ml_threshold_sweep",
-    "ml_target_encoding",
-    "ml_brier_decomposition",
-    "ml_mcnemar_paired",
-    "corpus_chunk_windows",
-    "corpus_cluster_term_profile",
-    "corpus_modal_agreement",
-    "events_late_arrival_audit",
-    "events_attribution_last_touch",
-    "a_welch_ttest",
-    "dq_drift_psi",
-    "a_gini_concentration",
-    "ml_survival_km",
-    "ts_changepoint_cusum",
-    "events_dau_wau",
-    "a_trimmed_mean",
-    "events_bfs_hops",
-    "events_triangle_count",
-    "w_interval_merge",
-    "a_chi_square_independence",
-    "a_ks_two_sample",
-    "a_mann_whitney_u",
-    "events_audience_overlap",
-    "o_skyline_pareto",
-    "ml_price_elasticity",
-    "dedup_similarity_histogram",
-    "a_two_proportion_ztest",
-    "ts_autocorrelation",
-    "ts_strength_measures",
-    "dq_column_profile",
-    "events_assoc_rules",
-    "events_label_propagation",
-    "events_kcore_peel",
-    "events_sequence_match",
-    "events_kaplan_meier",
-    "dq_k_anonymity",
-    "events_cuped_adjustment",
-    "events_link_prediction",
-    "a_bootstrap_ci",
-    "ts_periodogram",
+    "mm_ahash_dedup",
+    "events_jaccard_neighbors",
+    "er_blocking_pairs",
+    "ts_level_shift_by_type",
+    "events_attribution_linear",
+    "a_theil_sen_slope",
+    "s_compaction_plan",
+    "corpus_source_overlap",
+    "er_cluster_entities",
+    "s_snapshot_diff",
+    "j_interval_allocation",
+    "text_readability",
+    "corpus_quality_calibration",
+    "text_rrf_hybrid_topk",
+    "emb_mmr_select",
+    "a_spearman_rank",
+    "a_anova_dow_f",
+    "dq_l_diversity",
+    "ml_ndcg_eval",
+    "ml_pinball_loss",
+    "text_rake_keywords",
+    "emb_davies_bouldin",
+    "events_degree_assortativity",
+    "a_benjamini_hochberg",
+    "s_manifest_prune_stats",
+    "ts_kalman_level",
+    "ts_mann_kendall",
+    "emb_random_projection",
+    "dedup_lsh_candidate_eval",
+    "a_hodges_lehmann",
+    "w_rolling_median",
+    "emb_hamming_topk",
+    "events_conversion_lag",
+    "a_permutation_test",
+    "events_ab_power",
+    "text_textrank_keywords",
+    "w_conversion_time_cdf",
+    "events_srm_check",
+    "events_did_estimator",
+    "a_cohens_d_pairs",
+    "ml_cumulative_gains",
+    "events_cohort_ltv",
+    "ml_propensity_ipw",
+    "events_wilson_ci",
+    "a_tost_equivalence",
+    "a_ratio_metric_ci",
+    "ml_offpolicy_ips",
+    "a_eb_rate_shrinkage",
+    "events_sprt_monitor",
+    "ts_hampel_outliers",
 )
 
 
