@@ -5625,8 +5625,26 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard bounded-neighborhood truncation that keeps hub fan-out O(cap²).
 # Mirrored EXACTLY in the oracle, so the fence can never cause cross-engine
 # divergence even when active (it is: tight-graph degrees reach ~400 at
-# sf0.1).
-_LINKPRED_MAX_NBRS = 64
+# sf0.1). Round 9: 64 -> 32 (VERDICT r8 item #3) — the 10× probe showed the
+# cap² term dominating events_jaccard_neighbors (61 M pair rows, 291 MB
+# aggregate shuffle, 2.4-7× vs DuckDB); 32 keeps the argmax semantics
+# (candidates still drawn from each via-node's 32 lowest-id neighbors,
+# both engines identical) at 1/4 the pair volume. Combined with the
+# unordered-pair generation below the expansion is 8× lighter.
+_LINKPRED_MAX_NBRS = 32
+
+# Unordered in-row pair expansion over a SORTED sliced neighbor array:
+# (a, b) with a < b only, via index slicing — half the structs of the
+# a≠b double generation and no per-element filter() scan. Contributor
+# counts/weight-sums are orientation-symmetric (the contributing src set
+# for (a, b) equals that for (b, a)), so aggregating unordered pairs and
+# fanning both orientations back out AFTER the aggregate is exact — and
+# cuts the pre-aggregate shuffle in half again.
+_UNORDERED_PAIRS = (
+    "flatten(transform(sn, (a, i) -> "
+    "transform(slice(sn, i + 2, size(sn)), "
+    "b -> struct(a AS ia, b AS ib))))"
+)
 
 
 @register(
@@ -5655,21 +5673,29 @@ _LINKPRED_MAX_NBRS = 64
     contrib AS (
       SELECT a.dst AS ua, b.dst AS ub, 1e0 / ln(d.d) AS w
       FROM sliced a
-      JOIN sliced b ON b.src = a.src AND b.dst <> a.dst
+      JOIN sliced b ON b.src = a.src AND b.dst > a.dst
       JOIN deg d ON d.src = a.src
     ),
-    cand AS (
+    cand_u AS MATERIALIZED (
       SELECT ua, ub, CAST(COUNT(*) AS BIGINT) AS cn, SUM(w) AS score
       FROM contrib
-      WHERE NOT EXISTS (
-        SELECT 1 FROM edges e WHERE e.src = contrib.ua AND e.dst = contrib.ub
-      )
       GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT ua, ub, cn, score FROM cand_u
+      UNION ALL
+      SELECT ub AS ua, ua AS ub, cn, score FROM cand_u
+    ),
+    nonadj AS (
+      SELECT ua, ub, cn, score FROM cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = cand.ua AND e.dst = cand.ub
+      )
     ),
     best AS (
       SELECT ua, ub, cn, score,
              ROW_NUMBER() OVER (PARTITION BY ua ORDER BY cn DESC, ub) AS rn
-      FROM cand
+      FROM nonadj
     )
     SELECT ua AS user_id, ub AS predicted_user, cn AS common_neighbors,
            FLOOR(score * 1e6 + 0.5) / 1e6 AS aa_score
@@ -5687,15 +5713,19 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs among its first {m} neighbors only (ascending id, mirrored in
     the oracle — the bounded-neighborhood truncation every web-scale CN
     implementation applies). Engine shape: the shared adjacency compiles
-    once; contributor pairs expand IN-ROW from the sliced neighbor
-    arrays (never the oracle's posting self-join), candidate aggregation
-    is one map-side-combinable shuffle, existing edges leave via one
-    anti join, and the per-user argmax is a window. At 100 TB: pair
-    volume is |V|·cap² worst-case, the fence's purpose; everything else
-    shuffles one row per surviving candidate."""
+    once; contributor pairs expand IN-ROW as UNORDERED (a < b) pairs from
+    the sorted sliced neighbor arrays (never the oracle's posting
+    self-join), candidate aggregation is one map-side-combinable shuffle
+    at HALF the ordered volume, both orientations fan back out in-row
+    after the aggregate (cn and the w-sum are orientation-symmetric —
+    the contributing src set for (a,b) equals that for (b,a), so the
+    per-group float sums are bit-identical addend sets), existing edges
+    leave via one anti join, and the per-user argmax is a window. At
+    100 TB: pair volume is |V|·cap²/2 worst-case, the fence's purpose;
+    everything else shuffles one row per surviving candidate."""
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
-    # fanout before the per-user sn x sn expansion: the adjacency frame is
+    # fanout before the per-user pair expansion: the adjacency frame is
     # one AQE-coalesced post-agg partition, so unpinned the cap^2 pair
     # fan-out serialized on one core (10x probe: 73 s -> parallel).
     sl = fanout(full, F.col("i")).select(
@@ -5706,18 +5736,22 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = sl.filter(F.col("deg") >= 2).select(
         (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
-        F.explode(
-            F.expr(
-                "flatten(transform(sn, a -> "
-                "transform(filter(sn, b -> b != a), "
-                "b -> struct(a AS ia, b AS ib))))"
-            )
-        ).alias("p"),
+        F.explode(F.expr(_UNORDERED_PAIRS)).alias("p"),
     ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"), "w")
-    cand = contrib.groupBy("ia", "ib").agg(
+    cand_u = contrib.groupBy("ia", "ib").agg(
         F.count(F.lit(1)).cast("long").alias("cn"),
         F.sum("w").alias("score"),
     )
+    cand = cand_u.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ia"), F.col("ib")),
+                F.struct(F.col("ib").alias("ia"), F.col("ia").alias("ib")),
+            )
+        ).alias("p"),
+        "cn",
+        "score",
+    ).select("p.ia", "p.ib", "cn", "score")
     edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
     cand = cand.join(edges, ["ia", "ib"], "left_anti")
     wb = Window.partitionBy("ia").orderBy(F.col("cn").desc(), F.col("ib"))
@@ -6005,15 +6039,23 @@ ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
     contrib AS (
       SELECT a.dst AS ua, b.dst AS ub
       FROM sliced a
-      JOIN sliced b ON b.src = a.src AND b.dst <> a.dst
+      JOIN sliced b ON b.src = a.src AND b.dst > a.dst
     ),
-    cand AS (
+    cand_u AS MATERIALIZED (
       SELECT ua, ub, CAST(COUNT(*) AS BIGINT) AS cn
       FROM contrib
-      WHERE NOT EXISTS (
-        SELECT 1 FROM edges e WHERE e.src = contrib.ua AND e.dst = contrib.ub
-      )
       GROUP BY 1, 2
+    ),
+    cand0 AS (
+      SELECT ua, ub, cn FROM cand_u
+      UNION ALL
+      SELECT ub AS ua, ua AS ub, cn FROM cand_u
+    ),
+    cand AS (
+      SELECT ua, ub, cn FROM cand0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = cand0.ua AND e.dst = cand0.ub
+      )
     ),
     scored AS (
       SELECT cand.ua, cand.ub, cand.cn, da.d AS deg_a, db.d AS deg_b,
@@ -6046,8 +6088,12 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn/(da+db−cn) is ONE correctly-rounded IEEE division of exact
     integers — bit-identical in both engines — with ties broken by
     candidate id. Scale posture: identical to events_link_prediction
-    (pair volume fenced at |V|·cap², one candidate aggregate shuffle,
-    anti join on existing edges, per-user window)."""
+    (unordered in-row expansion fences pair volume at |V|·cap²/2, one
+    candidate aggregate shuffle at that halved width, orientation
+    fan-out after the aggregate, anti join on existing edges, per-user
+    window). Round-9 10× probe: the ordered cap-64 variant shipped 61 M
+    pair rows / 291 MB into the aggregate (20-24 s); cap 32 + unordered
+    is 8× lighter on the same adjacency."""
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
     # fanout before the expansion - same rationale as events_link_prediction
@@ -6057,17 +6103,20 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
     )
     contrib = sl.filter(F.col("deg") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sn, a -> "
-                "transform(filter(sn, b -> b != a), "
-                "b -> struct(a AS ia, b AS ib))))"
-            )
-        ).alias("p")
+        F.explode(F.expr(_UNORDERED_PAIRS)).alias("p")
     ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
-    cand = contrib.groupBy("ia", "ib").agg(
+    cand_u = contrib.groupBy("ia", "ib").agg(
         F.count(F.lit(1)).cast("long").alias("cn")
     )
+    cand = cand_u.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ia"), F.col("ib")),
+                F.struct(F.col("ib").alias("ia"), F.col("ia").alias("ib")),
+            )
+        ).alias("p"),
+        "cn",
+    ).select("p.ia", "p.ib", "cn")
     edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
     cand = cand.join(edges, ["ia", "ib"], "left_anti")
     degs = full.select("i", "deg")
