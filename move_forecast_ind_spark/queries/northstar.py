@@ -796,6 +796,13 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= w + 2)
+    # fanout BEFORE the gram/md5 compute: the fixture parquet is 1-2 row
+    # groups, so without this barrier the whole corpus' md5-gram hashing
+    # runs at SCAN parallelism (round-9 10x profile: two 2-task stages of
+    # 6-9 s wall each — 15 s of the 27 s total serialized on 2 cores).
+    # One slim (doc_id, toks) exchange buys 32-way hashing; at 100 TB the
+    # scan already yields >= cores partitions and this is bytes-neutral.
+    toked = fanout(toked, F.col("doc_id"))
     n = F.size("toks")
     grams = toked.select(
         "doc_id",
