@@ -382,8 +382,9 @@ def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     LinearRegression(solver='normal') - ONE distributed fit for all
     branches, closed-form solve (deterministic).
 
-    DELIBERATELY rows-only — the ONLY remaining rows-only registry entry
-    (VERDICT r4 item #2): the point of this query is to exercise MLlib's
+    PERMANENTLY rows-only — the ONLY rows-only registry entry, final per
+    VERDICT r8 item #5 resolution (b), decided round 9 (see COVERAGE.md's
+    r9 FINAL row): the point of this query is to exercise MLlib's
     own WLS solver and vector pipeline, whose internal regularization/
     pivoting choices are not reproducible as an ANSI-SQL op sequence;
     re-deriving the coefficients with our quantized Gauss-Jordan would
