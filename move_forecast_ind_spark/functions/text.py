@@ -23,10 +23,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# The ONE tokenizer definition, as a Spark-SQL expression string. Every
+# expr-string query path that tokenizes (corpus_semdedup's BoW fold, etc.)
+# must compose THIS constant instead of repeating the literal, so the
+# tokenizer cannot silently drift from tokens() below (ADVICE r8: a future
+# tokens() change would otherwise diverge semdedup from every other
+# query's tokenization without any oracle catching it).
+TOKENS_SQL = "split(trim({col}), '\\\\s+')"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the BPE-ish regex variant is
     ``F.split(text, r"\\s+|(?=[.,!?;:])")`` — kept simple here because the
-    fixture corpus is space-joined words)."""
+    fixture corpus is space-joined words). Expression-string twin:
+    ``TOKENS_SQL`` above — keep the two in lockstep (test_text pins
+    equivalence)."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -69,8 +69,18 @@ def fanout(df: DataFrame, *cols) -> DataFrame:
     negligible next to the hashing it parallelizes; at 100 TB the upstream
     scan already yields ≥cores partitions and this exchange is then merely
     bytes-neutral rebalancing of the same slim frame.
+
+    Partition-count source: ``defaultParallelism`` is snapshotted at PLAN
+    CONSTRUCTION time. Under dynamic allocation on a mostly-idle cluster
+    that can be a small/stale value, so the pin floors at the configured
+    ``spark.sql.shuffle.partitions`` — the number the user sized for the
+    cluster — ensuring the pin never undershoots it (ADVICE r8).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 

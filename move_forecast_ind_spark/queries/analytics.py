@@ -3349,8 +3349,12 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # need zero shuffles).
     # expr strings (construction-cost doctrine — lloyd_assign): identical
     # parsed trees to the old Column-lambda build, fewer gateway calls.
+    # Tokenizer composed from the shared TOKENS_SQL constant so it can
+    # never drift from functions.text.tokens() (ADVICE r8).
+    from ..functions.text import TOKENS_SQL
+
     _HA = (
-        "transform(split(trim(text), '\\\\s+'), "
+        f"transform({TOKENS_SQL.format(col='text')}, "
         f"t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT) % {_SD_D})"
     )
     v = F.expr(

@@ -903,6 +903,19 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import register_views
 
     register_views(spark, sf_dir, ["events"])
+    # Query-scoped recursion budget (ADVICE r8: the old session-wide 2e9
+    # disabled the cumulative-row runaway guard for every recursive CTE).
+    # Sessionization's cumulative row count across iterations is bounded
+    # by the events row count (each event appears in exactly one frontier
+    # row, plus the seed roots), so 4x the input is generous headroom
+    # while still being a REAL guard against a future buggy recursion.
+    # Set, not set-and-restored: the returned frame is lazy and Spark
+    # reads this conf at execution time, after this function returns —
+    # the raised value is itself input-bounded, never unlimited.
+    n_events = load_table(spark, sf_dir, "events").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_events))
+    )
     return spark.sql(_RECURSIVE_SESSION_SQL)
 
 
@@ -2012,6 +2025,15 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the unfenced expansion is quadratic in corpus size).
 _AHASH_MAX_DF = 1000
 
+# No-silent-caps telemetry (ADVICE r8): the most recent run's fence
+# Observation for mm_ahash_near_pairs. ``observe()`` rides the plan for
+# free (no extra job); after any action on the query's result,
+# ``AHASH_FENCE_OBS[0].get`` yields {"fenced_buckets": n, "fenced_docs": m}
+# — nonzero means the radius-2 pigeonhole guarantee was truncated for
+# docs inside >cap buckets (duplicate-heavy corpora; mm_ahash_dedup's
+# grouping tier is those docs' scale-correct output).
+AHASH_FENCE_OBS: list = []
+
 # Closed-form replica of multimodal.ahash_real over the fixture raster
 # (pixel (x,y) = (x+y+doc_id) % 256, dims = f(doc_id)): shared by the
 # exact- and near-match ahash oracles. Ends in ``hs(doc_id, ahash)``.
@@ -2158,9 +2180,24 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bv")
+    from pyspark.sql import Observation
+
+    fence_obs = Observation()
+    AHASH_FENCE_OBS[:] = [fence_obs]
     cand = (
         bands.groupBy("band", "bv")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        # Fence telemetry BEFORE the filter (no extra job — observe()
+        # rides the aggregate): how many buckets/docs the cap truncates.
+        .observe(
+            fence_obs,
+            F.sum(
+                (F.size("ds") > _AHASH_MAX_DF).cast("long")
+            ).alias("fenced_buckets"),
+            F.sum(
+                F.when(F.size("ds") > _AHASH_MAX_DF, F.size("ds")).otherwise(0)
+            ).alias("fenced_docs"),
+        )
         # max-width fence (mirrored in the oracle's QUALIFY): bucket width
         # grows linearly with corpus size on duplicate-heavy media (the
         # synthetic space has ~56 buckets total), so unfenced pair
@@ -2169,7 +2206,9 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket are giant EQUAL-image classes — mm_ahash_dedup's
         # grouping tier is their scale-correct output; the pigeonhole
         # radius-2 guarantee now holds for pairs whose shared band bucket
-        # is within the fence, the same trade simhash/jaccard document.
+        # is within the fence, the same trade simhash/jaccard document —
+        # and the Observation above makes any truncation OBSERVABLE
+        # (ADVICE r8 / no-silent-caps doctrine).
         .filter((F.size("ds") > 1) & (F.size("ds") <= _AHASH_MAX_DF))
         .select(F.explode(_pairs_in_row("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")

@@ -1166,11 +1166,10 @@ def dedup_substring_spans(
 
     Shape selection is AUTOMATED (round-7 verdict item 6, replacing the
     prose-only fallback): a map-side-combinable pre-probe measures the
-    corpus' max gram frequency against the expected post-shuffle
-    partition size; when the hottest gram would concentrate a partition
-    (>= _SPAN_HOT_PARTITION_FRAC of total positions / shuffle
-    partitions), the plan switches window -> agg+semi-join, whose hot
-    keys AQE skew-splits. On natural corpora the probe picks the
+    corpus' max gram frequency as a SHARE of all positions; when the
+    hottest gram holds >= _SPAN_HOT_SHARE of the corpus (an
+    environment-independent criterion — ADVICE r8), the plan switches
+    window -> agg+semi-join, whose hot keys AQE skew-splits. On natural corpora the probe picks the
     window; a boilerplate-degenerate corpus flips it (both branches
     oracle-verified by tests on exactly such a corpus). ``shape``
     ('window' | 'aggjoin' | None=auto) pins the branch for tests.
@@ -1182,12 +1181,18 @@ def dedup_substring_spans(
 
 
 # Hot-gram switch threshold: flip to the skew-immune agg+join shape when
-# max(gram frequency) >= this fraction of the average post-shuffle
-# partition's position count. 0.5 means "one gram would fill half a
-# partition by itself" — far beyond any natural-language gram share at
-# scale, and far below the degenerate boilerplate corpora the fallback
-# exists for, so the branch point is unambiguous from either side.
-_SPAN_HOT_PARTITION_FRAC = 0.5
+# the most frequent gram holds >= this SHARE of all positions. A fixed
+# share rather than a function of the live spark.sql.shuffle.partitions
+# (ADVICE r8: conf-derived thresholds make the chosen plan shape
+# environment-dependent — the shape-switch test corpus itself picks
+# window at the 8-partition test conf and agg+join at 32+, QED). 10% is
+# decisive from both sides: natural-language top-gram shares sit orders
+# of magnitude below it at any scale (English top trigrams < 0.1%),
+# boilerplate-degenerate corpora (the fallback's reason to exist) sit
+# far above, and a gram below 10% cannot concentrate more than a tenth
+# of the window's rows on one partition — skewed but not pathological,
+# and identical on a laptop and a 1000-executor cluster.
+_SPAN_HOT_SHARE = 0.10
 
 
 def _substring_spans_from_docs(
@@ -1219,11 +1224,15 @@ def _substring_spans_from_docs(
     ).select("doc_id", "p.i", "p.gh")
     if shape is None:
         # Hot-gram pre-probe: one map-side-combinable aggregate reduced
-        # to a single row (max gram frequency + total positions). Cheap
-        # relative to either span shape — the combine collapses to
-        # distinct grams before the exchange and nothing else is
-        # computed — and it makes the skew fallback a measured decision
-        # instead of prose.
+        # to a single row (max gram frequency + total positions). This IS
+        # a second pass over the tokenize→hash lineage (eager .first()),
+        # and that is the deliberate scale trade (ADVICE r8 weighed):
+        # pos is corpus-sized — one row per gram position — so caching or
+        # checkpointing it to dodge the recompute is exactly the
+        # liability operators.materialize documents (storage-memory
+        # pinning / eviction-reverts at 100 TB). The probe's combine
+        # collapses to distinct grams map-side and ships one row; the
+        # re-scan is the cheap half of either span shape.
         probe = (
             pos.groupBy("gh")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -1233,11 +1242,9 @@ def _substring_spans_from_docs(
             )
             .first()
         )
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         hot = (
             probe["maxc"] is not None
-            and probe["maxc"]
-            >= _SPAN_HOT_PARTITION_FRAC * max(probe["total"] / max(parts, 1), 1.0)
+            and probe["maxc"] >= _SPAN_HOT_SHARE * max(probe["total"], 1)
         )
         shape = "aggjoin" if hot else "window"
     if shape == "aggjoin":

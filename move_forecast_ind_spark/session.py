@@ -53,15 +53,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
-    # Recursive-CTE cumulative-row guardrail. The default (1M rows across
-    # all iterations) trips as soon as the sessionization recursion sees
-    # ~1M events (10× probe: RECURSION_ROW_LIMIT_EXCEEDED) — it guards
-    # against runaway recursion, but our recursive operators are
-    # depth-bounded by data semantics (session length), not by row count,
-    # and 1M rows is three orders below a production event table. The
-    # level limit (100) stays at its default — THAT is the real runaway
-    # guard.
-    "spark.sql.cteRecursionRowLimit": str(2_000_000_000),
+    # NOTE (r9): spark.sql.cteRecursionRowLimit is no longer raised here.
+    # Raising it session-wide disabled the cumulative-row runaway guard
+    # for EVERY recursive CTE (ADVICE r8); the one Spark-side recursive
+    # query (sql_recursive_session_roots) now raises it at its own call
+    # site, sized to its input (max(1M, 4x events rows)) — a real bound,
+    # not an opt-out. The depth limit (100) stays default everywhere.
 }
 
 # A/B hook for bench noise characterization (BASELINE.md "AQE coalesce A/B"):

@@ -123,3 +123,21 @@ def test_ahash_groups_pixel_identical_images(spark):
             assert other.is_dup  # the higher id is never the keeper
     assert pairs > 100  # the fixture really exercises the property
     assert len({r.ahash for r in rows}) > 50  # and hashes discriminate
+
+
+def test_ahash_near_pairs_fence_is_observable(spark):
+    """The _AHASH_MAX_DF fence must be OBSERVABLE (no-silent-caps /
+    ADVICE r8): mm_ahash_near_pairs attaches an Observation counting
+    truncated buckets/docs, readable after any action with zero extra
+    jobs. On the sf0.001 fixture nothing reaches the cap, so the
+    guarantee-weakening truncation count must be exactly zero — and the
+    metric must exist, so a duplicate-heavy corpus reports nonzero (the
+    10x probe reads 21 buckets / 138291 docs)."""
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import curation
+    from move_forecast_ind_spark.queries.registry import REGISTRY
+
+    REGISTRY["mm_ahash_near_pairs"].fn(spark, SF_SMALL).count()
+    assert curation.AHASH_FENCE_OBS, "observation handle not registered"
+    got = curation.AHASH_FENCE_OBS[0].get
+    assert got == {"fenced_buckets": 0, "fenced_docs": 0}

@@ -402,3 +402,31 @@ def test_substring_spans_hot_gram_shape_switch(spark):
             )
         )
         assert a == b and a, "shapes must agree and find spans"
+
+
+def test_tokens_sql_twin_matches_tokens_column(spark):
+    """TOKENS_SQL (the expr-string tokenizer expr-string query paths
+    compose, e.g. corpus_semdedup's BoW fold) must tokenize identically
+    to functions.text.tokens() — the lockstep guard ADVICE r8 asked for:
+    if tokens() ever changes, this fails before any oracle can silently
+    agree with a drifted literal."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.text import TOKENS_SQL, tokens
+
+    df = spark.createDataFrame(
+        [
+            ("a",),
+            ("  leading and   multi  space ",),
+            ("one",),
+            ("tabs\tand\nnewlines mixed",),
+            ("punct, attached. tokens!",),
+        ],
+        ["text"],
+    )
+    out = df.select(
+        tokens(F.col("text")).alias("a"),
+        F.expr(TOKENS_SQL.format(col="text")).alias("b"),
+    ).collect()
+    for r in out:
+        assert r.a == r.b
