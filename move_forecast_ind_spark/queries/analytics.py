@@ -3592,44 +3592,39 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir)
     n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = full.crossJoin(F.broadcast(n0)).select(
-        "i", "deg", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    # HOFs as expr strings (construction-cost doctrine — lloyd_assign):
-    # same parsed trees, one gateway roundtrip each instead of dozens per
-    # round. FP constants stay F.lit Columns so the literal values are
-    # bit-identical to the old build (SQL decimal literals would parse as
-    # DECIMAL, not DOUBLE).
+    r = full.crossJoin(F.broadcast(n0)).selectExpr("i", "deg", "1e0 / n AS r")
+    # WHOLE iteration body as expr strings (construction-cost doctrine —
+    # lloyd_assign; extended r9 from the HOFs to the full update: the
+    # remaining Column-algebra update cost ~250 gateway roundtrips per
+    # round x 8 rounds — cProfile'd at ~1.3 s of the query's 1.5 s
+    # construction). Same parsed trees: FP constants use exponent
+    # notation (`0.85E0` parses as DOUBLE via Double.parseDouble, exact
+    # repr round-trip — a bare `0.85` would parse as DECIMAL), and
+    # `1 - _PR_DAMP` is pre-computed in Python so the literal is the
+    # IEEE double 1-0.85, identical to the old F.lit(1 - _PR_DAMP).
     _CARR = (
         "transform(array_sort(collect_list(struct(i, deg, r))), "
         "s -> CASE WHEN s.deg > 0 THEN s.r / s.deg ELSE 0D END) AS carr"
     )
     _CONTRIB = "aggregate(nbrs, 0D, (acc, nb) -> acc + element_at(carr, nb + 1))"
+    _UPDATE = (
+        f"floor(({(1 - _PR_DAMP)!r}E0 / n + {_PR_DAMP!r}E0 * ({_CONTRIB} "
+        "+ dm / n)) * 1e9 + 0.5E0) / 1e9 AS r"
+    )
+    # Parse each expr string ONCE and reuse the Column across rounds
+    # (Columns are immutable unresolved trees, name-bound at analysis —
+    # identical plans, and the server-side SQL-parser cost drops from
+    # per-round to once).
+    c_carr = F.expr(_CARR)
+    c_dm = F.expr("sum(CASE WHEN deg = 0 THEN r ELSE 0D END) AS dm")
+    c_n = F.expr("CAST(count(1) AS DOUBLE) AS n")
+    c_i, c_deg, c_upd = F.col("i"), F.col("deg"), F.expr(_UPDATE)
     for _t in range(_PR_ITERS):
         # ONE one-row broadcast per round: carr[i] = r/deg contribution
         # (0 for dangling nodes — their index is never referenced since
         # the graph is symmetric), dm = dangling mass, n = |V|.
-        stats = r.agg(
-            F.expr(_CARR),
-            F.expr("sum(CASE WHEN deg = 0 THEN r ELSE 0D END) AS dm"),
-            F.expr("CAST(count(1) AS DOUBLE) AS n"),
-        )
-        r = full.crossJoin(F.broadcast(stats)).select(
-            "i",
-            "deg",
-            (
-                F.floor(
-                    (
-                        F.lit(1 - _PR_DAMP) / F.col("n")
-                        + F.lit(_PR_DAMP)
-                        * (F.expr(_CONTRIB) + F.col("dm") / F.col("n"))
-                    )
-                    * 1e9
-                    + F.lit(0.5)
-                )
-                / 1e9
-            ).alias("r"),
-        )
+        stats = r.agg(c_carr, c_dm, c_n)
+        r = full.crossJoin(F.broadcast(stats)).select(c_i, c_deg, c_upd)
     return full.join(r.drop("deg"), "i").select(
         "user_id",
         F.col("deg").cast("long").alias("out_degree"),
