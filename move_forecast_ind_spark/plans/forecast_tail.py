@@ -38,7 +38,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import r2, r4, round_count, round_half_up
+from ..functions.rounding import (
+    r2,
+    r4,
+    round_count,
+    round_half_up,
+    sql_round_count,
+    sql_round_half_up,
+)
 
 # Three-phrase banks per band (shape of reference main.py:130-163).
 PHRASES: dict[str, tuple[str, str, str]] = {
@@ -71,6 +78,23 @@ def phrase_pick(band: Column, idx: Column) -> Column:
         pick = F.element_at(F.array(*[F.lit(p) for p in bank]), idx + 1)
         expr = F.when(band == b, pick) if expr is None else expr.when(band == b, pick)
     return expr
+
+
+def sql_phrase_pick(band: str, idx: str) -> str:
+    """Expr-string twin of :func:`phrase_pick` (same CASE order, same
+    ELSE-NULL tail) — the construction-cost doctrine applied to the tail's
+    phrase bank. The banks contain no quotes, so plain single-quoted
+    literals are safe."""
+    whens = " ".join(
+        "WHEN ({band}) = '{b}' THEN element_at(array({bank}), ({idx}) + 1)".format(
+            band=band,
+            b=b,
+            bank=", ".join(f"'{p}'" for p in bank),
+            idx=idx,
+        )
+        for b, bank in PHRASES.items()
+    )
+    return f"CASE {whens} END"
 
 
 def forecast_tail(
@@ -119,65 +143,67 @@ def forecast_tail(
         .join(F.broadcast(day_pct), on=["branch", "move_type", "month", "day"], how="left")
         .join(F.broadcast(month_pct), on=["branch", "move_type", "month"], how="left")
     )
+    # The whole post-join computation as composed expr strings (round-9
+    # construction-cost pass: this tree was ~60 Column ops ≈ 2.4 k gateway
+    # roundtrips, ~0.67 s of the query's 0.84 s bench row; ONE selectExpr
+    # parses the identical tree server-side in one roundtrip). FP literals
+    # use exponent notation (`1e2`, `0e0`, `5e0`) because bare decimals
+    # parse as DECIMAL in Spark SQL and would switch the arithmetic; the
+    # parsed trees and every intermediate type match the old Column build
+    # (oracle-hash-checked for the whole tail family at 3 SFs).
+    #
     # NULL move_type = the reference's silent demotion of an unknown type
     # (reference main.py:204-209): no percentage split, the full branch
     # forecast applies (100%). Otherwise: day → month → 1.0 fallback chain
     # resolved at the INPUT date (main.py:239-243).
-    pct_used = F.when(F.col("move_type").isNull(), F.lit(100.0)).otherwise(
-        F.coalesce(
-            F.col("scale_day_avg"), F.col("scale_month_avg"), F.lit(1.0)
-        )
+    pct_used = (
+        "CASE WHEN move_type IS NULL THEN 1e2 "
+        "ELSE COALESCE(scale_day_avg, scale_month_avg, 1e0) END"
     )
-    predicted = round_count(
-        F.greatest(pct_used / 100.0 * F.col("branch_forecast"), F.lit(0.0))
+    predicted = sql_round_count(
+        f"GREATEST(({pct_used}) / 1e2 * branch_forecast, 0e0)"
     )
     # Per-day historical average — the comment band's yardstick
     # (main.py:258-265). The reference's per-day fetch uses the same full
     # fallback chain, so hist_avg is never null for a known move type.
-    hist_avg = F.when(
-        F.col("move_type").isNull(), F.lit(None).cast("double")
-    ).otherwise(
-        F.coalesce(F.col("avg_percentage"), F.col("month_avg_percentage"), F.lit(1.0))
+    hist_avg = (
+        "CASE WHEN move_type IS NULL THEN CAST(NULL AS DOUBLE) "
+        "ELSE COALESCE(avg_percentage, month_avg_percentage, 1e0) END"
     )
-    implied = F.when(
-        F.col("branch_forecast") > 0,
-        predicted / F.col("branch_forecast") * 100.0,
-    ).otherwise(F.lit(0.0))
-    diff_pp = F.when(F.col("move_type").isNull(), F.lit(0.0)).otherwise(
-        r4(implied - hist_avg)
+    implied = (
+        f"CASE WHEN branch_forecast > 0 "
+        f"THEN ({predicted}) / branch_forecast * 1e2 ELSE 0e0 END"
+    )
+    diff_pp = (
+        "CASE WHEN move_type IS NULL THEN 0e0 "
+        f"ELSE {sql_round_half_up(f'({implied}) - ({hist_avg})', 4)} END"
     )
     band = (
-        F.when(F.abs(diff_pp) <= 5.0, "consistent")
-        .when(diff_pp > 5.0, "stronger")
-        .otherwise("weaker")
+        f"CASE WHEN ABS({diff_pp}) <= 5e0 THEN 'consistent' "
+        f"WHEN ({diff_pp}) > 5e0 THEN 'stronger' ELSE 'weaker' END"
     )
-    idx = F.pmod(
-        F.col("branch") * 31 + F.col("month") * 7 + F.col("day"), F.lit(3)
-    ).cast("int")
-    comment = F.when(
-        F.col("move_type").isNull(), F.lit(NO_MOVE_TYPE_PHRASE)
-    ).otherwise(
-        F.concat(
-            phrase_pick(band, idx),
-            F.lit(" ("),
-            F.format_string("%.1f", round_half_up(hist_avg, 1)),
-            F.lit("% hist, "),
-            F.format_string("%.1f", round_half_up(implied, 1)),
-            F.lit("% now)"),
-        )
+    idx = "CAST(pmod(branch * 31 + month * 7 + day, 3) AS INT)"
+    phrase = sql_phrase_pick(band, idx)
+    comment = (
+        f"CASE WHEN move_type IS NULL THEN '{NO_MOVE_TYPE_PHRASE}' "
+        f"ELSE concat({phrase}, ' (', "
+        f"format_string('%.1f', {sql_round_half_up(hist_avg, 1)}), "
+        f"'% hist, ', "
+        f"format_string('%.1f', {sql_round_half_up(implied, 1)}), "
+        f"'% now)') END"
     )
-    return j.select(
+    return j.selectExpr(
         "branch",
         "move_type",
         "input_date",
         "ds",
-        r2(F.col("branch_forecast")).alias("branch_forecast"),
-        r4(pct_used).alias("pct_used"),
-        predicted.alias("predicted_moves"),
-        r4(hist_avg).alias("hist_avg"),
-        diff_pp.alias("diff_pp"),
-        band.alias("band"),
-        comment.alias("comment"),
+        f"{sql_round_half_up('branch_forecast', 2)} AS branch_forecast",
+        f"{sql_round_half_up(pct_used, 4)} AS pct_used",
+        f"{predicted} AS predicted_moves",
+        f"{sql_round_half_up(hist_avg, 4)} AS hist_avg",
+        f"{diff_pp} AS diff_pp",
+        f"{band} AS band",
+        f"{comment} AS comment",
     )
 
 
