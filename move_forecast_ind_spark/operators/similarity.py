@@ -49,7 +49,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine("qv", "cv").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

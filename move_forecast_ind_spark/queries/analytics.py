@@ -3201,7 +3201,7 @@ def semdedup_drop_pairs(withn: DataFrame, threshold: float, cap: int) -> DataFra
             & (F.col("va") < F.col("vb")),
         )
         .filter(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            dot("ea", "eb") / (F.col("na") * F.col("nb"))
             >= threshold
         )
         .select(F.col("vb").alias("vec_id"))
@@ -3389,7 +3389,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair stage then pays one dot product per pair instead of three.
     # Pairwise runs behind the _SD_CAP max-cluster fence (see
     # semdedup_drop_pairs) so a runaway cluster cannot go quadratic.
-    withn = asg.withColumn("nv", norm(F.col("v")))
+    withn = asg.withColumn("nv", norm("v"))
     drops = semdedup_drop_pairs(withn, _SD_T, _SD_CAP).withColumn(
         "dropped", F.lit(True)
     )

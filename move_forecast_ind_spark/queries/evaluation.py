@@ -421,7 +421,7 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            cosine(F.col("qvec"), F.col("vec")).alias("cos"),
+            cosine("qvec", "vec").alias("cos"),
             (
                 F.when(F.col("qlabel") == F.col("label"), 2).otherwise(0)
                 + F.when(F.col("qsource") == F.col("source"), 1).otherwise(0)

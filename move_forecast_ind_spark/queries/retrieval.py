@@ -364,7 +364,7 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("shs", "qshs")).cast("long").alias(
                 "n_common"
             ),
-            cosine(F.col("qv"), F.col("v")).alias("cos"),
+            cosine("qv", "v").alias("cos"),
         )
     )
     wlex = Window.partitionBy("query_id").orderBy(
@@ -550,9 +550,9 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(seed))
         .select(
             "vec_id",
-            cosine(F.col("sv"), F.col("v")).alias("rel"),
+            cosine("sv", "v").alias("rel"),
             "v",
-            norm(F.col("v")).alias("nv"),
+            norm("v").alias("nv"),
         )
     )
     # TakeOrderedAndProject (orderBy + limit), NOT a global row_number
