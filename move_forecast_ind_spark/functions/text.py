@@ -45,15 +45,32 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
-def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+def sql_shingles_from_tokens(toks: str, k: int = 3) -> str:
+    """Expr-string twin of :func:`shingles_from_tokens` — identical parsed
+    tree, one gateway roundtrip (round-9 construction-cost pass).
+    ``toks`` is a SQL snippet (usually a column name)."""
+    shingled = (
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k})))"
+    )
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN array_distinct({shingled}) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles from a MATERIALIZED token-array column;
     empty for short docs (guarded — Spark's ``sequence`` would count *down*
-    for negative spans).
+    for negative spans). Pass a column NAME string for the one-roundtrip
+    expr-string build (identical tree).
 
     Pass a projected column, not ``tokens(text)`` inline: expressions inside
     higher-order-function lambdas are not common-subexpression-eliminated,
     so an inline split would re-tokenize once per shingle (observed ~40×
     slowdown on shingling)."""
+    if isinstance(toks, str):
+        return F.expr(sql_shingles_from_tokens(toks, k))
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),

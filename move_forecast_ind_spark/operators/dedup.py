@@ -161,7 +161,7 @@ def jaccard_pairs(
     sets = (
         fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .select("doc_id", shingles_from_tokens("toks", k).alias("shs"))
     )
     if candidates is not None:
         cand_ids = (
@@ -340,7 +340,7 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     return (
         fanout(docs, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .select("doc_id", shingles_from_tokens("toks", k).alias("shs"))
         .select(
             "doc_id",
             "shs",
@@ -538,7 +538,7 @@ def minhash_dedup_pairs(
     vsets = (
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), k).alias("shs"))
+        .select("doc_id", shingles_from_tokens("toks", k).alias("shs"))
     )
     a = vsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = vsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))

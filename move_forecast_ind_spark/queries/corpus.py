@@ -626,7 +626,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = (
         fanout(docs, F.col("doc_id"))
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("shs"))
+        .select("doc_id", shingles_from_tokens("toks", 3).alias("shs"))
         .select(F.explode(sh_arr).alias("p"))
         .select(F.col("p.sh").alias("sh"), F.col("p.d").alias("doc_id"))
     )

@@ -187,7 +187,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("toks")
     ).select(
         "doc_id",
-        F.explode(shingles_from_tokens(F.col("toks"), _DECON_K)).alias("gram"),
+        F.explode(shingles_from_tokens("toks", _DECON_K)).alias("gram"),
     )
     ev = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)

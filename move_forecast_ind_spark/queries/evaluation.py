@@ -1925,7 +1925,7 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode_outer(
-                F.array_distinct(shingles_from_tokens(F.col("toks"), 3))
+                F.array_distinct(shingles_from_tokens("toks", 3))
             ).alias("sh"),
         )
         .filter(F.col("sh").isNotNull())

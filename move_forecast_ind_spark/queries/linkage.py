@@ -577,7 +577,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = (
         fanout(docs, F.col("doc_id"))
         .select("source", tokens(F.col("text")).alias("toks"))
-        .select("source", shingles_from_tokens(F.col("toks"), 2).alias("shs"))
+        .select("source", shingles_from_tokens("toks", 2).alias("shs"))
         .select(F.explode(sh_arr).alias("p"))
         .select(F.col("p.source").alias("source"), F.col("p.h").alias("h"))
     )

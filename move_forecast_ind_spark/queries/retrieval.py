@@ -347,7 +347,7 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("toks"), "v")
         .select(
-            "doc_id", shingles_from_tokens(F.col("toks"), 2).alias("shs"), "v"
+            "doc_id", shingles_from_tokens("toks", 2).alias("shs"), "v"
         )
     )
     q = univ.filter(F.col("doc_id") < _RRF_QUERIES).select(
