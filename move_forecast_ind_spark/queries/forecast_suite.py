@@ -212,31 +212,29 @@ def ml_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.groupBy("t", "dow", "day").agg(
         F.sum("n").cast("long").alias("y")
     )
+    # Aggregate/ratio blocks as expr strings (round-9 construction-cost
+    # pass — identical parsed trees, one roundtrip per expression).
     mom = tot.agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum("t").cast("long").alias("st"),
-        F.sum(F.col("t").cast("long") * F.col("t")).cast("long").alias("stt"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("t").cast("long") * F.col("y")).cast("long").alias("sty"),
+        F.expr("CAST(count(1) AS BIGINT) AS cnt"),
+        F.expr("CAST(sum(t) AS BIGINT) AS st"),
+        F.expr("CAST(sum(CAST(t AS BIGINT) * t) AS BIGINT) AS stt"),
+        F.expr("CAST(sum(y) AS BIGINT) AS sy"),
+        F.expr("CAST(sum(CAST(t AS BIGINT) * y) AS BIGINT) AS sty"),
     )
-    slope = (F.col("cnt") * F.col("sty") - F.col("st") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("cnt") * F.col("stt") - F.col("st") * F.col("st")).cast(
-        "double"
+    _SLOPE = (
+        "CAST(cnt * sty - st * sy AS DOUBLE) "
+        "/ CAST(cnt * stt - st * st AS DOUBLE)"
     )
-    coef = mom.select(
-        slope.alias("slope"),
-        (
-            (F.col("sy").cast("double") - slope * F.col("st"))
-            / F.col("cnt").cast("double")
-        ).alias("icept"),
+    coef = mom.selectExpr(
+        f"{_SLOPE} AS slope",
+        f"(CAST(sy AS DOUBLE) - ({_SLOPE}) * st) / CAST(cnt AS DOUBLE) "
+        "AS icept",
     )
     dowm = daily.groupBy("event_type", "dow").agg(
-        F.floor(
-            F.sum("n").cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)
+        F.expr(
+            "CAST(FLOOR(CAST(sum(n) AS DOUBLE) / count(1) * 1e6 + 0.5) "
+            "AS BIGINT) AS base_q"
         )
-        .cast("long")
-        .alias("base_q")
     )
     shares = daily.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("part")
@@ -268,21 +266,18 @@ def ml_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("base_q").cast("long").alias("bu_q"))
     )
-    g6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    g6 = lambda s: f"FLOOR(({s}) * 1e6 + 0.5) / 1e6"  # noqa: E731
     return (
         top_fc.join(F.broadcast(dowm), "dow")
         .join(F.broadcast(shares), "event_type")
         .join(F.broadcast(bu), "day")
-        .select(
+        .selectExpr(
             "day",
             "event_type",
-            (F.col("base_q") / 1e6).alias("base_fc"),
-            g6(F.col("part").cast("double") / F.col("whole")).alias("share"),
-            g6(
-                F.col("yhat_top")
-                * (F.col("part").cast("double") / F.col("whole"))
-            ).alias("topdown_fc"),
-            g6(F.col("yhat_top") - F.col("bu_q") / 1e6).alias("bu_gap"),
+            "base_q / 1e6 AS base_fc",
+            f"{g6('CAST(part AS DOUBLE) / whole')} AS share",
+            f"{g6('yhat_top * (CAST(part AS DOUBLE) / whole)')} AS topdown_fc",
+            f"{g6('yhat_top - bu_q / 1e6')} AS bu_gap",
         )
     )
 
