@@ -120,6 +120,10 @@ def main() -> None:
     # 1-3 s of residual first-run codegen; the DuckDB live anchor takes
     # the SAME min-of-N, so the instrument stays symmetric (BASELINE.md
     # addendum 6 records min-of-2 and min-of-3 bands side by side).
+    # Round-9 note: min-of-4 was trialled (a 1.37x live reading under
+    # load — the interleaved anchor cancels drift well) but pushes the
+    # full suite past 10 minutes wall; kept at 3 so the driver's bench
+    # window is never at risk. SPARK_GRAFT_BENCH_RUNS=4 reproduces it.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # Live DuckDB anchor: same parquet, same host, same minute — timed
