@@ -689,6 +689,69 @@ def test_link_prediction_matches_python_replica(spark):
         assert b not in adj[r.user_id]
 
 
+def test_jaccard_neighbors_matches_python_replica(spark):
+    """Per-user Jaccard argmax must equal a pure-Python replica: same
+    sliced contributor fence, intersection counted over SLICED lists,
+    union denominator over FULL degrees, (jd desc, id asc) tie-break —
+    and predictions are never existing edges. Guards the round-9
+    unordered-pair + post-aggregate orientation fan-out restructure
+    (counts must be orientation-invariant)."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+    from move_forecast_ind_spark.queries import REGISTRY
+    from move_forecast_ind_spark.queries.analytics import (
+        _LINKPRED_MAX_NBRS,
+        _TRI_BUCKET_S,
+    )
+    from move_forecast_ind_spark.sources import load_table
+
+    rows = REGISTRY["events_jaccard_neighbors"].fn(spark, SF_SMALL).collect()
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            f"CAST(FLOOR(unix_timestamp(ts) / {_TRI_BUCKET_S}) AS BIGINT) AS h",
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = defaultdict(set)
+    for r in ev:
+        buckets[(r.event_type, r.h)].add(r.user_id)
+    adj = defaultdict(set)
+    for us in buckets.values():
+        for a in us:
+            for b in us:
+                if a != b:
+                    adj[a].add(b)
+    cand = defaultdict(int)  # (a, b) -> cn over sliced lists
+    for via, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        sliced = sorted(nbrs)[:_LINKPRED_MAX_NBRS]
+        for a in sliced:
+            for b in sliced:
+                if a != b and b not in adj[a]:
+                    cand[(a, b)] += 1
+    best = {}
+    for (a, b), cn in cand.items():
+        jd = cn / (len(adj[a]) + len(adj[b]) - cn)
+        cur = best.get(a)
+        if cur is None or (jd, -b) > (cur[0], -cur[1]):
+            best[a] = (jd, b, cn)
+    assert {r.user_id for r in rows} == set(best)
+    for r in rows:
+        jd, b, cn = best[r.user_id]
+        assert r.predicted_user == b
+        assert r.common_neighbors == cn
+        assert r.deg_a == len(adj[r.user_id])
+        assert r.deg_b == len(adj[b])
+        assert abs(r.jaccard - jd) < 2e-6
+        assert b not in adj[r.user_id]
+
+
 def test_bootstrap_ci_matches_python_replica(spark):
     """The deterministic Poisson bootstrap must equal a pure-Python
     replica (same md5 uniforms, same inverse-CDF thresholds): point
