@@ -3716,32 +3716,26 @@ def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("dist"),
     )
+    # Round exprs as strings, the vector agg hoisted (pagerank's r9
+    # construction-cost pattern); the relaxation references the round
+    # number t, so it formats per round — still one parse per round
+    # instead of ~25 Column roundtrips.
+    c_darr = F.expr(
+        "transform(array_sort(collect_list(struct(i, dist))), "
+        "s -> s.dist) AS darr"
+    )
+    _RELAX = (
+        "CASE WHEN element_at(darr, i + 1) != -1 THEN element_at(darr, i + 1) "
+        "WHEN exists(nbrs, nb -> element_at(darr, nb + 1) = {tm1}) THEN {t} "
+        "ELSE -1 END AS dist"
+    )
     for t in range(1, _BFS_ROUNDS + 1):
-        darr = dist.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "dist"))),
-                lambda s: s["dist"],
-            ).alias("darr")
+        darr = dist.agg(c_darr)
+        dist = full.crossJoin(F.broadcast(darr)).selectExpr(
+            "i", "user_id", _RELAX.format(t=t, tm1=t - 1)
         )
-        dist = full.crossJoin(F.broadcast(darr)).select(
-            "i",
-            "user_id",
-            F.when(
-                F.element_at(F.col("darr"), F.col("i") + 1) != -1,
-                F.element_at(F.col("darr"), F.col("i") + 1),
-            )
-            .when(
-                F.exists(
-                    "nbrs",
-                    lambda nb: F.element_at(F.col("darr"), nb + 1) == t - 1,
-                ),
-                F.lit(t),
-            )
-            .otherwise(F.lit(-1))
-            .alias("dist"),
-        )
-    return dist.select(
-        "user_id", F.nullif(F.col("dist"), F.lit(-1)).cast("int").alias("hops")
+    return dist.selectExpr(
+        "user_id", "CAST(nullif(dist, -1) AS INT) AS hops"
     )
 
 
@@ -4973,33 +4967,36 @@ def events_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     full = _coactivity_adjacency(spark, sf_dir)
     lab = full.select("i", F.col("user_id").cast("long").alias("lab"))
+    # Round exprs parsed ONCE and reused across rounds (hoisted-Column
+    # pattern from events_pagerank, round-9 construction-cost pass —
+    # identical trees, name-bound at analysis).
+    c_lvec = F.expr(
+        "transform(array_sort(collect_list(struct(i, lab))), "
+        "s -> s.lab) AS larr"
+    )
+    c_nlabs = F.expr("transform(nbrs, nb -> element_at(larr, nb + 1))").alias(
+        "nlabs"
+    )
+    # mode of neighbor labels: fold over ascending distinct labels,
+    # strict > keeps the smallest label among equally-frequent ones.
+    # The node's own previous label is element_at(larr, i+1) — the
+    # broadcast vector carries it, so (like pagerank's rank rebuild)
+    # no round ever joins back to the previous label frame.
+    c_mode = F.expr(
+        "CASE WHEN size(nbrs) = 0 THEN element_at(larr, i + 1) ELSE "
+        "aggregate(array_distinct(array_sort(nlabs)), "
+        "struct(CAST(-1 AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
+        "(acc, v) -> CASE WHEN size(filter(nlabs, x -> x = v)) > acc.mc "
+        "THEN struct(v AS ml, CAST(size(filter(nlabs, x -> x = v)) "
+        "AS BIGINT) AS mc) ELSE acc END, acc -> acc.ml) END"
+    ).alias("lab")
+    c_i = F.col("i")
     for _t in range(_LP_ROUNDS):
-        lvec = lab.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "lab"))),
-                lambda s: s["lab"],
-            ).alias("larr")
-        )
-        # mode of neighbor labels: fold over ascending distinct labels,
-        # strict > keeps the smallest label among equally-frequent ones.
-        # The node's own previous label is element_at(larr, i+1) — the
-        # broadcast vector carries it, so (like pagerank's rank rebuild)
-        # no round ever joins back to the previous label frame.
-        mode = (
-            "CASE WHEN size(nbrs) = 0 THEN element_at(larr, i + 1) ELSE "
-            "aggregate(array_distinct(array_sort(nlabs)), "
-            "struct(CAST(-1 AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
-            "(acc, v) -> CASE WHEN size(filter(nlabs, x -> x = v)) > acc.mc "
-            "THEN struct(v AS ml, CAST(size(filter(nlabs, x -> x = v)) "
-            "AS BIGINT) AS mc) ELSE acc END, acc -> acc.ml) END"
-        )
+        lvec = lab.agg(c_lvec)
         lab = (
             full.crossJoin(F.broadcast(lvec))
-            .withColumn(
-                "nlabs",
-                F.transform("nbrs", lambda nb: F.element_at("larr", nb + 1)),
-            )
-            .select("i", F.expr(mode).alias("lab"))
+            .withColumn("nlabs", c_nlabs)
+            .select(c_i, c_mode)
         )
     sized = lab.withColumn(
         "community_size",
@@ -5131,58 +5128,39 @@ def events_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("k")
     )
     state = full.select("i", F.lit(0).cast("long").alias("layer"))
+    # Round exprs as strings, the vector agg hoisted (pagerank's r9
+    # construction-cost pattern); the peel references the round number t,
+    # so it formats per round.
+    c_lvec = F.expr(
+        "transform(array_sort(collect_list(struct(i, layer))), "
+        "s -> s.layer) AS larr"
+    )
+    _PEEL = (
+        "CAST(CASE WHEN element_at(larr, i + 1) != 0 "
+        "THEN element_at(larr, i + 1) "
+        "WHEN size(filter(nbrs, nb -> element_at(larr, nb + 1) = 0)) >= k "
+        "THEN 0 ELSE {t} END AS BIGINT) AS layer"
+    )
     for t in range(1, _KCORE_ROUNDS + 1):
-        lvec = state.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "layer"))),
-                lambda s: s["layer"],
-            ).alias("larr")
-        )
+        lvec = state.agg(c_lvec)
         state = (
             full.crossJoin(F.broadcast(lvec))
             .crossJoin(F.broadcast(kf))
-            .select(
-                "i",
-                F.when(
-                    F.element_at("larr", F.col("i") + 1) != 0,
-                    F.element_at("larr", F.col("i") + 1),
-                )
-                .when(
-                    F.size(
-                        F.filter(
-                            "nbrs",
-                            lambda nb: F.element_at("larr", nb + 1) == 0,
-                        )
-                    )
-                    >= F.col("k"),
-                    F.lit(0),
-                )
-                .otherwise(F.lit(t))
-                .cast("long")
-                .alias("layer"),
-            )
+            .selectExpr("i", _PEEL.format(t=t))
         )
-    fvec = state.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "layer"))),
-            lambda s: s["layer"],
-        ).alias("larr")
-    )
+    fvec = state.agg(c_lvec)
     return (
         full.crossJoin(F.broadcast(fvec))
         .crossJoin(F.broadcast(kf))
-        .select(
+        .selectExpr(
             "user_id",
-            F.col("deg").cast("long").alias("deg0"),
+            "CAST(deg AS BIGINT) AS deg0",
             "k",
-            F.when(
-                F.element_at("larr", F.col("i") + 1) != 0,
-                F.element_at("larr", F.col("i") + 1),
-            ).alias("peel_round"),
-            (F.element_at("larr", F.col("i") + 1) == 0).alias("in_core"),
-            F.size(
-                F.filter("nbrs", lambda nb: F.element_at("larr", nb + 1) == 0)
-            ).cast("long").alias("core_deg"),
+            "CASE WHEN element_at(larr, i + 1) != 0 "
+            "THEN element_at(larr, i + 1) END AS peel_round",
+            "(element_at(larr, i + 1) = 0) AS in_core",
+            "CAST(size(filter(nbrs, nb -> element_at(larr, nb + 1) = 0)) "
+            "AS BIGINT) AS core_deg",
         )
     )
 
