@@ -480,16 +480,26 @@ def a_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the windows shuffle — same plan, same output.
         .coalesce(1)
     )
-    targets = cells.agg(
+    # Margin targets as GLOBAL window aggregates over the (coalesced,
+    # ~125-row) cell frame instead of a separate aggregate + broadcast
+    # cross join (round-9: two fewer jobs on a query whose cost is pure
+    # job floor — DuckDB's side is 0.04 s). size(collect_set(x)) over the
+    # unbounded window ≡ COUNT(DISTINCT x); values and types identical to
+    # the old aggregate (one double division of the same exact sums).
+    wall = Window.partitionBy()
+    w = cells.select(
+        "segment",
+        "nation",
+        "n_raw",
         (
-            F.sum("n_raw").cast("double") / F.count_distinct("segment")
+            F.sum("n_raw").over(wall).cast("double")
+            / F.size(F.collect_set("segment").over(wall))
         ).alias("row_target"),
         (
-            F.sum("n_raw").cast("double") / F.count_distinct("nation")
+            F.sum("n_raw").over(wall).cast("double")
+            / F.size(F.collect_set("nation").over(wall))
         ).alias("col_target"),
-    )
-    w = cells.crossJoin(F.broadcast(targets)).withColumn(
-        "wq", (F.col("n_raw") * 1000000).cast("long")
+        (F.col("n_raw") * 1000000).cast("long").alias("wq"),
     )
     wrow = Window.partitionBy("segment")
     wcol = Window.partitionBy("nation")
