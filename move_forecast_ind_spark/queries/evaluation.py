@@ -1967,13 +1967,21 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_hits = cand.join(truth, ["da", "db"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
+    # n_candidates and n_hits in ONE pass over the candidate frame (a
+    # left join against truth marks hits; round-9 job-floor shave — the
+    # old shape ran a separate aggregate chain per scalar plus an extra
+    # crossJoin). Values identical: COUNT(*) of cand, and the number of
+    # cand pairs present in truth (truth pairs are distinct, so the left
+    # join cannot fan out).
+    cand_stats = (
+        cand.join(
+            truth.withColumn("hit", F.lit(1)), ["da", "db"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
     )
-    counts = (
-        n_docs.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_hits)
-    )
+    counts = n_docs.crossJoin(n_truth).crossJoin(cand_stats)
     return counts.select(
         "n_docs",
         "n_truth",
