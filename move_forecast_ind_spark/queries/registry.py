@@ -56,66 +56,64 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-9 front: slot 1 is mm_ahash_dedup — the
-# only query whose latest driver row is red (r7; fixed in r8 commit 13aa010
-# and judge-re-verified bit-exact) — queued for its post-fix driver
-# confirmation (VERDICT r8 items #1/#2). Slots 2-50 are the next 49
+# 50 entries of ``queries()``. Round-10 front: the FINAL 50 of the 51
 # oracle-bearing queries with ZERO prior driver samples (insertion order via
-# suggest_next_front), draining the never-sampled backlog 100 -> 51.
-# Everything here passes the identical local oracle gate
-# (tests/test_oracle.py) plus a check_oracle sweep at the driver's sf0.01;
-# this is evidence routing, not a semantics change.
+# suggest_next_front), draining the never-sampled backlog 51 -> 1. The one
+# leftover, ``events_markov_stationary``, goes in slot 1 of the round-11
+# front (VERDICT r9 item #1). Everything here passes the identical local
+# oracle gate (tests/test_oracle.py) plus a check_oracle sweep at the
+# driver's sf0.01; this is evidence routing, not a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "mm_ahash_dedup",
-    "events_jaccard_neighbors",
-    "er_blocking_pairs",
-    "ts_level_shift_by_type",
-    "events_attribution_linear",
-    "a_theil_sen_slope",
-    "s_compaction_plan",
-    "corpus_source_overlap",
-    "er_cluster_entities",
-    "s_snapshot_diff",
-    "j_interval_allocation",
-    "text_readability",
-    "corpus_quality_calibration",
-    "text_rrf_hybrid_topk",
-    "emb_mmr_select",
-    "a_spearman_rank",
-    "a_anova_dow_f",
-    "dq_l_diversity",
-    "ml_ndcg_eval",
-    "ml_pinball_loss",
-    "text_rake_keywords",
-    "emb_davies_bouldin",
-    "events_degree_assortativity",
-    "a_benjamini_hochberg",
-    "s_manifest_prune_stats",
-    "ts_kalman_level",
-    "ts_mann_kendall",
-    "emb_random_projection",
-    "dedup_lsh_candidate_eval",
-    "a_hodges_lehmann",
-    "w_rolling_median",
-    "emb_hamming_topk",
-    "events_conversion_lag",
-    "a_permutation_test",
-    "events_ab_power",
-    "text_textrank_keywords",
-    "w_conversion_time_cdf",
-    "events_srm_check",
-    "events_did_estimator",
-    "a_cohens_d_pairs",
-    "ml_cumulative_gains",
-    "events_cohort_ltv",
-    "ml_propensity_ipw",
-    "events_wilson_ci",
-    "a_tost_equivalence",
-    "a_ratio_metric_ci",
-    "ml_offpolicy_ips",
-    "a_eb_rate_shrinkage",
-    "events_sprt_monitor",
-    "ts_hampel_outliers",
+    "dq_freshness_lag",
+    "text_script_profile",
+    "corpus_blocklist_ratio",
+    "a_winsorized_mean",
+    "ts_rolling_corr",
+    "a_mutual_information",
+    "text_js_divergence_sources",
+    "ts_spectral_entropy",
+    "dq_schema_drift",
+    "dq_outlier_iqr_fences",
+    "ts_changepoint_binseg",
+    "ts_ljung_box",
+    "ts_overdispersion",
+    "dq_pattern_census",
+    "dq_id_order_audit",
+    "dq_order_total_consistency",
+    "ts_seasonal_indices",
+    "events_hits_scores",
+    "ts_theta_forecast",
+    "emb_pq_seeded",
+    "emb_silhouette_labels",
+    "emb_pq_adc_recall",
+    "emb_centroid_drift",
+    "emb_triplet_margin_audit",
+    "ml_forecast_reconcile",
+    "ml_conformal_interval",
+    "ml_decision_stump",
+    "ml_model_selection",
+    "ml_kfold_cv_score",
+    "ml_learning_curve",
+    "ml_shapley_r2",
+    "ml_ar2_forecast",
+    "ml_quantile_forecast",
+    "ml_forecast_combination",
+    "events_item_cooccurrence",
+    "events_modularity",
+    "events_attribution_position",
+    "events_state_dwell_time",
+    "a_cramers_v",
+    "events_session_entropy",
+    "events_lorenz_curve",
+    "events_growth_accounting",
+    "events_segment_migration",
+    "events_journey_entropy_rate",
+    "events_retention_halflife",
+    "events_user_streaks",
+    "events_decayed_engagement",
+    "sql_ratio_to_parent",
+    "events_absorbing_markov",
+    "a_ipf_raking",
 )
 
 
