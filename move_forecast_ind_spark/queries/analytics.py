@@ -24,8 +24,10 @@ flip the oracle's value hash.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3405,6 +3407,18 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 8
 _PR_DAMP = 0.85
 
+# Opt-in shared-adjacency materialization (VERDICT r9 item #2). At pipeline
+# scale the co-activity graph compiles ONCE per grain and the whole graph
+# family (pagerank/BFS/LPA on the hour grain; triangles/k-core/link-pred/
+# jaccard/assortativity on the tight grain) reuses the materialized frame,
+# amortizing the adjacency build and its ~14-stage scheduling floor across
+# the family instead of paying it per query. Default OFF (dict empty):
+# single-query runs keep the lazy one-action ReuseExchange plan unchanged.
+# Populated only inside ``shared_coactivity`` below (tools/
+# graph_family_probe.py is the measurement harness; a real pipeline would
+# wrap its graph stage the same way).
+_ADJ_CACHE: dict[tuple[str, int | None], DataFrame] = {}
+
 
 def _coactivity_adjacency(
     spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
@@ -3425,6 +3439,9 @@ def _coactivity_adjacency(
     hour truncation to an epoch-floored N-second bucket (the "tight"
     graph the triangle tier uses: denser-than-quadratic motif counting
     wants the sparser graph)."""
+    cached = _ADJ_CACHE.get((sf_dir, bucket_seconds))
+    if cached is not None:
+        return cached
     if bucket_seconds is None:
         bucket = F.date_trunc("hour", F.col("ts"))
     else:
@@ -3742,6 +3759,36 @@ def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- graph motifs: triangle counting / clustering coefficient ---------------
 
 _TRI_BUCKET_S = 300  # "tight" co-activity: same (event_type, 300 s bucket)
+
+
+@contextmanager
+def shared_coactivity(
+    spark: SparkSession,
+    sf_dir: str,
+    grains: tuple[int | None, ...] = (None, _TRI_BUCKET_S),
+):
+    """Materialize the co-activity adjacency once per grain and serve it to
+    every ``_coactivity_adjacency`` caller for the duration of the block —
+    the pipeline posture for the graph family (VERDICT r9 item #2): the
+    graph compiles once, and pagerank/BFS/LPA (hour grain) plus triangles/
+    k-core/link-pred/jaccard/assortativity (tight grain) each start from
+    the built frame instead of re-deriving it. The adjacency is |V| rows
+    (one per user, nbrs bounded by the hot-bucket fence), so MEMORY_AND_DISK
+    persistence is executor-local and spill-safe at any scale."""
+    frames: list[DataFrame] = []
+    try:
+        for g in grains:
+            adj = _coactivity_adjacency(spark, sf_dir, bucket_seconds=g)
+            adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+            adj.count()  # build now; the family amortizes this one action
+            _ADJ_CACHE[(sf_dir, g)] = adj
+            frames.append(adj)
+        yield
+    finally:
+        for g in grains:
+            _ADJ_CACHE.pop((sf_dir, g), None)
+        for fr in frames:
+            fr.unpersist()
 
 
 @register(
