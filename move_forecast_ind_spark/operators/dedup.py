@@ -530,16 +530,22 @@ def minhash_dedup_pairs(
         .distinct(),
         "minhash-cand",
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # No .distinct() on the id set: left_semi against a broadcast with
+    # duplicate keys is identical (existence test), and the dedup shuffle
+    # was one more job on the checkpointed tiny frame (r10 profile_jobs).
+    cand_ids = cand.select(F.col("doc_a").alias(id_col)).union(
+        cand.select(F.col("doc_b").alias(id_col))
     )
-    vsets = (
+    vsets = materialize(
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens("toks", k).alias("shs"))
+        .select("doc_id", shingles_from_tokens("toks", k).alias("shs")),
+        "minhash-vsets",
     )
+    # ^ materialized because BOTH verify sides consume it and the cand
+    # side of each join broadcasts — without lineage cut the scan +
+    # semi-join + re-shingle chain runs twice (r10 A/B at sf0.1 min-of-3:
+    # 1.56 s -> 1.16 s). Bounded: only docs appearing in a candidate pair.
     a = vsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = vsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     joined = cand.join(a, on="doc_a").join(b, on="doc_b")
