@@ -126,6 +126,9 @@ def main() -> None:
     # window is never at risk. SPARK_GRAFT_BENCH_RUNS=4 reproduces it.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+    # snapshot the recursion guard BEFORE any query can raise it
+    _cte_default = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+
     # Live DuckDB anchor: same parquet, same host, same minute — timed
     # interleaved with each query's Spark runs so host-speed drift (the
     # dominant noise across driver VMs, see BASELINE.md) cancels out of
@@ -160,6 +163,12 @@ def main() -> None:
                 except Exception as exc:  # pragma: no cover
                     print(f"# {name}: duckdb anchor failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+        # restore the recursion guard if the query raised it (ADVICE r9:
+        # sql_recursive_session_roots sets an input-sized
+        # cteRecursionRowLimit that must not leak to later queries)
+        _cte = "spark.sql.cteRecursionRowLimit"
+        if spark.conf.get(_cte, None) != _cte_default:
+            spark.conf.set(_cte, _cte_default)
         return n, best, duck_best
 
     def anomalous(name: str) -> bool:

@@ -36,8 +36,8 @@ def tokens(text: Column) -> Column:
     """Whitespace tokenization (the BPE-ish regex variant is
     ``F.split(text, r"\\s+|(?=[.,!?;:])")`` — kept simple here because the
     fixture corpus is space-joined words). Expression-string twin:
-    ``TOKENS_SQL`` above — keep the two in lockstep (test_text pins
-    equivalence)."""
+    ``TOKENS_SQL`` above — keep the two in lockstep (pinned by
+    tests/test_northstar.py::test_tokens_sql_twin_matches_tokens_column)."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -77,10 +77,14 @@ def fanout(df: DataFrame, *cols) -> DataFrame:
     cluster — ensuring the pin never undershoots it (ADVICE r8).
     """
     sess = df.sparkSession
-    n = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    try:
+        # non-numeric on some runtimes (e.g. "auto") — fall back to the
+        # parallelism floor rather than raising at plan-construction time
+        # for every fanout caller (ADVICE r9)
+        conf_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        conf_parts = 0
+    n = max(sess.sparkContext.defaultParallelism, conf_parts)
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 

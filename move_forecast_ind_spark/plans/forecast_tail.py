@@ -80,16 +80,23 @@ def phrase_pick(band: Column, idx: Column) -> Column:
     return expr
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with '' escaping (ADVICE r9: the
+    phrase banks are interpolated into expr strings — escape rather than
+    trust a comment that no phrase contains a quote)."""
+    return "'{}'".format(s.replace("'", "''"))
+
+
 def sql_phrase_pick(band: str, idx: str) -> str:
     """Expr-string twin of :func:`phrase_pick` (same CASE order, same
     ELSE-NULL tail) — the construction-cost doctrine applied to the tail's
-    phrase bank. The banks contain no quotes, so plain single-quoted
-    literals are safe."""
+    phrase bank. Phrases are SQL-escaped ('' doubling), so a future bank
+    entry containing an apostrophe cannot break the parse (ADVICE r9)."""
     whens = " ".join(
         "WHEN ({band}) = '{b}' THEN element_at(array({bank}), ({idx}) + 1)".format(
             band=band,
             b=b,
-            bank=", ".join(f"'{p}'" for p in bank),
+            bank=", ".join(_sql_str(p) for p in bank),
             idx=idx,
         )
         for b, bank in PHRASES.items()
@@ -185,7 +192,7 @@ def forecast_tail(
     idx = "CAST(pmod(branch * 31 + month * 7 + day, 3) AS INT)"
     phrase = sql_phrase_pick(band, idx)
     comment = (
-        f"CASE WHEN move_type IS NULL THEN '{NO_MOVE_TYPE_PHRASE}' "
+        f"CASE WHEN move_type IS NULL THEN {_sql_str(NO_MOVE_TYPE_PHRASE)} "
         f"ELSE concat({phrase}, ' (', "
         f"format_string('%.1f', {sql_round_half_up(hist_avg, 1)}), "
         f"'% hist, ', "

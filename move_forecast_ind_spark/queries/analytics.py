@@ -3420,6 +3420,16 @@ _PR_DAMP = 0.85
 _ADJ_CACHE: dict[tuple[str, int | None], DataFrame] = {}
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL DOUBLE literal: repr round-trips the IEEE value; append
+    E0 only when repr is fixed-notation (a bare ``0.85`` would parse as
+    DECIMAL). When repr is already exponent form (``1e-05``) it IS a
+    DOUBLE literal — suffixing E0 would make it invalid SQL (ADVICE r9:
+    the silent trap when _PR_DAMP is tuned)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
 def _coactivity_adjacency(
     spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
 ) -> DataFrame:
@@ -3625,7 +3635,7 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _CONTRIB = "aggregate(nbrs, 0D, (acc, nb) -> acc + element_at(carr, nb + 1))"
     _UPDATE = (
-        f"floor(({(1 - _PR_DAMP)!r}E0 / n + {_PR_DAMP!r}E0 * ({_CONTRIB} "
+        f"floor(({_dlit(1 - _PR_DAMP)} / n + {_dlit(_PR_DAMP)} * ({_CONTRIB} "
         "+ dm / n)) * 1e9 + 0.5E0) / 1e9 AS r"
     )
     # Parse each expr string ONCE and reuse the Column across rounds

@@ -909,9 +909,13 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the events row count (each event appears in exactly one frontier
     # row, plus the seed roots), so 4x the input is generous headroom
     # while still being a REAL guard against a future buggy recursion.
-    # Set, not set-and-restored: the returned frame is lazy and Spark
+    # Set, not set-and-restored HERE: the returned frame is lazy and Spark
     # reads this conf at execution time, after this function returns —
-    # the raised value is itself input-bounded, never unlimited.
+    # the raised value is itself input-bounded, never unlimited. The
+    # harnesses restore the prior value after the action completes
+    # (ADVICE r9: tools/check_oracle.run_spark_query — which test_oracle
+    # shares — and bench.time_query), so other recursive queries in the
+    # same session keep the default runaway guard.
     n_events = load_table(spark, sf_dir, "events").count()
     spark.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_events))

@@ -80,10 +80,22 @@ def normalize(cols: list[str], types: list[str], rows: list[tuple]):
 
 
 def run_spark_query(spark, spec, sf_dir):
-    df = spec.fn(spark, sf_dir)
-    cols = df.columns
-    types = [f.dataType.simpleString() for f in df.schema.fields]
-    rows = [tuple(r) for r in df.collect()]
+    # snapshot/restore the recursion guard: sql_recursive_session_roots
+    # raises spark.sql.cteRecursionRowLimit (input-sized, read at action
+    # time so it cannot restore it itself) — keep the default guard for
+    # every OTHER recursive query in this shared session (ADVICE r9)
+    _CTE = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(_CTE, None)
+    try:
+        df = spec.fn(spark, sf_dir)
+        cols = df.columns
+        types = [f.dataType.simpleString() for f in df.schema.fields]
+        rows = [tuple(r) for r in df.collect()]
+    finally:
+        if prior is None:
+            spark.conf.unset(_CTE)
+        elif spark.conf.get(_CTE, None) != prior:
+            spark.conf.set(_CTE, prior)
     return cols, types, rows
 
 
