@@ -107,6 +107,55 @@ def langid(text: Column) -> Column:
     return best.otherwise("und")
 
 
+def sql_marker_hits(text: str, lang: str) -> str:
+    """Expr-string twin of :func:`marker_hits` (Spark SQL; the DuckDB
+    replica lives with the oracles). ``text`` is a SQL snippet. Lockstep
+    pinned by tests/test_northstar.py::test_text_sql_twins_match_columns."""
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"size(array_intersect(array_distinct({TOKENS_SQL.format(col=text)}), "
+        f"array({markers})))"
+    )
+
+
+def sql_langid(text: str) -> str:
+    """Expr-string twin of :func:`langid` — same hit expressions, same
+    dict-order tie precedence, same 'und' fallback."""
+    hits = {lang: sql_marker_hits(text, lang) for lang in LANG_MARKERS}
+    mx = f"greatest({', '.join(hits.values())})"
+    whens = " ".join(
+        f"WHEN ({mx}) > 0 AND ({h}) = ({mx}) THEN '{lang}'"
+        for lang, h in hits.items()
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def sql_token_count(text: str) -> str:
+    """Expr-string twin of :func:`token_count`."""
+    return f"CAST(size({TOKENS_SQL.format(col=text)}) AS BIGINT)"
+
+
+def sql_punct_ratio(text: str) -> str:
+    """Expr-string twin of :func:`punct_ratio`."""
+    return (
+        f"CAST(length(regexp_replace({text}, '[^.,!?;:]', '')) AS DOUBLE) "
+        f"/ greatest(CAST(length({text}) AS DOUBLE), 1.0E0)"
+    )
+
+
+def sql_quality_score(text: str) -> str:
+    """Expr-string twin of :func:`quality_score` — same literals (E0
+    exponent form parses as DOUBLE, bit-identical to F.lit floats), same
+    left-to-right association."""
+    n = f"CAST({sql_token_count(text)} AS DOUBLE)"
+    stop = f"CAST({sql_marker_hits(text, 'en')} AS DOUBLE)"
+    return (
+        f"(least({n} / 64.0E0, 1.0E0) * 0.5E0 "
+        f"+ least({stop} / 3.0E0, 1.0E0) * 0.3E0 "
+        f"+ (1.0E0 - least({sql_punct_ratio(text)} * 10.0E0, 1.0E0)) * 0.2E0)"
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     stripped = F.regexp_replace(text, r"[^.,!?;:]", "")
     return F.length(stripped).cast("double") / F.greatest(

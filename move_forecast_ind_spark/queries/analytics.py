@@ -1708,46 +1708,53 @@ def lloyd_assign(
                   0D, (acc, y) -> acc + y * y))
     """
 
+    # Parse/construct every per-round Column ONCE and reuse across rounds
+    # (the pagerank r9 idiom: Columns are immutable unresolved trees,
+    # name-bound at analysis — identical plans, and the per-round gateway
+    # chatter collapses; r10 cProfile: lloyd-backed queries
+    # ml_kmeans_fixed_point 1361 and corpus_semdedup 1497 construction
+    # roundtrips were the bench suite's #2/#3).
+    c_crow = F.expr("array_sort(collect_list(struct(cid, c))) AS cents")
+    c_vecid, c_v, c_cents = F.col("vec_id"), F.col("v"), F.col("cents")
+    c_xx = self_dot.alias("xx")
+    c_d = F.expr(_DISTS).alias("d")
+    c_cluster = F.expr(
+        "CAST(array_position(d, array_min(d)) - 1 AS INT)"
+    ).alias("cluster_id")
+    c_pose = F.posexplode("v").alias("i", "x")
+    c_avg = F.avg("x").alias("m")
+    c_cu = F.expr(
+        "transform(array_sort(collect_list(struct(i, m))), "
+        "s -> CAST(FLOOR(s.m * 1e6 + 0.5D) AS BIGINT))"
+    ).alias("cu")
+    c_pcid, c_pc = F.col("p.cid"), F.col("p.c")
+    c_pcid_out = c_pcid.alias("cid")
+
     def assign(cents):
         # k-row centroid frame → ONE broadcast array row sorted by cid
-        # (struct sort = cid-first).
-        crow = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-        )
+        # (struct sort = cid-first). Same tree as the pre-r10 withColumn
+        # chain (CollapseProject merged those projections anyway).
+        crow = cents.agg(c_crow)
         return (
             e.crossJoin(F.broadcast(crow))
-            .withColumn("xx", self_dot)
-            .withColumn("d", F.expr(_DISTS))
-            .select(
-                "vec_id",
-                "v",
-                F.expr(
-                    "CAST(array_position(d, array_min(d)) - 1 AS INT)"
-                ).alias("cluster_id"),
-            )
+            .select(c_vecid, c_v, c_cents, c_xx)
+            .select(c_vecid, c_v, c_d)
+            .select(c_vecid, c_v, c_cluster)
         )
 
     for t in range(iters - 1):
         u = (
             assign(cents)
-            .select("cluster_id", F.posexplode("v").alias("i", "x"))
+            .select(F.col("cluster_id"), c_pose)
             .groupBy("cluster_id", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(c_avg)
             .groupBy("cluster_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, m))), "
-                    "s -> CAST(FLOOR(s.m * 1e6 + 0.5D) AS BIGINT))"
-                ).alias("cu")
-            )
+            .agg(c_cu)
         )
         cents = (
             cents.alias("p")
-            .join(u, F.col("p.cid") == u["cluster_id"], "left")
-            .select(
-                F.col("p.cid").alias("cid"),
-                F.coalesce(u["cu"], F.col("p.c")).alias("c"),
-            )
+            .join(u, c_pcid == u["cluster_id"], "left")
+            .select(c_pcid_out, F.coalesce(u["cu"], c_pc).alias("c"))
         )
         # Each round doubles the lazy lineage (cents feeds the next
         # assignment AND the coalesce), and AQE does not reuse the
@@ -3163,50 +3170,34 @@ def semdedup_drop_pairs(withn: DataFrame, threshold: float, cap: int) -> DataFra
     (vec_id, cluster_id, v, nv) rows, return the distinct vec_ids to drop
     (the higher id of every ≥-threshold cosine pair), with clusters above
     ``cap`` sub-banded so no join block exceeds ~cap² pairs."""
-    from ..functions.vectors import dot
+    from ..functions.vectors import sql_dot
 
-    sizes = withn.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("csize")
+    # expr strings (construction-cost doctrine — lloyd_assign); trees
+    # identical to the previous Column build, oracle-checked at 2 SFs.
+    sizes = withn.groupBy("cluster_id").agg(F.expr("count(1) AS csize"))
+    banded = withn.join(F.broadcast(sizes), "cluster_id").selectExpr(
+        "vec_id",
+        "cluster_id",
+        "v",
+        "nv",
+        f"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 7), 16, 10) "
+        f"AS BIGINT) % ((csize + {cap - 1}) div {cap}) AS blk",
     )
-    banded = (
-        withn.join(F.broadcast(sizes), "cluster_id")
-        .withColumn("nblocks", F.expr(f"(csize + {cap - 1}) div {cap}"))
-        .withColumn(
-            "blk",
-            F.conv(
-                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7),
-                16,
-                10,
-            ).cast("long")
-            % F.col("nblocks"),
-        )
+    a = banded.selectExpr(
+        "vec_id AS va", "cluster_id AS ca", "blk AS bka", "v AS ea",
+        "nv AS na",
     )
-    a = banded.select(
-        F.col("vec_id").alias("va"),
-        F.col("cluster_id").alias("ca"),
-        F.col("blk").alias("bka"),
-        F.col("v").alias("ea"),
-        F.col("nv").alias("na"),
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vb"),
-        F.col("cluster_id").alias("cb"),
-        F.col("blk").alias("bkb"),
-        F.col("v").alias("eb"),
-        F.col("nv").alias("nb"),
+    b = banded.selectExpr(
+        "vec_id AS vb", "cluster_id AS cb", "blk AS bkb", "v AS eb",
+        "nv AS nb",
     )
     return (
         a.join(
             b,
-            (F.col("ca") == F.col("cb"))
-            & (F.col("bka") == F.col("bkb"))
-            & (F.col("va") < F.col("vb")),
+            F.expr("ca = cb AND bka = bkb AND va < vb"),
         )
-        .filter(
-            dot("ea", "eb") / (F.col("na") * F.col("nb"))
-            >= threshold
-        )
-        .select(F.col("vb").alias("vec_id"))
+        .filter(f"{sql_dot('ea', 'eb')} / (na * nb) >= {_dlit(threshold)}")
+        .selectExpr("vb AS vec_id")
         .distinct()
     )
 

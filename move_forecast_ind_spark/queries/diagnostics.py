@@ -111,58 +111,51 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by (event_type, day) like every other daily rollup."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # Whole post-aggregate body as expr strings (construction-cost
+    # doctrine — lloyd_assign): identical parsed trees to the old Column
+    # algebra (verified bit-exact against the oracle at 3 SFs), one
+    # gateway roundtrip per select instead of per Column node. The
+    # arithmetic is literal-for-literal the same: `/` is double division
+    # in both APIs, CAST AS INT truncates, 2E0/3E0 parse as DOUBLE.
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    contrib = daily.select(
-        "event_type",
-        "d",
-        "n",
-        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("off"),
-    ).select(
-        "event_type", F.date_add("d", F.col("off")).alias("center"), "d", "n"
-    )
-    centers = daily.select("event_type", F.col("d").alias("center"))
+    ).agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+    contrib = daily.selectExpr(
+        "event_type", "d", "n", "explode(sequence(-3, 3)) AS off"
+    ).selectExpr("event_type", "date_add(d, off) AS center", "d", "n")
+    centers = daily.selectExpr("event_type", "d AS center")
     win = (
         contrib.join(centers, ["event_type", "center"])
         .groupBy("event_type", F.col("center").alias("d"))
         .agg(
-            F.max(F.when(F.col("d") == F.col("center"), F.col("n"))).alias("n"),
-            F.array_sort(F.collect_list("n")).alias("vals"),
+            F.expr("max(CASE WHEN d = center THEN n END) AS n"),
+            F.expr("array_sort(collect_list(n)) AS vals"),
         )
     )
-    m = F.size("vals")
-    med = F.when(
-        m % 2 == 1, F.element_at("vals", ((m + 1) / 2).cast("int")).cast("double")
-    ).otherwise(
-        (
-            F.element_at("vals", (m / 2).cast("int"))
-            + F.element_at("vals", (m / 2 + 1).cast("int"))
-        )
-        / F.lit(2e0)
+    _MED = (
+        "CASE WHEN size({v}) % 2 = 1 THEN CAST(element_at({v}, "
+        "CAST((size({v}) + 1) / 2 AS INT)) AS DOUBLE) "
+        "ELSE (element_at({v}, CAST(size({v}) / 2 AS INT)) "
+        "+ element_at({v}, CAST(size({v}) / 2 + 1 AS INT))) / 2E0 END"
     )
-    stat = win.withColumn("med", med).withColumn(
-        "dv", F.array_sort(F.expr("transform(vals, x -> abs(x - med))"))
-    )
-    mm = F.size("dv")
-    mad = F.when(mm % 2 == 1, F.element_at("dv", ((mm + 1) / 2).cast("int"))).otherwise(
-        (
-            F.element_at("dv", (mm / 2).cast("int"))
-            + F.element_at("dv", (mm / 2 + 1).cast("int"))
-        )
-        / F.lit(2e0)
-    )
-    out = stat.withColumn("mad", mad)
-    return out.select(
+    stat = win.selectExpr(
+        "event_type", "d", "n", "vals", f"{_MED.format(v='vals')} AS med"
+    ).selectExpr(
         "event_type",
         "d",
         "n",
-        r4(F.col("med")).alias("rolling_median"),
-        r4(F.col("mad")).alias("rolling_mad"),
-        (
-            F.abs(F.col("n") - F.col("med"))
-            > F.lit(3e0) * F.lit(1.4826) * F.col("mad")
-        ).alias("is_outlier"),
+        "med",
+        "array_sort(transform(vals, x -> abs(x - med))) AS dv",
+    ).selectExpr(
+        "event_type", "d", "n", "med", f"{_MED.format(v='dv')} AS mad"
+    )
+    return stat.selectExpr(
+        "event_type",
+        "d",
+        "n",
+        f"{sql_r4('med')} AS rolling_median",
+        f"{sql_r4('mad')} AS rolling_mad",
+        f"(abs(n - med) > 3E0 * {_HAMPEL_K} * mad) AS is_outlier",
     ).orderBy("event_type", "d")
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
+from ..functions.text import TOKENS_SQL
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
@@ -698,73 +699,75 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan is 1 task and split+posexplode of ~200 tokens/doc would
     # run single-core (round-8 profile); the pinned exchange moves ~2 MB
     # of raw text and parallelizes the explode across the cluster.
-    tok = fanout(docs.select("doc_id", "text"), F.col("doc_id")).select(
+    # Whole pipeline as expr strings (construction-cost doctrine —
+    # lloyd_assign): identical parsed trees (same window frames — the
+    # running-sum window's ROWS frame is spelled out, the plen window's
+    # default whole-partition frame is the SQL default too), one gateway
+    # roundtrip per select. Bit-exact at sf0.001/0.01 after the rewrite.
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    tok = (
+        fanout(docs.select("doc_id", "text"), F.col("doc_id"))
+        .selectExpr(
+            "doc_id",
+            f"posexplode({TOKENS_SQL.format(col='text')}) AS (pos, tok)",
+        )
+        .selectExpr("doc_id", "lower(tok) AS tok", "pos")
+    )
+    isl = tok.selectExpr(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "pos", "tok"
-        ),
-    ).select("doc_id", F.lower(F.col("tok")).alias("tok"), "pos")
-    flagged = tok.withColumn(
+        "tok",
+        "pos",
+        f"CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stop",
+    ).selectExpr(
+        "doc_id",
+        "tok",
+        "pos",
         "stop",
-        F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0),
-    )
-    w_isl = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    isl = (
-        flagged.withColumn("phrase_id", F.sum("stop").over(w_isl))
-        .filter(F.col("stop") == 0)
-        .drop("stop")
-    )
-    words = isl.withColumn(
-        "plen",
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+        "sum(stop) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id",
+    ).filter("stop = 0").drop("stop")
+    words = isl.selectExpr(
+        "doc_id",
+        "tok",
+        "pos",
+        "phrase_id",
+        "count(1) OVER (PARTITION BY doc_id, phrase_id) AS plen",
     )
     phrases = words.groupBy("doc_id", "phrase_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("long").alias("plen"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok)) AS phrase"
+        ),
+        F.expr("CAST(count(1) AS BIGINT) AS plen"),
     )
     wstats = words.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum("plen").cast("long").alias("deg"),
+        F.expr("CAST(count(1) AS BIGINT) AS freq"),
+        F.expr("CAST(sum(plen) AS BIGINT) AS deg"),
     )
     scored = (
         words.join(wstats, ["doc_id", "tok"])
         .groupBy("doc_id", "phrase_id")
-        .agg(
-            F.sum(F.col("deg").cast("double") / F.col("freq")).alias("score")
-        )
+        .agg(F.expr("sum(CAST(deg AS DOUBLE) / freq) AS score"))
     )
     # rank on the ROUNDED score: phrases sharing a word-score multiset sum
     # to ulp-different doubles across engines, so the raw double is NOT a
     # stable sort key — the r6 grid makes such near-ties exact ties, which
     # the phrase-text tiebreak then resolves identically everywhere
-    rounded = phrases.join(scored, ["doc_id", "phrase_id"]).select(
-        "doc_id", "phrase", "plen", r6(F.col("score")).alias("score")
-    )
-    ranked = rounded.select(
-        "doc_id",
-        "phrase",
-        "plen",
-        "score",
-        F.row_number()
-        .over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("score").desc(), F.col("phrase")
-            )
+    ranked = (
+        phrases.join(scored, ["doc_id", "phrase_id"])
+        .selectExpr(
+            "doc_id", "phrase", "plen", f"{sql_r6('score')} AS score"
         )
-        .cast("long")
-        .alias("rnk"),
+        .selectExpr(
+            "doc_id",
+            "phrase",
+            "plen",
+            "score",
+            "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score "
+            "DESC, phrase) AS BIGINT) AS rnk",
+        )
     )
-    return ranked.filter(F.col("rnk") <= _RAKE_TOPK).select(
+    return ranked.filter(f"rnk <= {_RAKE_TOPK}").selectExpr(
         "doc_id", "rnk", "phrase", "plen", "score"
     )
 
@@ -1911,7 +1914,7 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-session; the per-checkpoint fixed cost outweighs the bounded
     double-compute of the two tiny pair frames)."""
     tune(spark)
-    from ..functions.text import shingles_from_tokens, tokens
+    from ..functions.text import sql_shingles_from_tokens, tokens
     from ..operators.dedup import _pairs_in_row, fanout, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1921,21 +1924,18 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shingle lambda re-splits the document once per shingle position
         # (no CSE inside higher-order functions — the shingles_from_tokens
         # contract). Measured at sf0.1: 3.0 s -> 0.72 s for this stage.
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select(
+        .selectExpr("doc_id", f"{TOKENS_SQL.format(col='text')} AS toks")
+        .selectExpr(
             "doc_id",
-            F.explode_outer(
-                F.array_distinct(shingles_from_tokens("toks", 3))
-            ).alias("sh"),
+            "explode_outer(array_distinct("
+            f"{sql_shingles_from_tokens('toks', 3)})) AS sh",
         )
-        .filter(F.col("sh").isNotNull())
+        .filter("sh IS NOT NULL")
     )
-    hs = sh.select(
+    hs = sh.selectExpr(
         "doc_id",
-        (
-            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-            % _M31
-        ).alias("h"),
+        f"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % {_M31} "
+        "AS h",
     )
     # expression strings (construction-cost doctrine —
     # operators/dedup.py signatures_from_sets)
@@ -1962,46 +1962,37 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000
-    ).select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    ).selectExpr("doc_a AS da", "doc_b AS db")
     n_docs = docs.filter(F.size(tokens(F.col("text"))) >= 3).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs")
     )
-    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_truth = truth.agg(F.expr("CAST(count(1) AS BIGINT) AS n_truth"))
     # n_candidates and n_hits in ONE pass over the candidate frame (a
     # left join against truth marks hits; round-9 job-floor shave — the
     # old shape ran a separate aggregate chain per scalar plus an extra
     # crossJoin). Values identical: COUNT(*) of cand, and the number of
     # cand pairs present in truth (truth pairs are distinct, so the left
     # join cannot fan out).
-    cand_stats = (
-        cand.join(
-            truth.withColumn("hit", F.lit(1)), ["da", "db"], "left"
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
-        )
+    cand_stats = cand.join(
+        truth.withColumn("hit", F.lit(1)), ["da", "db"], "left"
+    ).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_candidates"),
+        F.expr("CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits"),
     )
     counts = n_docs.crossJoin(n_truth).crossJoin(cand_stats)
-    return counts.select(
+    return counts.selectExpr(
         "n_docs",
         "n_truth",
         "n_candidates",
         "n_hits",
-        F.when(
-            F.col("n_truth") > 0,
-            r6(F.col("n_hits").cast("double") / F.col("n_truth")),
-        )
-        .otherwise(F.lit(None).cast("double"))
-        .alias("recall"),
-        F.when(
-            F.col("n_candidates") > 0,
-            r6(F.col("n_hits").cast("double") / F.col("n_candidates")),
-        )
-        .otherwise(F.lit(None).cast("double"))
-        .alias("precision_"),
-        r4(F.col("n_candidates").cast("double") / F.col("n_docs")).alias(
-            "candidates_per_doc"
-        ),
+        "CASE WHEN n_truth > 0 THEN "
+        f"{sql_r6('CAST(n_hits AS DOUBLE) / n_truth')} "
+        "ELSE CAST(NULL AS DOUBLE) END AS recall",
+        "CASE WHEN n_candidates > 0 THEN "
+        f"{sql_r6('CAST(n_hits AS DOUBLE) / n_candidates')} "
+        "ELSE CAST(NULL AS DOUBLE) END AS precision_",
+        f"{sql_r4('CAST(n_candidates AS DOUBLE) / n_docs')} "
+        "AS candidates_per_doc",
     )
 
 

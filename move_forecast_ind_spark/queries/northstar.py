@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import r4, r6
+from ..functions.rounding import r4, r6, sql_r4
 from ..functions.text import (
     LANG_MARKERS,
     avg_token_len,
@@ -719,13 +719,18 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_doc_id").alias("doc_id")
     )
     kept = docs.join(keepers, on="doc_id", how="left_semi")
-    feat = kept.select(
+    # expr-string twins of langid/quality_score/token_count (construction-
+    # cost doctrine — lockstep-pinned in tests/test_northstar.py); trees
+    # identical to the Column builders, oracle-checked at 2 SFs.
+    from ..functions.text import sql_langid, sql_quality_score, sql_token_count
+
+    feat = kept.selectExpr(
         "doc_id",
-        langid(F.col("text")).alias("guessed_lang"),
-        r4(quality_score(F.col("text"))).alias("quality"),
-        token_count(F.col("text")).alias("n_tokens"),
+        f"{sql_langid('text')} AS guessed_lang",
+        f"{sql_r4(sql_quality_score('text'))} AS quality",
+        f"{sql_token_count('text')} AS n_tokens",
     )
-    return feat.filter((F.col("quality") >= 0.5) & (F.col("guessed_lang") != "und"))
+    return feat.filter("quality >= 0.5 AND guessed_lang != 'und'")
 
 
 # ---------------------------------------------------------------------------

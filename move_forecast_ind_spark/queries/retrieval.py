@@ -355,48 +355,52 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shs").alias("qshs"),
         F.col("v").alias("qv"),
     )
+    # Post-broadcast body as expr strings (construction-cost doctrine —
+    # lloyd_assign): identical parsed trees (window CASE gating, literal
+    # types and association all unchanged), ~60% fewer gateway roundtrips
+    # on a query whose data path is 0.43 s of its wall.
+    from ..functions.vectors import sql_cosine
+
     scored = (
         univ.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
+        .filter("doc_id != query_id")
+        .selectExpr(
             "query_id",
             "doc_id",
-            F.size(F.array_intersect("shs", "qshs")).cast("long").alias(
-                "n_common"
-            ),
-            cosine("qv", "v").alias("cos"),
+            "CAST(size(array_intersect(shs, qshs)) AS BIGINT) AS n_common",
+            f"{sql_cosine('qv', 'v')} AS cos",
         )
     )
-    wlex = Window.partitionBy("query_id").orderBy(
-        F.col("n_common").desc(), F.col("doc_id")
-    )
-    wsem = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("doc_id")
-    )
-    fused = scored.select(
+    fused = scored.selectExpr(
         "query_id",
         "doc_id",
-        F.when(
-            F.col("n_common") > 0,
-            F.row_number().over(wlex).cast("long"),
-        ).alias("lex_rank"),
-        F.row_number().over(wsem).cast("long").alias("sem_rank"),
-    ).withColumn(
-        "rrf",
-        F.coalesce(
-            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
-        )
-        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col("doc_id")
+        "CASE WHEN n_common > 0 THEN CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY n_common DESC, doc_id) AS BIGINT) "
+        "END AS lex_rank",
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, "
+        "doc_id) AS BIGINT) AS sem_rank",
+    ).selectExpr(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"coalesce(1.0E0 / ({_RRF_K} + lex_rank), 0.0E0) "
+        f"+ 1.0E0 / ({_RRF_K} + sem_rank) AS rrf",
     )
     return (
-        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
-        .filter(F.col("fused_rank") <= _RRF_TOPN)
-        .select(
+        fused.selectExpr(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf",
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf "
+            "DESC, doc_id) AS BIGINT) AS fused_rank",
+        )
+        .filter(f"fused_rank <= {_RRF_TOPN}")
+        .selectExpr(
             "query_id", "doc_id", "lex_rank", "sem_rank",
-            r6(F.col("rrf")).alias("rrf"), "fused_rank",
+            f"{sql_r6('rrf')} AS rrf", "fused_rank",
         )
     )
 

@@ -430,3 +430,57 @@ def test_tokens_sql_twin_matches_tokens_column(spark):
     ).collect()
     for r in out:
         assert r.a == r.b
+
+
+def test_text_sql_twins_match_columns(spark):
+    """The r10 expr-string twins (sql_marker_hits / sql_langid /
+    sql_token_count / sql_punct_ratio / sql_quality_score) must agree
+    bit-exactly with their Column builders on a mixed corpus — same
+    lockstep doctrine as the TOKENS_SQL guard: a drift in either side
+    fails here before any oracle can silently agree with it."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.text import (
+        LANG_MARKERS,
+        langid,
+        marker_hits,
+        punct_ratio,
+        quality_score,
+        sql_langid,
+        sql_marker_hits,
+        sql_punct_ratio,
+        sql_quality_score,
+        sql_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("the and of is a plain english run",),
+            ("der und die ist das",),
+            ("le et la est les el y los",),  # fr/es tie -> dict order
+            ("zz qq xx",),  # no markers -> und
+            ("punct, heavy!! text;; here::",),
+            ("one",),
+            ("  padded   whitespace   the  a  ",),
+        ],
+        ["text"],
+    )
+    cols = [
+        langid(F.col("text")).alias("a_lang"),
+        F.expr(sql_langid("text")).alias("b_lang"),
+        token_count(F.col("text")).alias("a_cnt"),
+        F.expr(sql_token_count("text")).alias("b_cnt"),
+        punct_ratio(F.col("text")).alias("a_pr"),
+        F.expr(sql_punct_ratio("text")).alias("b_pr"),
+        quality_score(F.col("text")).alias("a_q"),
+        F.expr(sql_quality_score("text")).alias("b_q"),
+    ]
+    for lang in LANG_MARKERS:
+        cols.append(marker_hits(F.col("text"), lang).alias(f"a_h_{lang}"))
+        cols.append(F.expr(sql_marker_hits("text", lang)).alias(f"b_h_{lang}"))
+    for r in df.select(*cols).collect():
+        d = r.asDict()
+        for k in d:
+            if k.startswith("a_"):
+                assert d[k] == d["b_" + k[2:]], (k, d[k], d["b_" + k[2:]])
