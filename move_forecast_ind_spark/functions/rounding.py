@@ -39,6 +39,15 @@ def r6(c: Column) -> Column:
     return round_half_up(c, 6)
 
 
+def sql_double(x: float) -> str:
+    """Exact SQL DOUBLE literal for ``x``: repr round-trips the IEEE
+    value; the E0 suffix is appended only when repr is fixed-notation
+    (bare ``0.85`` parses as DECIMAL; exponent-form repr like ``1e-05``
+    already IS a DOUBLE literal — suffixing it would be invalid SQL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
 def sql_round_half_up(expr: str, scale: int = 2) -> str:
     """The SQL twin of :func:`round_half_up`, valid in BOTH DuckDB and Spark
     SQL. Uses exponent literals (``1e2``) because ``100.0`` parses as

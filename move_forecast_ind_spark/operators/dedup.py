@@ -25,8 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import r4
-from ..functions.text import fingerprint, shingles_from_tokens, tokens
+from ..functions.rounding import r4, sql_double
+from ..functions.text import (
+    TOKENS_SQL,
+    fingerprint,
+    shingles_from_tokens,
+    sql_shingles_from_tokens,
+    tokens,
+)
 from .materialize import materialize
 
 MERSENNE31 = 2147483647  # 2^31 - 1, the classic minhash modulus
@@ -164,8 +170,10 @@ def jaccard_pairs(
     # measured 3.2 s vs 0.6 s at sf0.1 for the postings stage alone.
     sets = (
         fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens("toks", k).alias("shs"))
+        .selectExpr(
+            f"{id_col} AS doc_id", f"{TOKENS_SQL.format(col=text_col)} AS toks"
+        )
+        .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs")
     )
     if candidates is not None:
         cand_ids = (
@@ -193,19 +201,13 @@ def jaccard_pairs(
     # distinct shingles per 0.1 SF against a 2^64 space the collision
     # probability is ≪ 1e-8 — and the per-doc set sizes in the pk bits
     # are still computed from the distinct string shingles.
-    pk_arr = F.transform(
-        "shs",
-        lambda s: F.struct(
-            F.xxhash64(s).alias("sh"),
-            (
-                F.col("doc_id").cast("long") * F.lit(1 << _NBITS)
-                + F.size("shs").cast("long")
-            ).alias("pk"),
-        ),
+    pk_arr = (
+        "transform(shs, s -> struct(xxhash64(s) AS sh, "
+        f"CAST(doc_id AS BIGINT) * {1 << _NBITS} "
+        "+ CAST(size(shs) AS BIGINT) AS pk))"
     )
-    postings = (
-        sets.select(F.explode(pk_arr).alias("p"))
-        .select(F.col("p.sh").alias("sh"), F.col("p.pk").alias("pk"))
+    postings = sets.selectExpr(f"explode({pk_arr}) AS p").selectExpr(
+        "p.sh AS sh", "p.pk AS pk"
     )
     hot_cnt = None  # (hdoc, n_hot): per-doc count of dropped hot shingles
     if prefilter_hot and max_df is not None:
@@ -227,7 +229,7 @@ def jaccard_pairs(
     # No array_sort: the a<b pair filter in _finish_pairs works on the
     # unordered list, and `sh` is dead after the groupBy — dropping both
     # shaves the checkpoint write (~0.15 s at sf0.1).
-    inv = postings.groupBy("sh").agg(F.collect_list("pk").alias("ds")).select("ds")
+    inv = postings.groupBy("sh").agg(F.expr("collect_list(pk) AS ds")).select("ds")
     if max_df is not None:
         if not prefilter_hot:
             # inv feeds BOTH the hot-count correction and the pair
@@ -270,9 +272,9 @@ def _finish_pairs(
     pk-packed postings (see :func:`jaccard_pairs` for the packing)."""
     # a<b pair expansion via two chained Generates (whole-stage codegen).
     pairs = (
-        inv.select("ds", F.explode("ds").alias("pka"))
-        .select("pka", F.explode("ds").alias("pkb"))
-        .filter(F.col("pka") < F.col("pkb"))
+        inv.selectExpr("ds", "explode(ds) AS pka")
+        .selectExpr("pka", "explode(ds) AS pkb")
+        .filter("pka < pkb")
     )
     if hot_cnt is None:
         # Size-compatibility prefilter (AllPairs-style length filter):
@@ -284,21 +286,20 @@ def _finish_pairs(
         # only ADMIT boundary pairs, never drop them. Skipped when a hot
         # correction is pending: pk sizes are then pre-cap and the capped
         # sizes (what jaccard uses) aren't known until after the join.
-        na = F.col("pka").bitwiseAND(F.lit(nmask))
-        nb = F.col("pkb").bitwiseAND(F.lit(nmask))
         pairs = pairs.filter(
-            F.least(na, nb).cast("double")
-            >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+            f"CAST(least(pka & {nmask}, pkb & {nmask}) AS DOUBLE) "
+            f">= {sql_double(threshold)} "
+            f"* greatest(pka & {nmask}, pkb & {nmask}) - 1e-09"
         )
     common = (
         pairs.groupBy("pka", "pkb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .select(
-            F.shiftright("pka", nbits).alias("doc_a"),
-            F.shiftright("pkb", nbits).alias("doc_b"),
+        .agg(F.expr("count(1) AS n_common"))
+        .selectExpr(
+            f"shiftright(pka, {nbits}) AS doc_a",
+            f"shiftright(pkb, {nbits}) AS doc_b",
             "n_common",
-            F.col("pka").bitwiseAND(F.lit(nmask)).alias("n_a"),
-            F.col("pkb").bitwiseAND(F.lit(nmask)).alias("n_b"),
+            f"pka & {nmask} AS n_a",
+            f"pkb & {nmask} AS n_b",
         )
     )
     if hot_cnt is not None:
@@ -318,14 +319,14 @@ def _finish_pairs(
             )
     if candidates is not None:
         common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return common.filter(jac >= threshold).select(
+    jac = "n_common / (n_a + n_b - n_common)"
+    return common.filter(f"{jac} >= {sql_double(threshold)}").selectExpr(
         "doc_a",
         "doc_b",
         "n_common",
         "n_a",
         "n_b",
-        r4(jac).alias("jaccard"),
+        f"FLOOR(({jac}) * 1e4 + 0.5) / 1e4 AS jaccard",
     )
 
 
@@ -437,7 +438,7 @@ def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
     )
     return (
         buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .selectExpr("p.doc_a AS doc_a", "p.doc_b AS doc_b")
         .distinct()
     )
 
@@ -530,7 +531,7 @@ def minhash_dedup_pairs(
     )
     cand = materialize(
         buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .selectExpr("p.doc_a AS doc_a", "p.doc_b AS doc_b")
         .distinct(),
         "minhash-cand",
     )
@@ -542,28 +543,34 @@ def minhash_dedup_pairs(
     )
     vsets = materialize(
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens("toks", k).alias("shs")),
+        .selectExpr(
+            f"{id_col} AS doc_id", f"{TOKENS_SQL.format(col=text_col)} AS toks"
+        )
+        .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs"),
         "minhash-vsets",
     )
     # ^ materialized because BOTH verify sides consume it and the cand
     # side of each join broadcasts — without lineage cut the scan +
     # semi-join + re-shingle chain runs twice (r10 A/B at sf0.1 min-of-3:
     # 1.56 s -> 1.16 s). Bounded: only docs appearing in a candidate pair.
-    a = vsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    b = vsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    a = vsets.selectExpr("doc_id AS doc_a", "shs AS shs_a")
+    b = vsets.selectExpr("doc_id AS doc_b", "shs AS shs_b")
     joined = cand.join(a, on="doc_a").join(b, on="doc_b")
-    n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
-    n_a = F.size("shs_a").cast("long")
-    n_b = F.size("shs_b").cast("long")
-    jac = n_common / (n_a + n_b - n_common)
-    return joined.filter(jac >= threshold).select(
+    stats = joined.selectExpr(
         "doc_a",
         "doc_b",
-        n_common.alias("n_common"),
-        n_a.alias("n_a"),
-        n_b.alias("n_b"),
-        r4(jac).alias("jaccard"),
+        "CAST(size(array_intersect(shs_a, shs_b)) AS BIGINT) AS n_common",
+        "CAST(size(shs_a) AS BIGINT) AS n_a",
+        "CAST(size(shs_b) AS BIGINT) AS n_b",
+    )
+    jac = "n_common / (n_a + n_b - n_common)"
+    return stats.filter(f"{jac} >= {sql_double(threshold)}").selectExpr(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        f"FLOOR(({jac}) * 1e4 + 0.5) / 1e4 AS jaccard",
     )
 
 
