@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
-from ..functions.text import quality_score, shingles_from_tokens, tokens
+from ..functions.text import shingles_from_tokens, tokens
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
@@ -211,30 +211,34 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions; a skewed mega-source is one sorted partition — swap to a
     two-pass histogram ECDF if a source outgrows a partition."""
     tune(spark)
+    from ..functions.text import sql_quality_score
+
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    # expr strings (construction-cost doctrine — lloyd_assign); same
+    # trees: sql_quality_score is the lockstep-tested twin of
+    # quality_score, the windows/arithmetic are literal-for-literal.
+    q = docs.selectExpr(
+        "doc_id", "source", f"{sql_quality_score('text')} AS quality"
     )
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    r = q.select(
+    r = q.selectExpr(
         "doc_id",
         "source",
         "quality",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+        "row_number() OVER (PARTITION BY source ORDER BY quality, doc_id)"
+        " AS rn",
+        "count(1) OVER (PARTITION BY source) AS n_src",
     )
-    src_pct = F.when(
-        F.col("n_src") > 1,
-        (F.col("rn") - 1).cast("double") / (F.col("n_src") - 1),
-    ).otherwise(F.lit(1.0))
-    return r.select(
+    src_pct = (
+        "CASE WHEN n_src > 1 THEN CAST(rn - 1 AS DOUBLE) / (n_src - 1) "
+        "ELSE 1.0E0 END"
+    )
+    return r.selectExpr(
         "doc_id",
         "source",
-        r4(F.col("quality")).alias("quality"),
-        r6(src_pct).alias("src_pct"),
-        F.least(
-            F.lit(1) + F.floor(src_pct * 10.0), F.lit(10)
-        ).cast("long").alias("decile"),
+        f"{sql_r4('quality')} AS quality",
+        f"{sql_r6(src_pct)} AS src_pct",
+        f"CAST(least(1 + FLOOR(({src_pct}) * 10.0E0), 10) AS BIGINT)"
+        " AS decile",
     )
 
 
