@@ -547,8 +547,6 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per (shingle, source) — the same posture as the
     minhash band buckets."""
     tune(spark)
-    from ..functions.text import shingles_from_tokens, tokens
-
     docs = load_table(spark, sf_dir, "documents")
     # repartition(doc_id) before shingling: both the parallelism spread
     # AND an optimization barrier — without it CollapseProject inlines
@@ -566,20 +564,20 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard-index trick, operators/dedup.py:163): the matrix only needs
     # shingle IDENTITY, never the text; collisions are 2^-64-scale and the
     # oracle diff at 3 SFs guards them.
-    sh_arr = F.transform(
-        "shs",
-        lambda s: F.struct(
-            F.xxhash64(s).alias("h"), F.col("source").alias("source")
-        ),
-    )
+    from ..functions.text import TOKENS_SQL, sql_shingles_from_tokens
     from ..operators.dedup import fanout
 
+    # expr strings (construction-cost doctrine — lloyd_assign); trees
+    # identical to the prior Column-lambda build, oracle-checked 2 SFs+10×.
     dh = (
         fanout(docs, F.col("doc_id"))
-        .select("source", tokens(F.col("text")).alias("toks"))
-        .select("source", shingles_from_tokens("toks", 2).alias("shs"))
-        .select(F.explode(sh_arr).alias("p"))
-        .select(F.col("p.source").alias("source"), F.col("p.h").alias("h"))
+        .selectExpr("source", f"{TOKENS_SQL.format(col='text')} AS toks")
+        .selectExpr("source", f"{sql_shingles_from_tokens('toks', 2)} AS shs")
+        .selectExpr(
+            "explode(transform(shs, s -> struct(xxhash64(s) AS h, "
+            "source AS source))) AS p"
+        )
+        .selectExpr("p.source AS source", "p.h AS h")
     )
     # ONE groupBy(h) replaces distinct + groupBy(h) + groupBy(source):
     # collect_set dedups (h, source) inside the aggregate, so the raw
@@ -602,43 +600,35 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.5-9.1 s — Spark WINS at 10x), sf0.1 steady 1.6-1.7 s; marginal
     # cost now linear in data.
     per_hash_all = dh.groupBy("h").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
+        F.expr("sort_array(collect_set(source)) AS ss")
     )
-    contrib = per_hash_all.select(
-        F.explode(
-            F.expr(
-                "concat("
-                "transform(ss, a -> struct(a AS sa, CAST(NULL AS STRING) AS sb)), "
-                "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), "
-                "b -> struct(a AS sa, b AS sb)))))"
-            )
-        ).alias("c")
+    contrib = per_hash_all.selectExpr(
+        "explode(concat("
+        "transform(ss, a -> struct(a AS sa, CAST(NULL AS STRING) AS sb)), "
+        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), "
+        "b -> struct(a AS sa, b AS sb)))))) AS c"
     ).select("c.*")
     tallies = contrib.groupBy("sa", "sb").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+        F.expr("CAST(count(1) AS BIGINT) AS n")
     )
-    single_n = F.when(F.col("sb").isNull(), F.col("n"))
-    wa = Window.partitionBy("sa")
-    wb = Window.partitionBy(F.coalesce("sb", "sa"))
     return (
-        tallies.select(
+        tallies.selectExpr(
             "sa",
             "sb",
             "n",
-            F.max(single_n).over(wa).alias("n_a"),
-            F.max(single_n).over(wb).alias("n_b"),
+            "max(CASE WHEN sb IS NULL THEN n END) OVER "
+            "(PARTITION BY sa) AS n_a",
+            "max(CASE WHEN sb IS NULL THEN n END) OVER "
+            "(PARTITION BY coalesce(sb, sa)) AS n_b",
         )
-        .filter(F.col("sb").isNotNull())
-        .select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
-            F.col("n").alias("n_common"),
+        .filter("sb IS NOT NULL")
+        .selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            "n AS n_common",
             "n_a",
             "n_b",
-            r6(
-                F.col("n").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n"))
-            ).alias("jaccard"),
+            f"{sql_r6('CAST(n AS DOUBLE) / (n_a + n_b - n)')} AS jaccard",
         )
     )
 
