@@ -535,48 +535,46 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # expr strings (construction-cost doctrine — lloyd_assign); identical
+    # trees, oracle-checked at sf0.001/0.01 after the rewrite.
     signups = (
-        ev.where(F.col("event_type") == "signup")
+        ev.where("event_type = 'signup'")
         .groupBy("user_id")
-        .agg(F.min(F.col("ts").cast("date")).alias("cd"))
+        .agg(F.expr("min(CAST(ts AS DATE)) AS cd"))
     )
     sizes = signups.groupBy("cd").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+        F.expr("CAST(count(1) AS BIGINT) AS n_users")
     )
     buys = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
+        ev.where("event_type = 'purchase'")
+        .selectExpr(
             "user_id",
-            F.col("ts").cast("date").alias("bd"),
-            F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("long").alias(
-                "cents"
-            ),
+            "CAST(ts AS DATE) AS bd",
+            "CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS cents",
         )
         .join(signups, "user_id")
-        .where(F.col("bd") >= F.col("cd"))
-        .select("cd", F.datediff("bd", "cd").cast("long").alias("age"), "cents")
+        .where("bd >= cd")
+        .selectExpr("cd", "CAST(datediff(bd, cd) AS BIGINT) AS age", "cents")
     )
     daily = buys.groupBy("cd", "age").agg(
-        F.sum("cents").cast("long").alias("rev_cents"),
-        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS rev_cents"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_purchases"),
     )
-    w = Window.partitionBy("cd").orderBy("age")
-    cum = daily.select(
+    cum = daily.selectExpr(
         "cd",
         "age",
         "n_purchases",
-        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+        "CAST(sum(rev_cents) OVER (PARTITION BY cd ORDER BY age) AS BIGINT)"
+        " AS cum_cents",
     )
     return (
         cum.join(F.broadcast(sizes), "cd")
-        .select(
-            F.col("cd").alias("cohort_day"),
+        .selectExpr(
+            "cd AS cohort_day",
             "age",
             "n_purchases",
             "n_users",
-            r4(F.col("cum_cents") / (F.col("n_users") * F.lit(1e2))).alias(
-                "ltv_per_user"
-            ),
+            f"{sql_r4('cum_cents / (n_users * 1e2)')} AS ltv_per_user",
         )
         .orderBy("cohort_day", "age")
     )

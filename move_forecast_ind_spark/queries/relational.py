@@ -50,19 +50,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes shuffled ∝ tasks, not rows."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # aggregate expressions as the SAME sql_r2/sql_r4 strings the oracle
+    # interpolates (construction-cost doctrine — one parse per aggregate;
+    # both dialects accept them, so Spark and DuckDB literally share the
+    # rounding text)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        li.filter("l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"{sql_r2('SUM(l_quantity)')} AS sum_qty"),
+            F.expr(f"{sql_r2('SUM(l_extendedprice)')} AS sum_base_price"),
+            F.expr(
+                f"{sql_r2('SUM(l_extendedprice * (1 - l_discount))')}"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                f"""{sql_r2(
+                    'SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))'
+                )} AS sum_charge"""
+            ),
+            F.expr(f"{sql_r4('AVG(l_quantity)')} AS avg_qty"),
+            F.expr(f"{sql_r4('AVG(l_extendedprice)')} AS avg_price"),
+            F.expr(f"{sql_r4('AVG(l_discount)')} AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
