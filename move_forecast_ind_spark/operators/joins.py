@@ -40,8 +40,12 @@ def asof_join(
     Ties (right_ts == left_ts) match, the same contract as DuckDB ASOF JOIN
     and pandas merge_asof(direction='backward').
     """
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
     lcols = [c for c in left.columns]
+    lschema = left.schema
+    rschema = right.schema
     # The right row travels as ONE struct so NULLs inside its value columns
     # survive: filling each value column independently with
     # last(ignorenulls) would pair an older row's non-null value with a
@@ -50,16 +54,22 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
         *[F.col(v).alias(v) for v in right_values],
     )
-    rv_type = right.select(rv_struct.alias("__rv")).schema["__rv"].dataType
+    # Struct type built from the right schema directly — field types AND
+    # nullability mirror what the struct() projection produces, without
+    # analyzing a throwaway plan for it (r10 construction-cost pass).
+    rv_type = StructType(
+        [StructField("__rts", rschema[right_ts].dataType, rschema[right_ts].nullable)]
+        + [StructField(v, rschema[v].dataType, rschema[v].nullable) for v in right_values]
+    )
     tagged_l = left.select(
-        *[F.col(c) for c in lcols],
+        *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rv_type).alias("__rv"),
     )
     tagged_r = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(k) for k in on],
+        *[F.lit(None).cast(lschema[c].dataType).alias(c) for c in lcols if c not in on],
+        *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         rv_struct.alias("__rv"),
@@ -80,10 +90,10 @@ def asof_join(
     filled = unioned.withColumn(
         "__rv_f", F.last("__rv", ignorenulls=True).over(w)
     )
-    out = filled.filter(F.col("__side") == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col("__rv_f")[v].alias(v + suffix) for v in right_values],
-        F.col("__rv_f")["__rts"].alias(right_ts + suffix),
+    out = filled.filter("__side = 1").selectExpr(
+        *lcols,
+        *[f"__rv_f.{v} AS {v}{suffix}" for v in right_values],
+        f"__rv_f.__rts AS {right_ts}{suffix}",
     )
     return out
 
