@@ -3456,9 +3456,8 @@ def _coactivity_adjacency(
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
-        .select(
-            "user_id",
-            (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
+        .selectExpr(
+            "user_id", "row_number() OVER (ORDER BY user_id) - 1 AS i"
         )
     )
     # collect_set dedups (user, type, hour) inside the bucket aggregate,
@@ -3471,15 +3470,15 @@ def _coactivity_adjacency(
         # profile); the bucket frame is tiny (one row per (type, bucket))
         # so the pinned exchange is bytes-free and the quadratic in-row
         # work spreads cluster-wide.
-        fanout(ev.groupBy("event_type", "h").agg(F.collect_set("user_id").alias("us")))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(us, a -> "
-                    "transform(filter(us, b -> b != a), "
-                    "b -> struct(a as src, b as dst))))"
-                )
-            ).alias("p")
+        fanout(
+            ev.groupBy("event_type", "h").agg(
+                F.expr("collect_set(user_id) AS us")
+            )
+        )
+        .selectExpr(
+            "explode(flatten(transform(us, a -> "
+            "transform(filter(us, b -> b != a), "
+            "b -> struct(a as src, b as dst))))) AS p"
         )
         .select("p.src", "p.dst")
         .join(
@@ -3491,15 +3490,15 @@ def _coactivity_adjacency(
             "dst",
         )
     )
-    adj = pairs.groupBy("si").agg(F.array_sort(F.collect_set("di")).alias("nbrs"))
+    adj = pairs.groupBy("si").agg(F.expr("array_sort(collect_set(di)) AS nbrs"))
     return (
         idx.join(adj, idx["i"] == adj["si"], "left")
-        .select(
+        .selectExpr(
             "user_id",
             "i",
-            F.coalesce(F.col("nbrs"), F.array().cast("array<int>")).alias("nbrs"),
+            "coalesce(nbrs, CAST(array() AS ARRAY<INT>)) AS nbrs",
         )
-        .withColumn("deg", F.size("nbrs"))
+        .selectExpr("user_id", "i", "nbrs", "size(nbrs) AS deg")
     )
 
 
