@@ -463,6 +463,15 @@ def test_text_sql_twins_match_columns(spark):
             ("punct, heavy!! text;; here::",),
             ("one",),
             ("  padded   whitespace   the  a  ",),
+            # adversarial content: the twins interpolate a column NAME,
+            # so data containing SQL metacharacters must flow through
+            # identically on both sides
+            ("it's the o'clock \"quoted\" and of",),
+            ("back\\slash the; DROP -- and",),
+            ("tab\tthe\nnewline and\r\nof",),
+            ("unicodé wörds 中文 the and",),
+            ("",),
+            ("the " * 200,),  # long doc, len_score saturates
         ],
         ["text"],
     )
