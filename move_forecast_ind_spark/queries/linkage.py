@@ -569,15 +569,26 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # expr strings (construction-cost doctrine — lloyd_assign); trees
     # identical to the prior Column-lambda build, oracle-checked 2 SFs+10×.
+    # Dictionary-encode source BEFORE the posting shuffle (r10, 100×
+    # probe): the distinct-source frame is tiny, and row_number() ORDER
+    # BY source makes code order == string order, so the in-row a<b pair
+    # expansion and the window partitions keep the exact string
+    # semantics on 4-byte ints; strings decode back onto the ≤ sources²
+    # tally frame. The dominant posting shuffle drops ~20 bytes/row:
+    # A/B min-of-2 same-session at the 100× dataset 26.2 → 19.2 s,
+    # neutral at 10× (3.8 vs 3.9 s), output identical at sf0.1 AND 10×.
+    srcs = docs.select("source").distinct().selectExpr(
+        "source", "row_number() OVER (ORDER BY source) AS sc"
+    )
     dh = (
-        fanout(docs, F.col("doc_id"))
-        .selectExpr("source", f"{TOKENS_SQL.format(col='text')} AS toks")
-        .selectExpr("source", f"{sql_shingles_from_tokens('toks', 2)} AS shs")
+        fanout(docs.join(F.broadcast(srcs), "source"), F.col("doc_id"))
+        .selectExpr("sc", f"{TOKENS_SQL.format(col='text')} AS toks")
+        .selectExpr("sc", f"{sql_shingles_from_tokens('toks', 2)} AS shs")
         .selectExpr(
             "explode(transform(shs, s -> struct(xxhash64(s) AS h, "
-            "source AS source))) AS p"
+            "sc AS sc))) AS p"
         )
-        .selectExpr("p.source AS source", "p.h AS h")
+        .selectExpr("p.sc AS sc", "p.h AS h")
     )
     # ONE groupBy(h) replaces distinct + groupBy(h) + groupBy(source):
     # collect_set dedups (h, source) inside the aggregate, so the raw
@@ -600,31 +611,38 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.5-9.1 s — Spark WINS at 10x), sf0.1 steady 1.6-1.7 s; marginal
     # cost now linear in data.
     per_hash_all = dh.groupBy("h").agg(
-        F.expr("sort_array(collect_set(source)) AS ss")
+        F.expr("sort_array(collect_set(sc)) AS ss")
     )
     contrib = per_hash_all.selectExpr(
         "explode(concat("
-        "transform(ss, a -> struct(a AS sa, CAST(NULL AS STRING) AS sb)), "
+        "transform(ss, a -> struct(a AS sa, CAST(NULL AS INT) AS sb)), "
         "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), "
         "b -> struct(a AS sa, b AS sb)))))) AS c"
     ).select("c.*")
     tallies = contrib.groupBy("sa", "sb").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n")
     )
+    wt = tallies.selectExpr(
+        "sa",
+        "sb",
+        "n",
+        "max(CASE WHEN sb IS NULL THEN n END) OVER "
+        "(PARTITION BY sa) AS n_a",
+        "max(CASE WHEN sb IS NULL THEN n END) OVER "
+        "(PARTITION BY coalesce(sb, sa)) AS n_b",
+    ).filter("sb IS NOT NULL")
     return (
-        tallies.selectExpr(
+        wt.join(
+            F.broadcast(srcs.selectExpr("sc AS sa", "source AS source_a")),
             "sa",
-            "sb",
-            "n",
-            "max(CASE WHEN sb IS NULL THEN n END) OVER "
-            "(PARTITION BY sa) AS n_a",
-            "max(CASE WHEN sb IS NULL THEN n END) OVER "
-            "(PARTITION BY coalesce(sb, sa)) AS n_b",
         )
-        .filter("sb IS NOT NULL")
+        .join(
+            F.broadcast(srcs.selectExpr("sc AS sb", "source AS source_b")),
+            "sb",
+        )
         .selectExpr(
-            "sa AS source_a",
-            "sb AS source_b",
+            "source_a",
+            "source_b",
             "n AS n_common",
             "n_a",
             "n_b",
