@@ -5777,7 +5777,16 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
     ).select("p.ia", "p.ib", "cn", "score")
     edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
-    cand = cand.join(edges, ["ia", "ib"], "left_anti")
+    # shuffle_hash pin on the |E|-sized anti-join side (r10, 100x probe):
+    # edges is edge-count-sized and must NEVER ride a broadcast — at the
+    # 100x dataset AQE (misled by upstream stats) chose a broadcast anti
+    # join and hit the 8 GiB hard limit; the pin is the only scale-safe
+    # shape and also WINS at 10x (3.59 -> 2.91 s: the build of a
+    # several-GB broadcast relation costs more than shuffling both
+    # sides). Costs ~0.4 s at sf0.1 (non-bench query) - the documented
+    # local-plans-match-the-100TB-posture trade (AQE-off rejection,
+    # CHANGES_r09).
+    cand = cand.join(edges.hint("shuffle_hash"), ["ia", "ib"], "left_anti")
     wb = Window.partitionBy("ia").orderBy(F.col("cn").desc(), F.col("ib"))
     best = cand.withColumn("rn", F.row_number().over(wb)).filter(
         F.col("rn") == 1
@@ -6142,7 +6151,16 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cn",
     ).select("p.ia", "p.ib", "cn")
     edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
-    cand = cand.join(edges, ["ia", "ib"], "left_anti")
+    # shuffle_hash pin on the |E|-sized anti-join side (r10, 100x probe):
+    # edges is edge-count-sized and must NEVER ride a broadcast — at the
+    # 100x dataset AQE (misled by upstream stats) chose a broadcast anti
+    # join and hit the 8 GiB hard limit; the pin is the only scale-safe
+    # shape and also WINS at 10x (3.59 -> 2.91 s: the build of a
+    # several-GB broadcast relation costs more than shuffling both
+    # sides). Costs ~0.4 s at sf0.1 (non-bench query) - the documented
+    # local-plans-match-the-100TB-posture trade (AQE-off rejection,
+    # CHANGES_r09).
+    cand = cand.join(edges.hint("shuffle_hash"), ["ia", "ib"], "left_anti")
     degs = full.select("i", "deg")
     cand = (
         cand.join(
