@@ -168,7 +168,12 @@ def main() -> None:
         # cteRecursionRowLimit that must not leak to later queries)
         _cte = "spark.sql.cteRecursionRowLimit"
         if spark.conf.get(_cte, None) != _cte_default:
-            spark.conf.set(_cte, _cte_default)
+            # conf.set(None) throws; when the session never set the conf
+            # the restore is an unset (ADVICE r10, mirrors check_oracle.py)
+            if _cte_default is None:
+                spark.conf.unset(_cte)
+            else:
+                spark.conf.set(_cte, _cte_default)
         return n, best, duck_best
 
     def anomalous(name: str) -> bool:

@@ -171,7 +171,8 @@ def jaccard_pairs(
     sets = (
         fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
         .selectExpr(
-            f"{id_col} AS doc_id", f"{TOKENS_SQL.format(col=text_col)} AS toks"
+            f"`{id_col}` AS doc_id",
+            f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
         .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs")
     )
@@ -544,7 +545,8 @@ def minhash_dedup_pairs(
     vsets = materialize(
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .selectExpr(
-            f"{id_col} AS doc_id", f"{TOKENS_SQL.format(col=text_col)} AS toks"
+            f"`{id_col}` AS doc_id",
+            f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
         .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs"),
         "minhash-vsets",

@@ -90,10 +90,12 @@ def asof_join(
     filled = unioned.withColumn(
         "__rv_f", F.last("__rv", ignorenulls=True).over(w)
     )
+    # Caller-supplied names ride selectExpr backtick-quoted: spaces,
+    # hyphens, leading digits and reserved words must parse (ADVICE r10).
     out = filled.filter("__side = 1").selectExpr(
-        *lcols,
-        *[f"__rv_f.{v} AS {v}{suffix}" for v in right_values],
-        f"__rv_f.__rts AS {right_ts}{suffix}",
+        *[f"`{c}`" for c in lcols],
+        *[f"__rv_f.`{v}` AS `{v}{suffix}`" for v in right_values],
+        f"__rv_f.__rts AS `{right_ts}{suffix}`",
     )
     return out
 

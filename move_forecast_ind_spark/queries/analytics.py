@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
+from ..functions.rounding import r2, r4, r6, sql_double, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -3408,17 +3408,17 @@ _PR_DAMP = 0.85
 # Populated only inside ``shared_coactivity`` below (tools/
 # graph_family_probe.py is the measurement harness; a real pipeline would
 # wrap its graph stage the same way).
-_ADJ_CACHE: dict[tuple[str, int | None], DataFrame] = {}
+# Keyed by (session, sf_dir, grain): a cached frame is bound to the
+# SparkSession that built it — serving it to another session would fail
+# at analysis time (ADVICE r10). The finally-pop below keeps entries
+# (and their session references) scoped to the context manager.
+_ADJ_CACHE: dict[tuple[SparkSession, str, int | None], DataFrame] = {}
 
 
-def _dlit(x: float) -> str:
-    """Exact SQL DOUBLE literal: repr round-trips the IEEE value; append
-    E0 only when repr is fixed-notation (a bare ``0.85`` would parse as
-    DECIMAL). When repr is already exponent form (``1e-05``) it IS a
-    DOUBLE literal — suffixing E0 would make it invalid SQL (ADVICE r9:
-    the silent trap when _PR_DAMP is tuned)."""
-    s = repr(float(x))
-    return s if ("e" in s or "E" in s) else s + "E0"
+# Exact SQL DOUBLE literal — single source of truth lives in
+# functions.rounding (ADVICE r10: two copies of the exponent-form
+# subtlety can drift).
+_dlit = sql_double
 
 
 def _coactivity_adjacency(
@@ -3440,7 +3440,7 @@ def _coactivity_adjacency(
     hour truncation to an epoch-floored N-second bucket (the "tight"
     graph the triangle tier uses: denser-than-quadratic motif counting
     wants the sparser graph)."""
-    cached = _ADJ_CACHE.get((sf_dir, bucket_seconds))
+    cached = _ADJ_CACHE.get((spark, sf_dir, bucket_seconds))
     if cached is not None:
         return cached
     if bucket_seconds is None:
@@ -3781,12 +3781,12 @@ def shared_coactivity(
             adj = _coactivity_adjacency(spark, sf_dir, bucket_seconds=g)
             adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
             adj.count()  # build now; the family amortizes this one action
-            _ADJ_CACHE[(sf_dir, g)] = adj
+            _ADJ_CACHE[(spark, sf_dir, g)] = adj
             frames.append(adj)
         yield
     finally:
         for g in grains:
-            _ADJ_CACHE.pop((sf_dir, g), None)
+            _ADJ_CACHE.pop((spark, sf_dir, g), None)
         for fr in frames:
             fr.unpersist()
 

@@ -56,72 +56,74 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-10 front: the FINAL 50 of the 51
-# oracle-bearing queries with ZERO prior driver samples (insertion order via
-# suggest_next_front), draining the never-sampled backlog 51 -> 1. The one
-# leftover, ``events_markov_stationary``, goes in slot 1 of the round-11
-# front (VERDICT r9 item #1). Everything here passes the identical local
-# oracle gate (tests/test_oracle.py) plus a check_oracle sweep at the
-# driver's sf0.01; this is evidence routing, not a semantics change.
+# 50 entries of ``queries()``. Round-11 front: slot 1 closes the evidence
+# book — ``events_markov_stationary`` is the ONLY oracle-bearing query never
+# driver-sampled across r1-r10 (VERDICT r10 item #1; pre-checked green at
+# sf0.01 by builder and judge). Slots 2-50 are suggest_next_front()'s
+# longest-unsampled rotation (r1-era relational core, unsampled since r1 —
+# evidence freshness now that the never-sampled backlog is done). Everything
+# here passes the identical local oracle gate (tests/test_oracle.py); this
+# is evidence routing, not a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "dq_freshness_lag",
-    "text_script_profile",
-    "corpus_blocklist_ratio",
-    "a_winsorized_mean",
-    "ts_rolling_corr",
-    "a_mutual_information",
-    "text_js_divergence_sources",
-    "ts_spectral_entropy",
-    "dq_schema_drift",
-    "dq_outlier_iqr_fences",
-    "ts_changepoint_binseg",
-    "ts_ljung_box",
-    "ts_overdispersion",
-    "dq_pattern_census",
-    "dq_id_order_audit",
-    "dq_order_total_consistency",
-    "ts_seasonal_indices",
-    "events_hits_scores",
-    "ts_theta_forecast",
-    "emb_pq_seeded",
-    "emb_silhouette_labels",
-    "emb_pq_adc_recall",
-    "emb_centroid_drift",
-    "emb_triplet_margin_audit",
-    "ml_forecast_reconcile",
-    "ml_conformal_interval",
-    "ml_decision_stump",
-    "ml_model_selection",
-    "ml_kfold_cv_score",
-    "ml_learning_curve",
-    "ml_shapley_r2",
-    "ml_ar2_forecast",
-    "ml_quantile_forecast",
-    "ml_forecast_combination",
-    "events_item_cooccurrence",
-    "events_modularity",
-    "events_attribution_position",
-    "events_state_dwell_time",
-    "a_cramers_v",
-    "events_session_entropy",
-    "events_lorenz_curve",
-    "events_growth_accounting",
-    "events_segment_migration",
-    "events_journey_entropy_rate",
-    "events_retention_halflife",
-    "events_user_streaks",
-    "events_decayed_engagement",
-    "sql_ratio_to_parent",
-    "events_absorbing_markov",
-    "a_ipf_raking",
+    "events_markov_stationary",
+    "q1_pricing_summary",
+    "s2_scan_year_range",
+    "p1_projection_rename",
+    "p3_filter_compound",
+    "p10_null_validity_probe",
+    "f_date_functions",
+    "f6_year_projection",
+    "f_numeric_functions",
+    "f12_band_classification",
+    "f_string_functions",
+    "f_json_functions",
+    "o3_date_sequence",
+    "a2_groupby_sum_4key",
+    "a4_groupby_sum_orderby",
+    "a5_global_aggregate",
+    "a6_distinct",
+    "a_count_distinct",
+    "a_percentiles",
+    "a_stats_moments",
+    "a_cube",
+    "a_rollup",
+    "a_grouping_sets",
+    "a_conditional_aggregate",
+    "a_collect_list_nested",
+    "a_pivot",
+    "j1_broadcast_dim_join",
+    "j_sortmerge_join",
+    "j3_left_outer_coalesce",
+    "j5_semi_join",
+    "j_anti_join",
+    "j_full_outer_join",
+    "j_cross_join",
+    "j_multiway_star_join",
+    "j_range_join",
+    "w_row_number_topk_per_group",
+    "w_lag_lead",
+    "w_running_sum",
+    "w_rank_dense_ntile",
+    "w_range_frame_avg",
+    "o_global_topk",
+    "o_multi_column_sort",
+    "w_first_last_nth",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "a_approx_count_distinct",
+    "a_percentile_approx",
 )
 
 
 # Driver-sample history: which round(s) each query appeared in the driver's
-# first-50 sample. Rounds 1-5 are baked into _sample_history.py verbatim
-# from the recorded CORRECTNESS_r{N}.json keys (184 distinct names, r5
-# was 50/50 green). Next round: bake this round's front into the history
-# module, then rebuild `_DRIVER_FRONT` from `suggest_next_front()`.
+# first-50 sample. Rounds r1-r10 are baked into _sample_history.py verbatim
+# from the recorded CORRECTNESS_r{N}.json keys (383 distinct names, every
+# one green at its latest sample). Next round: bake this round's front into
+# the history module, then rebuild `_DRIVER_FRONT` from
+# `suggest_next_front()`.
 from ._sample_history import SAMPLED_ROUNDS as _SAMPLED_ROUNDS
 
 
