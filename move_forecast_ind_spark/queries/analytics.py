@@ -37,6 +37,7 @@ from ..session import tune
 from ..sources import load_table
 from .registry import register
 from ..operators.dedup import fanout
+from ..operators.materialize import materialize
 
 # --- time-series: dense-grid resampling -------------------------------------
 
@@ -3421,28 +3422,16 @@ _ADJ_CACHE: dict[tuple[SparkSession, str, int | None], DataFrame] = {}
 _dlit = sql_double
 
 
-def _coactivity_adjacency(
+def _coactivity_pairs(
     spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
-) -> DataFrame:
-    """Index-encoded adjacency of the user co-activity graph (users
-    sharing an (event_type, hour) bucket are linked, symmetric,
-    distinct) — the shared graph compiler behind events_pagerank,
-    events_bfs_hops, and events_triangle_count. One frame:
-    (user_id, i, nbrs array<int of i>, deg),
-    built with a single collect_set shuffle (raw in-bucket ordered
-    pairs, idx-mapped by map-side broadcast joins). Stays LAZY: every
-    caller's consumers sit inside one action where ReuseExchange
-    dedupes the adjacency exchange subtree (A/B in events_pagerank's
-    docstring). Pair expansion is bounded per bucket — the hot-bucket
-    fence from jaccard_pairs applies verbatim at 100 TB.
-
-    ``bucket_seconds`` narrows the co-activity window from the default
-    hour truncation to an epoch-floored N-second bucket (the "tight"
-    graph the triangle tier uses: denser-than-quadratic motif counting
-    wants the sparser graph)."""
-    cached = _ADJ_CACHE.get((spark, sf_dir, bucket_seconds))
-    if cached is not None:
-        return cached
+) -> tuple[DataFrame, DataFrame]:
+    """(idx, pairs): the user index frame (user_id, i) and the RAW
+    in-bucket ordered co-activity pair frame (si, di) — both directions
+    per edge, duplicates across buckets retained (dedup is the caller's
+    aggregate). Shared by the adjacency compiler below and by the
+    link-prediction tier's membership pass, which streams these raw rows
+    through a broadcast semi join instead of paying a second |E|-sized
+    aggregate (r11 rebuild)."""
     if bucket_seconds is None:
         bucket = F.date_trunc("hour", F.col("ts"))
     else:
@@ -3462,7 +3451,7 @@ def _coactivity_adjacency(
     )
     # collect_set dedups (user, type, hour) inside the bucket aggregate,
     # so no standalone ev.distinct() shuffle is needed; the idx joins are
-    # broadcast (map-side) BEFORE the one pair shuffle.
+    # broadcast (map-side) BEFORE any pair shuffle.
     pairs = (
         # fanout between the bucket aggregate and the |us|²-per-bucket
         # expansion: post-shuffle AQE byte-coalescing left the expansion
@@ -3489,7 +3478,42 @@ def _coactivity_adjacency(
             F.broadcast(idx).withColumnsRenamed({"user_id": "dst", "i": "di"}),
             "dst",
         )
+        .select("si", "di")
     )
+    return idx, pairs
+
+
+def _coactivity_adjacency(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
+) -> DataFrame:
+    """Index-encoded adjacency of the user co-activity graph (users
+    sharing an (event_type, hour) bucket are linked, symmetric,
+    distinct) — the shared graph compiler behind events_pagerank,
+    events_bfs_hops, and events_triangle_count. One frame:
+    (user_id, i, nbrs array<int of i>, deg),
+    built with a single collect_set shuffle (raw in-bucket ordered
+    pairs, idx-mapped by map-side broadcast joins). Stays LAZY: every
+    caller's consumers sit inside one action where ReuseExchange
+    dedupes the adjacency exchange subtree (A/B in events_pagerank's
+    docstring). Pair expansion is bounded per bucket — the hot-bucket
+    fence from jaccard_pairs applies verbatim at 100 TB.
+
+    Scale caveat (measured at the 100× probe, r11): the collect_set
+    aggregate itself is CHEAP (~8 s for a 212 M-pair / 149 M-edge
+    graph), but the wide nbrs arrays are expensive to move through any
+    FURTHER exchange — a join/sort/broadcast that carries them costs
+    40-80 s at that size. Consumers should reduce the arrays in-row
+    (explode/slice/size) before the next shuffle; the link-prediction
+    tier no longer consumes this frame at all (see _coactivity_sliced).
+
+    ``bucket_seconds`` narrows the co-activity window from the default
+    hour truncation to an epoch-floored N-second bucket (the "tight"
+    graph the triangle tier uses: denser-than-quadratic motif counting
+    wants the sparser graph)."""
+    cached = _ADJ_CACHE.get((spark, sf_dir, bucket_seconds))
+    if cached is not None:
+        return cached
+    idx, pairs = _coactivity_pairs(spark, sf_dir, bucket_seconds)
     adj = pairs.groupBy("si").agg(F.expr("array_sort(collect_set(di)) AS nbrs"))
     return (
         idx.join(adj, idx["i"] == adj["si"], "left")
@@ -3499,6 +3523,49 @@ def _coactivity_adjacency(
             "coalesce(nbrs, CAST(array() AS ARRAY<INT>)) AS nbrs",
         )
         .selectExpr("user_id", "i", "nbrs", "size(nbrs) AS deg")
+    )
+
+
+def _coactivity_sliced(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int | None, cap: int
+) -> DataFrame:
+    """Slim checkpointed projection of the co-activity graph for the
+    link-prediction tier: (user_id, i, deg, sn) with deg the FULL
+    distinct degree and sn the first ``cap`` neighbors ascending —
+    exactly the oracle's ROW_NUMBER() <= cap slice over sorted distinct
+    edges. Users with deg 0 are dropped (they can appear in no candidate
+    pair).
+
+    Why this exists instead of slicing _coactivity_adjacency: at the
+    100× probe the tight graph has avg degree ~1000, so the full nbrs
+    arrays are ~600 MB — cheap to BUILD (one object-hash collect_set
+    pass, ~8 s) but 40-80 s to push through any further join, sort,
+    broadcast, or checkpoint. Here the arrays are reduced to
+    (deg, cap-slice) IN-ROW, inside the same stage as the aggregate, so
+    the wide form never crosses an exchange; the checkpoint then holds
+    ~cap ints per user (19 MB vs 600 MB at 100×) and every downstream
+    consumer (pair expansion, degree broadcasts, id maps) re-reads that
+    slim parquet instead of re-deriving the graph — the r10 diagnosis
+    was ~6 AQE broadcast jobs each re-running the adjacency subtree
+    inside one action. Pipeline posture: when shared_coactivity has the
+    full adjacency persisted for this grain, slice it in-row instead
+    (no second aggregate, no checkpoint)."""
+    cached = _ADJ_CACHE.get((spark, sf_dir, bucket_seconds))
+    if cached is not None:
+        return cached.filter(F.col("deg") > 0).select(
+            "user_id", "i", "deg", F.slice("nbrs", 1, cap).alias("sn")
+        )
+    from ..operators.materialize import checkpoint_parquet
+
+    idx, pairs = _coactivity_pairs(spark, sf_dir, bucket_seconds)
+    agg = pairs.groupBy("si").agg(
+        F.expr("array_sort(collect_set(di)) AS nbrs")
+    )
+    sliced = agg.selectExpr(
+        "si AS i", "size(nbrs) AS deg", f"slice(nbrs, 1, {cap}) AS sn"
+    ).join(F.broadcast(idx), "i")
+    return checkpoint_parquet(
+        sliced, f"coact-sliced-{bucket_seconds}", npartitions=8
     )
 
 
@@ -5736,37 +5803,70 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ordering). Hub fan-out is fenced: each 'via' node contributes
     pairs among its first {m} neighbors only (ascending id, mirrored in
     the oracle — the bounded-neighborhood truncation every web-scale CN
-    implementation applies). Engine shape: the shared adjacency compiles
-    once; contributor pairs expand IN-ROW as UNORDERED (a < b) pairs from
-    the sorted sliced neighbor arrays (never the oracle's posting
-    self-join), candidate aggregation is one map-side-combinable shuffle
-    at HALF the ordered volume, both orientations fan back out in-row
-    after the aggregate (cn and the w-sum are orientation-symmetric —
-    the contributing src set for (a,b) equals that for (b,a), so the
-    per-group float sums are bit-identical addend sets), existing edges
-    leave via one anti join, and the per-user argmax is a window. At
-    100 TB: pair volume is |V|·cap²/2 worst-case, the fence's purpose;
-    everything else shuffles one row per surviving candidate."""
+    implementation applies). Engine shape (rebuilt r11 on the 100x
+    diagnosis): the SLIM sliced-graph checkpoint (_coactivity_sliced -
+    deg + cap-slice; the wide nbrs arrays never cross an exchange)
+    compiles once and every consumer re-reads it; contributor pairs
+    expand IN-ROW as UNORDERED (a < b) pairs from the sorted sliced
+    neighbor arrays (never the oracle's posting self-join), candidate
+    aggregation is one map-side-combinable shuffle at HALF the ordered
+    volume and is checkpointed (it feeds both the membership pass and
+    the result); existing edges leave by STREAMING the raw co-activity
+    pairs through a broadcast semi join against the candidate keys
+    (|cand| <= cap^2/2 * |V| - the same |V|-bounded broadcast class as
+    the degree/id maps already in this family; no |E|-sized shuffle and
+    no |E|-sized hash build - the r10 anti join shuffled AND hash-built
+    all ~149 M edges, 34 s of the 100x wall) plus a candidate-sized anti
+    join; both orientations fan back out in-row after the membership
+    filter (cn and the w-sum are orientation-symmetric - the
+    contributing src set for (a,b) equals that for (b,a), so the
+    per-group float sums are bit-identical addend sets), and the
+    per-user argmax is a window. At 100 TB: pair volume is |V|*cap^2/2
+    worst-case, the fence's purpose; the raw-pair stream is map-side
+    only; everything else shuffles one row per surviving candidate."""
     tune(spark)
-    full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
-    # fanout before the per-user pair expansion: the adjacency frame is
-    # one AQE-coalesced post-agg partition, so unpinned the cap^2 pair
-    # fan-out serialized on one core (10x probe: 73 s -> parallel).
-    sl = fanout(full, F.col("i")).select(
-        "i",
-        "user_id",
-        "deg",
-        F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
-    )
+    sl0 = _coactivity_sliced(spark, sf_dir, _TRI_BUCKET_S, _LINKPRED_MAX_NBRS)
+    # fanout before the per-user pair expansion: the slim checkpoint is
+    # 8 files, so unpinned the cap^2 pair fan-out would run on 8 tasks
+    # (r9 10x probe: 73 s serialized before the pin).
+    sl = fanout(sl0, F.col("i")).select("i", "deg", "sn")
     contrib = sl.filter(F.col("deg") >= 2).select(
         (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
         F.explode(F.expr(_UNORDERED_PAIRS)).alias("p"),
     ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"), "w")
-    cand_u = contrib.groupBy("ia", "ib").agg(
-        F.count(F.lit(1)).cast("long").alias("cn"),
-        F.sum("w").alias("score"),
+    # checkpointed: consumed by BOTH the membership pass (broadcast
+    # build) and the anti join's left side - lazy it would re-run the
+    # cap^2 expansion twice (measured +40 s at the 100x probe).
+    cand_u = materialize(
+        contrib.groupBy("ia", "ib").agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("w").alias("score"),
+        ),
+        "linkpred-cand",
     )
-    cand = cand_u.select(
+    # membership pass: raw (si < di) co-activity rows STREAM map-side
+    # through the broadcast candidate keys (no |E| shuffle, no |E| hash
+    # build); duplicate raw rows are harmless - the anti join's hash
+    # build collapses them to <= |cand| keys (shuffle_hash pin keeps the
+    # matched side off any broadcast, r10 hazard doctrine).
+    _, raw = _coactivity_pairs(spark, sf_dir, _TRI_BUCKET_S)
+    matched = (
+        raw.filter(F.col("si") < F.col("di"))
+        .join(
+            F.broadcast(
+                cand_u.select(
+                    F.col("ia").alias("si"), F.col("ib").alias("di")
+                )
+            ),
+            ["si", "di"],
+            "left_semi",
+        )
+        .withColumnsRenamed({"si": "ia", "di": "ib"})
+    )
+    kept = cand_u.join(
+        matched.hint("shuffle_hash"), ["ia", "ib"], "left_anti"
+    )
+    cand = kept.select(
         F.explode(
             F.array(
                 F.struct(F.col("ia"), F.col("ib")),
@@ -5776,22 +5876,11 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cn",
         "score",
     ).select("p.ia", "p.ib", "cn", "score")
-    edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
-    # shuffle_hash pin on the |E|-sized anti-join side (r10, 100x probe):
-    # edges is edge-count-sized and must NEVER ride a broadcast — at the
-    # 100x dataset AQE (misled by upstream stats) chose a broadcast anti
-    # join and hit the 8 GiB hard limit; the pin is the only scale-safe
-    # shape and also WINS at 10x (3.59 -> 2.91 s: the build of a
-    # several-GB broadcast relation costs more than shuffling both
-    # sides). Costs ~0.4 s at sf0.1 (non-bench query) - the documented
-    # local-plans-match-the-100TB-posture trade (AQE-off rejection,
-    # CHANGES_r09).
-    cand = cand.join(edges.hint("shuffle_hash"), ["ia", "ib"], "left_anti")
     wb = Window.partitionBy("ia").orderBy(F.col("cn").desc(), F.col("ib"))
     best = cand.withColumn("rn", F.row_number().over(wb)).filter(
         F.col("rn") == 1
     )
-    ids = full.select("i", "user_id")
+    ids = sl0.select("i", "user_id")
     ia_map = ids.withColumnsRenamed({"i": "ia", "user_id": "user_id_a"})
     ib_map = ids.withColumnsRenamed({"i": "ib", "user_id": "user_id_b"})
     return (
@@ -6118,30 +6207,51 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the FULL degrees (mirrored verbatim in the oracle).
 
     Determinism: cn/degrees are exact integers and the ranking key
-    cn/(da+db−cn) is ONE correctly-rounded IEEE division of exact
-    integers — bit-identical in both engines — with ties broken by
-    candidate id. Scale posture: identical to events_link_prediction
-    (unordered in-row expansion fences pair volume at |V|·cap²/2, one
-    candidate aggregate shuffle at that halved width, orientation
-    fan-out after the aggregate, anti join on existing edges, per-user
-    window). Round-9 10× probe: the ordered cap-64 variant shipped 61 M
-    pair rows / 291 MB into the aggregate (20-24 s); cap 32 + unordered
-    is 8× lighter on the same adjacency."""
+    cn/(da+db-cn) is ONE correctly-rounded IEEE division of exact
+    integers - bit-identical in both engines - with ties broken by
+    candidate id. Scale posture: identical to events_link_prediction's
+    r11 rebuild (slim sliced-graph checkpoint so the wide nbrs arrays
+    never cross an exchange; |V|*cap^2/2 in-row unordered expansion; one
+    checkpointed candidate aggregate; membership by streaming the raw
+    co-activity pairs through a broadcast semi join on the candidate
+    keys + a candidate-sized anti join - replacing the r10 anti join
+    that shuffled AND hash-built all ~149 M edges; orientation fan-out
+    after the membership filter; degree broadcasts off the slim
+    checkpoint; per-user window). 100x probe r11: 201 s (r10 shape) ->
+    ~45 s, the body alone 83 -> 13 s."""
     tune(spark)
-    full = _coactivity_adjacency(spark, sf_dir, bucket_seconds=_TRI_BUCKET_S)
+    sl0 = _coactivity_sliced(spark, sf_dir, _TRI_BUCKET_S, _LINKPRED_MAX_NBRS)
     # fanout before the expansion - same rationale as events_link_prediction
-    sl = fanout(full, F.col("i")).select(
-        "i",
-        "deg",
-        F.slice("nbrs", 1, _LINKPRED_MAX_NBRS).alias("sn"),
-    )
+    sl = fanout(sl0, F.col("i")).select("i", "deg", "sn")
     contrib = sl.filter(F.col("deg") >= 2).select(
         F.explode(F.expr(_UNORDERED_PAIRS)).alias("p")
     ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
-    cand_u = contrib.groupBy("ia", "ib").agg(
-        F.count(F.lit(1)).cast("long").alias("cn")
+    cand_u = materialize(
+        contrib.groupBy("ia", "ib").agg(
+            F.count(F.lit(1)).cast("long").alias("cn")
+        ),
+        "jacc-cand",
     )
-    cand = cand_u.select(
+    # membership pass: see events_link_prediction (broadcast semi over
+    # the raw pair stream + candidate-sized shuffle_hash anti join).
+    _, raw = _coactivity_pairs(spark, sf_dir, _TRI_BUCKET_S)
+    matched = (
+        raw.filter(F.col("si") < F.col("di"))
+        .join(
+            F.broadcast(
+                cand_u.select(
+                    F.col("ia").alias("si"), F.col("ib").alias("di")
+                )
+            ),
+            ["si", "di"],
+            "left_semi",
+        )
+        .withColumnsRenamed({"si": "ia", "di": "ib"})
+    )
+    kept = cand_u.join(
+        matched.hint("shuffle_hash"), ["ia", "ib"], "left_anti"
+    )
+    cand = kept.select(
         F.explode(
             F.array(
                 F.struct(F.col("ia"), F.col("ib")),
@@ -6150,18 +6260,7 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
         "cn",
     ).select("p.ia", "p.ib", "cn")
-    edges = full.select(F.col("i").alias("ia"), F.explode("nbrs").alias("ib"))
-    # shuffle_hash pin on the |E|-sized anti-join side (r10, 100x probe):
-    # edges is edge-count-sized and must NEVER ride a broadcast — at the
-    # 100x dataset AQE (misled by upstream stats) chose a broadcast anti
-    # join and hit the 8 GiB hard limit; the pin is the only scale-safe
-    # shape and also WINS at 10x (3.59 -> 2.91 s: the build of a
-    # several-GB broadcast relation costs more than shuffling both
-    # sides). Costs ~0.4 s at sf0.1 (non-bench query) - the documented
-    # local-plans-match-the-100TB-posture trade (AQE-off rejection,
-    # CHANGES_r09).
-    cand = cand.join(edges.hint("shuffle_hash"), ["ia", "ib"], "left_anti")
-    degs = full.select("i", "deg")
+    degs = sl0.select("i", "deg")
     cand = (
         cand.join(
             F.broadcast(degs.withColumnsRenamed({"i": "ia", "deg": "deg_a"})), "ia"
@@ -6177,7 +6276,7 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = Window.partitionBy("ia").orderBy(F.col("jd").desc(), F.col("ib"))
     best = cand.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
-    ids = full.select("i", "user_id")
+    ids = sl0.select("i", "user_id")
     ia_map = ids.withColumnsRenamed({"i": "ia", "user_id": "user_id_a"})
     ib_map = ids.withColumnsRenamed({"i": "ib", "user_id": "user_id_b"})
     return (
