@@ -118,6 +118,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,  # optional (doc_a, doc_b) restriction
     max_df: int | None = 1000,
     prefilter_hot: bool = False,
+    candidate_ids: DataFrame | None = None,  # optional precomputed doc_id set
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard similarity for pairs sharing ≥1 shingle
     (inverted-index join), optionally restricted to candidate pairs.
@@ -177,11 +178,19 @@ def jaccard_pairs(
         .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs")
     )
     if candidates is not None:
-        cand_ids = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .union(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
+        # candidate_ids lets the caller supply the member-id set from a
+        # cheaper upstream frame (e.g. exploding its candidate BUCKETS,
+        # sum|bucket| rows) instead of this union+distinct over 2x the
+        # pair rows - at the 100x probe dedup_winnow_pairs' pair frame is
+        # 39.6M rows and the union-distinct was a measurable slice of the
+        # index build (r11).
+        cand_ids = candidate_ids
+        if cand_ids is None:
+            cand_ids = (
+                candidates.select(F.col("doc_a").alias("doc_id"))
+                .union(candidates.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
         sets = sets.join(cand_ids, on="doc_id", how="left_semi")
     # pk = doc_id << 24 | n: one long carries identity and pre-cap size
     # through both groupBys (sorting pks sorts by doc_id — the size bits

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
     simhash_signatures,
 )
+from ..operators.materialize import checkpoint_parquet, materialize
 from ..operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
 from ..session import tune
 from ..sources import load_table
@@ -914,18 +915,34 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fps = _winnow_fps(docs)
-    buckets = (
+    # Buckets materialized ONCE: three consumers (the pair expansion, the
+    # member-id set below, and - via the candidate frame - the verify
+    # tier's exact pair semi) would each lazily re-run the whole
+    # fingerprint -> bucket-aggregate chain inside the one action (the
+    # dominant term of the r10 100x residual: the chain is ~50 s at that
+    # scale and ran 2-3x). The bucket frame is per-fingerprint rows with
+    # <= max_df-element arrays - orders smaller than the pair expansion.
+    buckets = checkpoint_parquet(
         fps.groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= _WINNOW_MAX_DF))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _WINNOW_MAX_DF)),
+        "winnow-buckets",
+        npartitions=32,
     )
     cand = (
         buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+    # Member-id set straight off the buckets (sum|bucket| rows) instead of
+    # jaccard_pairs' union+distinct over 2x the candidate PAIR rows
+    # (39.6M at the 100x probe).
+    cand_ids = (
+        buckets.select(F.explode("ds").alias("doc_id")).distinct()
+    )
     return jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.5, candidates=cand, max_df=1000
+        docs, "doc_id", "text", k=3, threshold=0.5, candidates=cand,
+        max_df=1000, candidate_ids=cand_ids,
     )
 
 
