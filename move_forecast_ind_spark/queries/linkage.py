@@ -564,7 +564,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard-index trick, operators/dedup.py:163): the matrix only needs
     # shingle IDENTITY, never the text; collisions are 2^-64-scale and the
     # oracle diff at 3 SFs guards them.
-    from ..functions.text import TOKENS_SQL, sql_shingles_from_tokens
+    from ..functions.text import TOKENS_SQL
     from ..operators.dedup import fanout
 
     # expr strings (construction-cost doctrine — lloyd_assign); trees
@@ -580,13 +580,32 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = docs.select("source").distinct().selectExpr(
         "source", "row_number() OVER (ORDER BY source) AS sc"
     )
+    # Bigram identity WITHOUT bigram strings (r11, 100× probe): the
+    # matrix never reads shingle text, so hash the token PAIR directly
+    # with two-arg xxhash64 and dedupe the per-doc LONG array instead of
+    # building 25.6 M concat_ws(' ', a, b) strings and
+    # array_distinct-ing them — tokens are whitespace-split, so
+    # (a, b) ↔ "a b" is bijective and the distinct-hash count equals the
+    # oracle's distinct-string count (same 2^-64 collision doctrine).
+    # A/B at the 100× dataset, identical outputs (84 721 distinct h,
+    # 1 657 110 postings): the scan→postings→collect_set subtree fell
+    # 12.7 → 2.1-2.8 s warm — the map-side string materialization WAS
+    # the r10 "row-vs-columnar" residual, not the shuffle (the aggregate
+    # reduces 25.6 M rows to 84.7 k groups, so the exchange is tiny).
+    # Codec A/B same session (lz4 vs zstd): 12.9 vs 13.5 s — rejected.
+    _hs = (
+        "CASE WHEN size(toks) >= 2 THEN array_distinct("
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> xxhash64(element_at(toks, i), "
+        "element_at(toks, CAST(i AS INT) + 1)))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
     dh = (
         fanout(docs.join(F.broadcast(srcs), "source"), F.col("doc_id"))
         .selectExpr("sc", f"{TOKENS_SQL.format(col='text')} AS toks")
-        .selectExpr("sc", f"{sql_shingles_from_tokens('toks', 2)} AS shs")
+        .selectExpr("sc", f"{_hs} AS hs")
         .selectExpr(
-            "explode(transform(shs, s -> struct(xxhash64(s) AS h, "
-            "sc AS sc))) AS p"
+            "explode(transform(hs, x -> struct(x AS h, sc AS sc))) AS p"
         )
         .selectExpr("p.sc AS sc", "p.h AS h")
     )
