@@ -30,7 +30,6 @@ from ..functions.text import (
     TOKENS_SQL,
     fingerprint,
     shingles_from_tokens,
-    sql_shingles_from_tokens,
     tokens,
 )
 from .materialize import materialize
@@ -169,13 +168,33 @@ def jaccard_pairs(
     # array. Guarding on F.size("shs") instead forces the whole
     # tokenize→shingle chain to evaluate twice (filter + generator) —
     # measured 3.2 s vs 0.6 s at sf0.1 for the postings stage alone.
+    # Shingle IDENTITY without shingle strings (r11, the
+    # corpus_source_overlap finding): the whole pipeline below consumes
+    # only shingle identity and per-doc distinct COUNTS, never shingle
+    # text, so hash each k-token window directly with k-arg xxhash64 and
+    # array_distinct the LONG array - no concat_ws string per window, no
+    # string-array dedup. Whitespace-split tokens make the window <->
+    # "a b c" string bijective, so the distinct-hash count equals the
+    # oracle's distinct-string count (2^-64 collision doctrine, same as
+    # the hash-keyed index below already relied on). A/B at the 100x
+    # probe: the map-side string materialization - not the shuffle - was
+    # the dominant cost of this tier.
+    _slots = ", ".join(
+        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k)
+    )
+    _hs = (
+        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> xxhash64({_slots}))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
     sets = (
         fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
         .selectExpr(
             f"`{id_col}` AS doc_id",
             f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
-        .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs")
+        .selectExpr("doc_id", f"{_hs} AS shs")
     )
     if candidates is not None:
         # candidate_ids lets the caller supply the member-id set from a
@@ -203,16 +222,17 @@ def jaccard_pairs(
     # sibling columns are evaluated per OUTPUT row — measured 6.1 s vs
     # 0.65 s at sf0.1 for this one select (the same trap _shingle_sets
     # documents for minhash).
-    # The index keys shingles by their 64-bit xxhash, not the string:
-    # the posting shuffle moves 8-byte longs instead of ~20-byte k-gram
-    # strings and the groupBy hashes longs (round-5 A/B at sf0.1:
-    # 2.36 → 2.11 s steady). A hash collision would merge two shingles'
-    # posting lists (overcounting n_common for their docs); with ~2.6e5
-    # distinct shingles per 0.1 SF against a 2^64 space the collision
-    # probability is ≪ 1e-8 — and the per-doc set sizes in the pk bits
-    # are still computed from the distinct string shingles.
+    # The index keys shingles by their 64-bit window hash (the same
+    # identity `shs` now holds): the posting shuffle moves 8-byte longs
+    # instead of ~20-byte k-gram strings and the groupBy hashes longs
+    # (round-5 A/B at sf0.1: 2.36 → 2.11 s steady; r11 moved the hash
+    # up into the set build itself). A collision would merge two
+    # shingles' posting lists (overcounting n_common) or shrink a doc's
+    # distinct count by 1; with ~2.6e5 distinct shingles per 0.1 SF
+    # against a 2^64 space the probability is ≪ 1e-8, and the oracle
+    # diff at 3 SFs guards it.
     pk_arr = (
-        "transform(shs, s -> struct(xxhash64(s) AS sh, "
+        "transform(shs, s -> struct(s AS sh, "
         f"CAST(doc_id AS BIGINT) * {1 << _NBITS} "
         "+ CAST(size(shs) AS BIGINT) AS pk))"
     )
@@ -482,10 +502,11 @@ def minhash_dedup_pairs(
       (they are consumed by the id-set derivation and both verify sides;
       the frame is tiny by construction).
 
-    Verification intersects candidate docs' exact shingle-string sets —
-    precision 1.0, identical output to :func:`jaccard_pairs` whenever the
-    banding catches every true pair (see the registry docstring for the
-    measured fixture recall contract)."""
+    Verification intersects candidate docs' exact distinct window-hash
+    sets (shingle identity, not text — r11) — precision 1.0, identical
+    output to :func:`jaccard_pairs` whenever the banding catches every
+    true pair (see the registry docstring for the measured fixture
+    recall contract)."""
     # Round-4 session-3 postings: hash the k-token window DIRECTLY
     # (multi-arg xxhash64 over element_at slots) instead of building
     # shingle strings — no concat_ws, no array_distinct. Correct because
@@ -551,13 +572,28 @@ def minhash_dedup_pairs(
     cand_ids = cand.select(F.col("doc_a").alias(id_col)).union(
         cand.select(F.col("doc_b").alias(id_col))
     )
+    # Verify on distinct window-HASH arrays, not shingle strings (r11):
+    # intersection/size counts over k-arg-xxhash64 identities equal the
+    # string-set counts (whitespace tokens -> bijective windows; 2^-64
+    # collision doctrine), and skipping the concat_ws string build +
+    # string-array dedup/intersect was the dominant map-side cost of the
+    # tier at the 100x probe (corpus_source_overlap finding).
+    _vslots = ", ".join(
+        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k)
+    )
+    _vhs = (
+        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> xxhash64({_vslots}))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
     vsets = materialize(
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .selectExpr(
             f"`{id_col}` AS doc_id",
             f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
-        .selectExpr("doc_id", f"{sql_shingles_from_tokens('toks', k)} AS shs"),
+        .selectExpr("doc_id", f"{_vhs} AS shs"),
         "minhash-vsets",
     )
     # ^ materialized because BOTH verify sides consume it and the cand
