@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r2, r4, r6, sql_r6
-from ..functions.text import fingerprint, shingles_from_tokens, tokens
+from ..functions.text import fingerprint, tokens
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -183,12 +183,26 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # toks projected separately: inlining tokens(text) into the shingle
     # lambda re-splits per shingle position (shingles_from_tokens contract;
     # same fix measured 3.0 s -> 0.72 s on the LSH-eval shingle stage).
+    #
+    # Gram IDENTITY without gram strings (r11, the corpus_source_overlap
+    # finding): the semi-join and the distinct-shared count only consume
+    # gram identity, never text, so hash each 8-token window directly
+    # with 8-arg xxhash64 and dedupe the LONG array in-row — no ~50-char
+    # concat_ws string per window, a string-free broadcast set, and the
+    # join hashes longs (whitespace tokens keep window <-> string
+    # bijective; 2^-64 collision doctrine, oracle-diffed at 3 SFs).
+    _slots = ", ".join(
+        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(_DECON_K)
+    )
+    _ghs = (
+        f"CASE WHEN size(toks) >= {_DECON_K} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {_DECON_K - 1}), "
+        f"i -> xxhash64({_slots}))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
     grams = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id",
-        F.explode(shingles_from_tokens("toks", _DECON_K)).alias("gram"),
-    )
+    ).selectExpr("doc_id", f"explode({_ghs}) AS gram")
     ev = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")
