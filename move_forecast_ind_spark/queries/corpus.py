@@ -617,17 +617,30 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back: first-occurrence counts aggregate directly to their owning doc
     (two map-combinable aggregates + one tiny doc-keyed join)."""
     tune(spark)
-    from ..functions.text import shingles_from_tokens
-
     docs = load_table(spark, sf_dir, "documents")
-    sh_arr = F.transform(
-        "shs", lambda s: F.struct(s.alias("sh"), F.col("doc_id").alias("d"))
+    # Shingle IDENTITY without shingle strings (r11, the
+    # corpus_source_overlap finding): novelty consumes only distinct
+    # counts and per-shingle min-doc — never the text — so hash each
+    # 3-token window directly (3-arg xxhash64) and dedupe the LONG array
+    # in-row; no concat_ws string per window, long-keyed aggregates
+    # (whitespace tokens keep window <-> string bijective; 2^-64
+    # collision doctrine, oracle-diffed at sf0.001/0.01).
+    _slots = ", ".join(
+        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(3)
+    )
+    _hs = (
+        "CASE WHEN size(toks) >= 3 THEN array_distinct("
+        "transform(sequence(1, size(toks) - 2), "
+        f"i -> xxhash64({_slots}))) "
+        "ELSE CAST(array() AS array<bigint>) END"
     )
     postings = (
         fanout(docs, F.col("doc_id"))
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
-        .select("doc_id", shingles_from_tokens("toks", 3).alias("shs"))
-        .select(F.explode(sh_arr).alias("p"))
+        .selectExpr("doc_id", f"{_hs} AS hs")
+        .selectExpr(
+            "explode(transform(hs, x -> struct(x AS sh, doc_id AS d))) AS p"
+        )
         .select(F.col("p.sh").alias("sh"), F.col("p.d").alias("doc_id"))
     )
     tot = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
-from ..functions.text import shingles_from_tokens, tokens
+from ..functions.text import tokens
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
@@ -344,15 +344,26 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("v")
     )
+    # Bigram IDENTITY without bigram strings (r11, the
+    # corpus_source_overlap finding): the lexical leg consumes only
+    # size(array_intersect(...)), so hash each 2-token window directly
+    # (two-arg xxhash64) and dedupe/intersect LONG arrays — no concat_ws
+    # string per window (whitespace tokens keep window <-> string
+    # bijective; 2^-64 collision doctrine, oracle-diffed at 2 SFs).
+    _hs2 = (
+        "CASE WHEN size(toks) >= 2 THEN array_distinct("
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> xxhash64(element_at(toks, i), "
+        "element_at(toks, CAST(i AS INT) + 1)))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
     univ = (
         docs.join(emb, "doc_id")
         # NOT fanout-pinned: both consumers are query-count-bounded slices;
         # pinning measured neutral-to-negative (A/B: 2.15 vs 2.02 s).
         .repartition(F.col("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("toks"), "v")
-        .select(
-            "doc_id", shingles_from_tokens("toks", 2).alias("shs"), "v"
-        )
+        .selectExpr("doc_id", f"{_hs2} AS shs", "v")
     )
     q = univ.filter(F.col("doc_id") < _RRF_QUERIES).select(
         F.col("doc_id").alias("query_id"),
