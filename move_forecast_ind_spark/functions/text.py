@@ -59,6 +59,36 @@ def sql_shingles_from_tokens(toks: str, k: int = 3) -> str:
     )
 
 
+def sql_hashed_windows(toks: str, k: int) -> str:
+    """Distinct k-token window HASHES (k-arg xxhash64 over the token
+    slots) from a MATERIALIZED token-array column — the hash-identity
+    twin of :func:`sql_shingles_from_tokens` for consumers that need
+    shingle identity/counts but never the text (r11 single source of
+    truth; six call sites — jaccard/minhash verify, source-overlap,
+    decontaminate, ngram-novelty, rrf lexical leg).
+
+    Why it exists: building the k-gram STRINGS (concat_ws per window +
+    string-array dedup) was measured as the dominant map-side cost of
+    the whole shingle tier at the 100× probe — not the shuffles. Hashing
+    the token slots directly and deduping LONGs is 2-6× cheaper and
+    shrinks every downstream shuffle/broadcast to 8-byte keys. Equal to
+    the string semantics because whitespace-split tokens make the window
+    ↔ "a b c" string bijective; collisions are 2^-64-scale and the
+    DuckDB oracle diff guards them (same doctrine as the hash-keyed
+    inverted index). Do NOT use where the oracle checks hash VALUES
+    derived from the text (simhash, winnowing fingerprints) or where the
+    gram itself is output (tf-idf, textrank keywords)."""
+    slots = ", ".join(
+        f"element_at({toks}, CAST(i AS INT) + {j})" for j in range(k)
+    )
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> xxhash64({slots}))) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles from a MATERIALIZED token-array column;
     empty for short docs (guarded — Spark's ``sequence`` would count *down*

@@ -30,6 +30,7 @@ from ..functions.text import (
     TOKENS_SQL,
     fingerprint,
     shingles_from_tokens,
+    sql_hashed_windows,
     tokens,
 )
 from .materialize import materialize
@@ -179,22 +180,13 @@ def jaccard_pairs(
     # the hash-keyed index below already relied on). A/B at the 100x
     # probe: the map-side string materialization - not the shuffle - was
     # the dominant cost of this tier.
-    _slots = ", ".join(
-        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k)
-    )
-    _hs = (
-        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
-        f"transform(sequence(1, size(toks) - {k - 1}), "
-        f"i -> xxhash64({_slots}))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     sets = (
         fanout(docs.filter(F.length(F.col(text_col)) < _NMASK), F.col(id_col))
         .selectExpr(
             f"`{id_col}` AS doc_id",
             f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
-        .selectExpr("doc_id", f"{_hs} AS shs")
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', k)} AS shs")
     )
     if candidates is not None:
         # candidate_ids lets the caller supply the member-id set from a
@@ -578,22 +570,13 @@ def minhash_dedup_pairs(
     # collision doctrine), and skipping the concat_ws string build +
     # string-array dedup/intersect was the dominant map-side cost of the
     # tier at the 100x probe (corpus_source_overlap finding).
-    _vslots = ", ".join(
-        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k)
-    )
-    _vhs = (
-        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
-        f"transform(sequence(1, size(toks) - {k - 1}), "
-        f"i -> xxhash64({_vslots}))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     vsets = materialize(
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .selectExpr(
             f"`{id_col}` AS doc_id",
             f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
-        .selectExpr("doc_id", f"{_vhs} AS shs"),
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', k)} AS shs"),
         "minhash-vsets",
     )
     # ^ materialized because BOTH verify sides consume it and the cand

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r2, r4, r6
-from ..functions.text import tokens
+from ..functions.text import sql_hashed_windows, tokens
 from ..functions.vectors import as_double
 from ..session import tune
 from ..sources import load_table
@@ -625,19 +625,10 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-row; no concat_ws string per window, long-keyed aggregates
     # (whitespace tokens keep window <-> string bijective; 2^-64
     # collision doctrine, oracle-diffed at sf0.001/0.01).
-    _slots = ", ".join(
-        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(3)
-    )
-    _hs = (
-        "CASE WHEN size(toks) >= 3 THEN array_distinct("
-        "transform(sequence(1, size(toks) - 2), "
-        f"i -> xxhash64({_slots}))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     postings = (
         fanout(docs, F.col("doc_id"))
         .select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
-        .selectExpr("doc_id", f"{_hs} AS hs")
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', 3)} AS hs")
         .selectExpr(
             "explode(transform(hs, x -> struct(x AS sh, doc_id AS d))) AS p"
         )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r2, r4, r6, sql_r6
-from ..functions.text import fingerprint, tokens
+from ..functions.text import fingerprint, sql_hashed_windows, tokens
 from ..session import tune
 from ..sources import load_table
 from .registry import register
@@ -191,18 +191,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat_ws string per window, a string-free broadcast set, and the
     # join hashes longs (whitespace tokens keep window <-> string
     # bijective; 2^-64 collision doctrine, oracle-diffed at 3 SFs).
-    _slots = ", ".join(
-        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(_DECON_K)
-    )
-    _ghs = (
-        f"CASE WHEN size(toks) >= {_DECON_K} THEN array_distinct("
-        f"transform(sequence(1, size(toks) - {_DECON_K - 1}), "
-        f"i -> xxhash64({_slots}))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     grams = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
-    ).selectExpr("doc_id", f"explode({_ghs}) AS gram")
+    ).selectExpr(
+        "doc_id", f"explode({sql_hashed_windows('toks', _DECON_K)}) AS gram"
+    )
     ev = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")

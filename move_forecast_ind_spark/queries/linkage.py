@@ -564,7 +564,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard-index trick, operators/dedup.py:163): the matrix only needs
     # shingle IDENTITY, never the text; collisions are 2^-64-scale and the
     # oracle diff at 3 SFs guards them.
-    from ..functions.text import TOKENS_SQL
+    from ..functions.text import TOKENS_SQL, sql_hashed_windows
     from ..operators.dedup import fanout
 
     # expr strings (construction-cost doctrine — lloyd_assign); trees
@@ -593,17 +593,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r10 "row-vs-columnar" residual, not the shuffle (the aggregate
     # reduces 25.6 M rows to 84.7 k groups, so the exchange is tiny).
     # Codec A/B same session (lz4 vs zstd): 12.9 vs 13.5 s — rejected.
-    _hs = (
-        "CASE WHEN size(toks) >= 2 THEN array_distinct("
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> xxhash64(element_at(toks, i), "
-        "element_at(toks, CAST(i AS INT) + 1)))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     dh = (
         fanout(docs.join(F.broadcast(srcs), "source"), F.col("doc_id"))
         .selectExpr("sc", f"{TOKENS_SQL.format(col='text')} AS toks")
-        .selectExpr("sc", f"{_hs} AS hs")
+        .selectExpr("sc", f"{sql_hashed_windows('toks', 2)} AS hs")
         .selectExpr(
             "explode(transform(hs, x -> struct(x AS h, sc AS sc))) AS p"
         )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
-from ..functions.text import tokens
+from ..functions.text import sql_hashed_windows, tokens
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
@@ -350,20 +350,13 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two-arg xxhash64) and dedupe/intersect LONG arrays — no concat_ws
     # string per window (whitespace tokens keep window <-> string
     # bijective; 2^-64 collision doctrine, oracle-diffed at 2 SFs).
-    _hs2 = (
-        "CASE WHEN size(toks) >= 2 THEN array_distinct("
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> xxhash64(element_at(toks, i), "
-        "element_at(toks, CAST(i AS INT) + 1)))) "
-        "ELSE CAST(array() AS array<bigint>) END"
-    )
     univ = (
         docs.join(emb, "doc_id")
         # NOT fanout-pinned: both consumers are query-count-bounded slices;
         # pinning measured neutral-to-negative (A/B: 2.15 vs 2.02 s).
         .repartition(F.col("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("toks"), "v")
-        .selectExpr("doc_id", f"{_hs2} AS shs", "v")
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', 2)} AS shs", "v")
     )
     q = univ.filter(F.col("doc_id") < _RRF_QUERIES).select(
         F.col("doc_id").alias("query_id"),
