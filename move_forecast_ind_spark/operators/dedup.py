@@ -161,6 +161,15 @@ def jaccard_pairs(
       candidate docs' postings, not the corpus's — plus an exact
       pair-level semi at the end (the id-level semi still admits cross
       pairs between unrelated candidates).
+    - ``candidate_ids`` (only read when ``candidates`` is given): a
+      single-column ``doc_id`` frame the caller already has that is a
+      SUPERSET of every id appearing in ``candidates`` — supplying it
+      skips the union+distinct over 2× the pair rows. CONTRACT: a
+      superset is harmless (extra docs are dropped by the final
+      pair-level semi); a strict SUBSET silently drops docs from the
+      shingle-set build and true pairs vanish with no error. If you
+      cannot prove the superset property, pass ``None`` and let the
+      ids be derived from ``candidates`` itself.
     """
     _NBITS, _NMASK = 24, (1 << 24) - 1
     # Overflow guard for the pk packing below: distinct shingles ≤ token

@@ -5826,9 +5826,12 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; everything else shuffles one row per surviving candidate."""
     tune(spark)
     sl0 = _coactivity_sliced(spark, sf_dir, _TRI_BUCKET_S, _LINKPRED_MAX_NBRS)
-    # fanout before the per-user pair expansion: the slim checkpoint is
-    # 8 files, so unpinned the cap^2 pair fan-out would run on 8 tasks
-    # (r9 10x probe: 73 s serialized before the pin).
+    # fanout before the per-user pair expansion: sl0 arrives either as
+    # the 8-file slim checkpoint (solo path) or as a lazy slice over the
+    # persisted shared adjacency (_ADJ_CACHE pipeline path) — both
+    # shapes are narrow-partitioned, so unpinned the cap^2 pair fan-out
+    # would run on a handful of tasks (r9 10x probe: 73 s serialized
+    # before the pin). fanout repartitions either way.
     sl = fanout(sl0, F.col("i")).select("i", "deg", "sn")
     contrib = sl.filter(F.col("deg") >= 2).select(
         (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),

@@ -432,6 +432,43 @@ def test_tokens_sql_twin_matches_tokens_column(spark):
         assert r.a == r.b
 
 
+def test_hashed_windows_identity_matches_string_shingles(spark):
+    """sql_hashed_windows (the r11 hash-identity shingle twin backing six
+    call sites) must produce exactly one distinct LONG per distinct
+    k-gram STRING that sql_shingles_from_tokens produces — the identity
+    contract every consumer (jaccard/minhash verify, source-overlap,
+    decontaminate, ngram-novelty, rrf lexical leg) relies on. Checked as
+    size-equality per doc across k in {2, 3, 8}, including the short-doc
+    (size < k) empty-array branch (ADVICE r11: the contract was only
+    covered transitively via oracle diffs before this pin)."""
+    from pyspark.sql import functions as F
+
+    from move_forecast_ind_spark.functions.text import (
+        sql_hashed_windows,
+        sql_shingles_from_tokens,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a",),
+            ("one two",),
+            ("the quick brown fox jumps over the lazy dog",),
+            ("rep rep rep rep rep",),
+            ("  leading and   multi  space  tokens here now ok",),
+            ("x y x y x y x y x y x y",),
+        ],
+        ["text"],
+    ).select(tokens(F.col("text")).alias("toks"))
+    for k in (2, 3, 8):
+        out = df.select(
+            F.size(F.expr(sql_hashed_windows("toks", k))).alias("nh"),
+            F.size(F.expr(sql_shingles_from_tokens("toks", k))).alias("ns"),
+        ).collect()
+        for r in out:
+            assert r.nh == r.ns, (k, r)
+
+
 def test_text_sql_twins_match_columns(spark):
     """The r10 expr-string twins (sql_marker_hits / sql_langid /
     sql_token_count / sql_punct_ratio / sql_quality_score) must agree
