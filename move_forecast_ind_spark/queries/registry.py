@@ -56,65 +56,65 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-11 front: slot 1 closes the evidence
-# book — ``events_markov_stationary`` is the ONLY oracle-bearing query never
-# driver-sampled across r1-r10 (VERDICT r10 item #1; pre-checked green at
-# sf0.01 by builder and judge). Slots 2-50 are suggest_next_front()'s
-# longest-unsampled rotation (r1-era relational core, unsampled since r1 —
-# evidence freshness now that the never-sampled backlog is done). Everything
-# here passes the identical local oracle gate (tests/test_oracle.py); this
-# is evidence routing, not a semantics change.
+# 50 entries of ``queries()``. Round-12 front: the never-sampled backlog
+# closed in r11 (every oracle-bearing name driver-checked at least once),
+# so this is pure evidence-freshness rotation — suggest_next_front()'s
+# longest-unsampled 50 under the numeric latest-round key (r2/r3-era
+# text/similarity/multimodal/TPC-H tier plus the r4-era winnow/streaming
+# names, all unsampled for 8+ rounds). Everything here passes the identical
+# local oracle gate (tests/test_oracle.py); this is evidence routing, not a
+# semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "events_markov_stationary",
-    "q1_pricing_summary",
-    "s2_scan_year_range",
-    "p1_projection_rename",
-    "p3_filter_compound",
-    "p10_null_validity_probe",
-    "f_date_functions",
-    "f6_year_projection",
-    "f_numeric_functions",
-    "f12_band_classification",
-    "f_string_functions",
-    "f_json_functions",
-    "o3_date_sequence",
-    "a2_groupby_sum_4key",
-    "a4_groupby_sum_orderby",
-    "a5_global_aggregate",
-    "a6_distinct",
-    "a_count_distinct",
-    "a_percentiles",
-    "a_stats_moments",
-    "a_cube",
-    "a_rollup",
-    "a_grouping_sets",
-    "a_conditional_aggregate",
-    "a_collect_list_nested",
-    "a_pivot",
-    "j1_broadcast_dim_join",
-    "j_sortmerge_join",
-    "j3_left_outer_coalesce",
-    "j5_semi_join",
-    "j_anti_join",
-    "j_full_outer_join",
-    "j_cross_join",
-    "j_multiway_star_join",
-    "j_range_join",
-    "w_row_number_topk_per_group",
-    "w_lag_lead",
-    "w_running_sum",
-    "w_rank_dense_ntile",
-    "w_range_frame_avg",
-    "o_global_topk",
-    "o_multi_column_sort",
-    "w_first_last_nth",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "a_approx_count_distinct",
-    "a_percentile_approx",
+    "a_approx_top_k",
+    "a_hll_sketch_distinct",
+    "a_pivot_dynamic",
+    "pct_month_grain",
+    "forecast_summary",
+    "trends_onepass",
+    "trends_by_move_type",
+    "trends_nested_by_year",
+    "trends_cross_year_window",
+    "forecast_tail_demoted_move_type",
+    "dedup_exact",
+    "text_fingerprint",
+    "dedup_simhash",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_token_topk",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "emb_norm_stats",
+    "mm_binary_metadata",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "dedup_embedding_cosine",
+    "sim_ann_ivf",
+    "text_bpe_ish_token_count",
+    "pipeline_training_data_prep",
+    "ml_linreg_forecast",
+    "svc_trends_request",
+    "q3_shipping_priority",
+    "q6_forecast_revenue_change",
+    "s_deterministic_sample",
+    "q13_customer_distribution",
+    "f_python_udtf_expand",
+    "q2_correlated_scalar_max",
+    "q4_order_priority_exists",
+    "q14_promo_revenue",
+    "q21_exists_chain",
+    "q22_anti_with_scalar",
+    "j_asof_join",
+    "pct_etl",
+    "forecast_tail_daily",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_clusters",
+    "mm_decode_real",
+    "st_tumbling_counts",
+    "st_sliding_counts",
 )
 
 
@@ -140,7 +140,18 @@ def suggest_next_front(max_size: int = 50) -> list[str]:
     witho = [n for n in REGISTRY if REGISTRY[n].oracle is not None]
     never = [n for n in witho if n not in _SAMPLED_ROUNDS and n not in _DRIVER_FRONT]
     rest = [n for n in witho if n not in never]
-    rest.sort(key=lambda n: _SAMPLED_ROUNDS.get(n, ()))
+    # Longest-unsampled = smallest LATEST round, numerically. Sorting by
+    # the raw tuple is wrong twice over once every name has history:
+    # lexicographic 'r1…' < 'r2' ranks a just-resampled ('r1','r11')
+    # ahead of ('r2',), and 'r11' < 'r2' as strings inverts recency —
+    # the r12 bake surfaced both (the suggestion was re-listing the
+    # names the driver had just sampled).
+    rest.sort(
+        key=lambda n: max(
+            (int(r.lstrip("r")) for r in _SAMPLED_ROUNDS.get(n, ())),
+            default=0,
+        )
+    )
     return (never + rest)[:max_size]
 
 
