@@ -69,6 +69,39 @@ def test_registry_invariants():
     assert not missing, f"driver front references unknown queries: {missing}"
 
 
+def test_suggest_next_front_prefers_longest_unsampled():
+    """The rotation helper must rank by the NUMERIC latest sampled round,
+    not the raw tuple (r12 fix: lexicographic 'r1…' < 'r2' re-ranked a
+    just-resampled ('r1','r11') name ahead of ('r2',), and 'r11' < 'r2'
+    inverted recency once every name had history). Pin: no name whose
+    latest sample is the MOST RECENT recorded round may appear in the
+    suggestion while an older-evidence oracle-bearing name was left out."""
+    from move_forecast_ind_spark.queries.registry import (
+        _SAMPLED_ROUNDS,
+        suggest_next_front,
+    )
+
+    def latest(n):
+        return max(
+            (int(r.lstrip("r")) for r in _SAMPLED_ROUNDS.get(n, ())),
+            default=0,
+        )
+
+    front = suggest_next_front()
+    assert len(front) == 50
+    newest = max(latest(n) for n in _SAMPLED_ROUNDS)
+    left_out = [
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in front
+    ]
+    if any(latest(n) < newest for n in left_out):
+        stale_picks = [n for n in front if latest(n) == newest]
+        assert not stale_picks, (
+            f"front re-suggests freshly sampled names: {stale_picks}"
+        )
+
+
 def test_oracle_output_types_are_portable(duck):
     """No oracle may emit a HUGEINT/UHUGEINT/INT128 or DECIMAL output
     column (round-7 finding: `mm_ahash_dedup`'s uncast DuckDB
