@@ -5812,11 +5812,20 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is one map-side-combinable shuffle at HALF the ordered
     volume and is checkpointed (it feeds both the membership pass and
     the result); existing edges leave by STREAMING the raw co-activity
-    pairs through a broadcast semi join against the candidate keys
-    (|cand| <= cap^2/2 * |V| - the same |V|-bounded broadcast class as
-    the degree/id maps already in this family; no |E|-sized shuffle and
-    no |E|-sized hash build - the r10 anti join shuffled AND hash-built
-    all ~149 M edges, 34 s of the 100x wall) plus a candidate-sized anti
+    pairs through a broadcast semi join against the candidate keys.
+    The honest broadcast bound (ADVICE r11): |cand| <= cap^2/2 * |V| =
+    512*|V| keys at cap=32 - a 512x LARGER constant than the degree/id
+    maps this family also broadcasts, so candidate SPARSITY is what
+    keeps it cheap in practice: measured at the 100x probe, |V| =
+    150,000 and |cand| = 1.82 M rows (~27 MiB raw, 2.4% of the bound)
+    because co-activity candidates concentrate in shared time buckets.
+    If a deployment's bucket density pushed |cand| toward the 512*|V|
+    bound past the 8 GiB broadcast limit, flip this semi join to the
+    same shuffle_hash pin the anti join below already carries - it
+    trades one candidate-sized shuffle for the broadcast, never an
+    |E|-sized one. (No |E|-sized shuffle and no |E|-sized hash build
+    either way - the r10 anti join shuffled AND hash-built all ~149 M
+    edges, 34 s of the 100x wall.) Plus a candidate-sized anti
     join; both orientations fan back out in-row after the membership
     filter (cn and the w-sum are orientation-symmetric - the
     contributing src set for (a,b) equals that for (b,a), so the
