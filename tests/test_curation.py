@@ -442,3 +442,52 @@ def test_modal_agreement_scopes(spark):
         assert r.n_pairs == sizes[r.label] - 1
         assert 0.0 <= r.mean_jaccard <= 1.0
     assert 0.0 <= inter[0].mean_jaccard <= 1.0
+
+
+def test_bigram_lm_derived_unigram_margin_identity(spark):
+    """The r12 bigram-LM rewrite derives the unigram margin from the
+    bigram model table — c1(w1) = Σ_w2 c12(w1,w2) — instead of a second
+    full-stream aggregate. The identity holds because every bigram
+    occurrence contributes exactly one w1 occurrence; this pins it
+    directly (not just transitively via the oracle diff): the derived
+    margin must equal the direct per-first-token count of the bigram
+    stream, and the margin total must equal the bigram total."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a a a"),
+            (3, "solo"),
+            (4, "x y z x y"),
+            (5, "b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    from move_forecast_ind_spark.functions.text import tokens
+
+    n_t = F.size("w")
+    bg = (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .filter(n_t >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    direct = {
+        r.w1: r.c for r in bg.groupBy("w1").agg(F.count("*").alias("c")).collect()
+    }
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    derived = {
+        r.w1: r.c
+        for r in c12.groupBy("w1").agg(F.sum("c12").alias("c")).collect()
+    }
+    assert derived == direct
+    assert sum(derived.values()) == bg.count()
