@@ -27,7 +27,9 @@ def materialize(
 ) -> DataFrame:
     """Cut ``df``'s lineage so multi-consumer plans compute it once.
 
-    mode (default from ``SPARK_GRAFT_MATERIALIZE``, else ``local``):
+    mode (default from ``SPARK_GRAFT_MATERIALIZE``, else TOPOLOGY-AWARE:
+    ``local`` on a ``local[N]`` master, ``parquet`` on anything
+    multi-executor — see :func:`_default_mode`):
 
     - ``local`` — ``localCheckpoint(eager=True)``: blocks in the executor
       block manager (MEMORY_AND_DISK), no parquet encode/commit round-trip.
@@ -35,15 +37,18 @@ def materialize(
       the parquet path (the parquet write's fixed job+commit cost dominates
       at small-derived-frame sizes). Caveats at cluster scale: blocks are
       NOT fault-tolerant (a lost executor fails the job rather than
-      recomputing) and they occupy storage memory — use for latency-bound
-      serving/bench paths.
+      recomputing — r12 ``tools/fault_check.py`` demonstrates the failure
+      with a real SIGKILL) and they occupy storage memory — the
+      latency-bound single-JVM bench/serving path.
     - ``parquet`` — :func:`checkpoint_parquet`: durable, spillable,
       partition-prunable; the 100 TB batch default (point
-      ``SPARK_GRAFT_CKPT_DIR`` at shared storage).
+      ``SPARK_GRAFT_CKPT_DIR`` at shared storage). Survives executor
+      loss: the re-read recomputes only the lost partitions' consumers
+      (fault_check: hash-exact through a mid-query executor SIGKILL).
     - ``none`` — no materialization (every consumer recomputes the
       subtree; only sane when the subtree is a pruned scan).
     """
-    mode = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    mode = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE") or _default_mode(df)
     if mode == "none":
         return df
     if mode == "local":
@@ -52,6 +57,21 @@ def materialize(
         # a handful of files keeps re-scan task counts sane for small frames
         return checkpoint_parquet(df, label, npartitions=8)
     raise ValueError(f"unknown materialize mode {mode!r}")
+
+
+def _default_mode(df: DataFrame) -> str:
+    """Topology-aware default (r12): ``local`` only when the master is a
+    single-JVM ``local[N]`` — there executor loss means process death and
+    localCheckpoint's speed is free — otherwise ``parquet``, so any REAL
+    multi-executor deployment (local-cluster, standalone, YARN, k8s) is
+    fault-tolerant BY DEFAULT rather than by remembering an env var.
+    ``SPARK_GRAFT_MATERIALIZE`` still overrides both ways (e.g. ``local``
+    to bench a healthy cluster's fast path)."""
+    try:
+        master = df.sparkSession.sparkContext.master
+    except Exception:  # pragma: no cover - Connect sessions lack a SC
+        return "parquet"
+    return "local" if master.startswith("local[") else "parquet"
 
 
 def checkpoint_parquet(

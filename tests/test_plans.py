@@ -210,3 +210,45 @@ def test_column_profile_single_scan_expand(spark):
     plan = _plan(REGISTRY["dq_column_profile"].fn(spark, SF_SMALL))
     assert plan.lower().count("scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_materialize_default_mode_is_topology_aware(spark, monkeypatch):
+    """r12: with no SPARK_GRAFT_MATERIALIZE set, materialize() picks
+    localCheckpoint only on a single-JVM local[N] master and durable
+    parquet on anything multi-executor — fault tolerance by default on
+    real clusters (tools/fault_check.py demonstrates localCheckpoint
+    failing an executor SIGKILL), fast path preserved for the bench.
+    The env var still overrides."""
+    import os
+
+    from move_forecast_ind_spark.operators.materialize import (
+        _default_mode,
+        materialize,
+    )
+
+    df = spark.range(3)
+    # the test session master is local[N] -> 'local'
+    assert spark.sparkContext.master.startswith("local[")
+    assert _default_mode(df) == "local"
+
+    class _FakeSC:
+        master = "local-cluster[2,16,24576]"
+
+    class _FakeSession:
+        sparkContext = _FakeSC()
+
+    class _FakeDF:
+        sparkSession = _FakeSession()
+
+    assert _default_mode(_FakeDF()) == "parquet"
+    _FakeSC.master = "spark://host:7077"
+    assert _default_mode(_FakeDF()) == "parquet"
+    _FakeSC.master = "local[*]"
+    assert _default_mode(_FakeDF()) == "local"
+
+    # env override beats topology; explicit mode beats both
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    out = materialize(df, "modecheck")
+    assert out is df  # 'none' returns the frame untouched
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE")
+    assert materialize(df, "modecheck", mode="none") is df
