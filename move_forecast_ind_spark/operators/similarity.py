@@ -177,10 +177,17 @@ def fit_centroids(
     feats = corpus.select(
         as_double(F.col("embedding")).alias("arr")
     ).select(array_to_vector("arr").alias("features"))
+    spark = corpus.sparkSession
+    # An empty corpus slice has no quantizer to fit: return an empty
+    # centroid frame (downstream cell joins then yield no candidates)
+    # instead of letting MLlib KMeans throw on zero rows — the
+    # empty-in -> empty-out contract (r12 empty-input sweep). The probe
+    # is a limit-1 scan, negligible next to the fit it guards.
+    if feats.isEmpty():
+        return spark.createDataFrame([], "cent_id int, cv array<double>")
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
     ).fit(feats)
-    spark = corpus.sparkSession
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

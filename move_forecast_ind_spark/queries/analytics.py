@@ -1265,6 +1265,13 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram, schema="n long, s array<double>, xx array<double>"
     ).collect()
     n_tot = sum(p["n"] for p in parts)
+    if n_tot == 0:
+        # empty slice: no covariance to iterate on — empty projection
+        # with the output schema, like the oracle's 0 rows (r12
+        # empty-input sweep), instead of a NaN in the driver-side fit
+        return emb.select(
+            "vec_id", "label", F.lit(None).cast("double").alias("pc1_proj")
+        )
     s_tot = np.zeros(d, dtype=np.float64)
     xx_tot = np.zeros(d * d, dtype=np.float64)
     for p in parts:
@@ -6025,12 +6032,17 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         "mbar",
         "ms",
+        # nb < 2 (an empty slice) -> NULL se/CI like the oracle, not an
+        # ANSI error from element_at on the empty ms (r12 empty-input
+        # sweep); at any real SF nb = _BOOT_B and the guards are
+        # constant-true.
         F.expr(
+            "CASE WHEN nb >= 2 THEN "
             "sqrt(aggregate(ms, 0D, (acc, x) -> acc + (x - mbar) * (x - mbar))"
-            " / (nb - 1))"
+            " / (nb - 1)) END"
         ).alias("se"),
-        F.element_at("ms", 3).alias("lo"),
-        F.element_at("ms", 98).alias("hi"),
+        F.expr("try_element_at(ms, 3)").alias("lo"),
+        F.expr("try_element_at(ms, 98)").alias("hi"),
     )
     pt = p.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

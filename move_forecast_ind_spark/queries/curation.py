@@ -847,16 +847,25 @@ def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+    # Zero funnel stages (an empty slice) yield NULL rates like the
+    # oracle's x/0, not an ANSI divide-by-zero (r12 empty-input sweep).
     return counts.select(
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
         r6(
-            F.col("n_click_after_view").cast("double") / F.col("n_view")
+            F.when(
+                F.col("n_view") > 0,
+                F.col("n_click_after_view").cast("double")
+                / F.col("n_view"),
+            )
         ).alias("view_to_click"),
         r6(
-            F.col("n_purchase_after_click").cast("double")
-            / F.col("n_click_after_view")
+            F.when(
+                F.col("n_click_after_view") > 0,
+                F.col("n_purchase_after_click").cast("double")
+                / F.col("n_click_after_view"),
+            )
         ).alias("click_to_purchase"),
     )
 

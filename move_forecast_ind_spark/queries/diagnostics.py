@@ -1109,6 +1109,14 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile("o_orderstatus", False))
         .unionAll(profile("o_orderpriority", False))
     )
+    # Zero-count eras (an empty slice) must yield NULL rates like the
+    # oracle's x/0, not an ANSI divide-by-zero (r12 empty-input sweep);
+    # at every real SF the guards are constant-true.
+    def _ratio(num: str, den: str):
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+        )
+
     return per.select(
         "col_name",
         "n_a",
@@ -1117,11 +1125,14 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_b",
         "ndv_a",
         "ndv_b",
-        r6(F.col("null_a").cast("double") / F.col("n_a")).alias("null_rate_a"),
-        r6(F.col("null_b").cast("double") / F.col("n_b")).alias("null_rate_b"),
-        r6(F.col("ndv_b").cast("double") / F.col("ndv_a")).alias("ndv_ratio"),
+        r6(_ratio("null_a", "n_a")).alias("null_rate_a"),
+        r6(_ratio("null_b", "n_b")).alias("null_rate_b"),
+        r6(_ratio("ndv_b", "ndv_a")).alias("ndv_ratio"),
         F.when(
-            F.col("cents_a").isNull(), F.lit(None).cast("double")
+            F.col("cents_a").isNull()
+            | (F.col("n_a") == 0)
+            | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
         )
         .otherwise(
             r4(

@@ -1424,6 +1424,10 @@ def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = daily.agg(
         F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a")
     )
+    # An empty slice collects an empty day array: drop the single agg
+    # row (oracle yields 0 rows) rather than let element_at(a, 1) throw
+    # under ANSI (r12 empty-input sweep); constant-true at any real SF.
+    arr = arr.filter(F.size("a") >= 1)
     first = F.element_at(F.col("a"), 1)
     out_t = "array<struct<day:date,y:bigint,x:double,k:double>>"
     init = F.struct(
@@ -1991,8 +1995,11 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN n_candidates > 0 THEN "
         f"{sql_r6('CAST(n_hits AS DOUBLE) / n_candidates')} "
         "ELSE CAST(NULL AS DOUBLE) END AS precision_",
+        # n_docs = 0 (an empty corpus slice) must yield NULL like the
+        # oracle, not an ANSI divide-by-zero (r12 empty-input sweep)
+        "CASE WHEN n_docs > 0 THEN "
         f"{sql_r4('CAST(n_candidates AS DOUBLE) / n_docs')} "
-        "AS candidates_per_doc",
+        "ELSE CAST(NULL AS DOUBLE) END AS candidates_per_doc",
     )
 
 

@@ -374,7 +374,15 @@ def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f).alias("state"),
             F.col(f"n_{f}").alias("n_transitions"),
             r6(F.col(f"a_{f}")).alias("p_convert_1step"),
-            r6(F.element_at(F.col("tv"), i + 1)).alias("expected_steps"),
+            # zero-row transition table (empty slice): n_f aggregates to
+            # NULL and the fold's 1+Q·t layers must report NULL expected
+            # steps like the oracle, not the fold's 0-seed (r12
+            # empty-input sweep); with any rows present n_f is 0+ and
+            # the guard passes through
+            F.when(
+                F.col(f"n_{f}").isNotNull(),
+                r6(F.element_at(F.col("tv"), i + 1)),
+            ).alias("expected_steps"),
         )
         for i, f in enumerate(sts)
     ]

@@ -406,6 +406,13 @@ def ml_mllib_global_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_series(spark, sf_dir).filter(
         F.col("ds") <= F.lit(CUTOFF).cast("date")
     )
+    if daily.isEmpty():
+        # empty history: nothing to fit — empty scored frame with the
+        # output schema instead of an MLlib fit error on zero rows
+        # (r12 empty-input sweep; limit-1 probe, negligible vs the fit)
+        return spark.createDataFrame(
+            [], "branch bigint, ds date, yhat double, count bigint"
+        )
     model = fit_global_model(daily)
     frame = _future_frame(spark, "1999-06-01", "1999-06-07", n_branches=10)
     return score_global_model(model, frame)

@@ -395,12 +395,19 @@ def _recall_vs_brute(ann: DataFrame, brute: DataFrame, k: int, floor: float) -> 
         on=["query_id", "neighbor_id"],
         how="left",
     )
+    # Zero queries (an empty slice) -> vacuously-true recall, like the
+    # oracle's literal on zero rows — not an ANSI divide-by-zero
+    # (r12 empty-input sweep).
+    n_pool = F.count(F.lit(1))
     return hits.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.lit(k).alias("k"),
-        (
-            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)) >= F.lit(floor)
-        ).alias("recall_ok"),
+        F.when(
+            n_pool > 0,
+            F.coalesce(F.sum("hit"), F.lit(0)) / n_pool >= F.lit(floor),
+        )
+        .otherwise(F.lit(True))
+        .alias("recall_ok"),
     )
 
 

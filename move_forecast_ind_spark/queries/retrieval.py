@@ -594,13 +594,19 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(sel, t) -> array_append(sel, {_mmr_pick()}))"
         ),
     )
-    return one.select(
-        F.posexplode("sel").alias("pos", "s")
-    ).select(
-        (F.col("pos") + 1).cast("long").alias("step"),
-        F.col("s.vec_id").alias("vec_id"),
-        r6(F.col("s.rel")).alias("rel"),
-        r6(F.col("s.mmr")).alias("mmr"),
+    return (
+        one.select(F.posexplode("sel").alias("pos", "s"))
+        # an empty pool (empty slice) folds k placeholder picks with
+        # NULL vec_id — drop them so empty-in -> empty-out like the
+        # oracle (r12 empty-input sweep); at any real SF the pool
+        # covers every step and this filter passes all rows
+        .filter(F.col("s.vec_id").isNotNull())
+        .select(
+            (F.col("pos") + 1).cast("long").alias("step"),
+            F.col("s.vec_id").alias("vec_id"),
+            r6(F.col("s.rel")).alias("rel"),
+            r6(F.col("s.mmr")).alias("mmr"),
+        )
     )
 
 

@@ -1,0 +1,152 @@
+"""Degenerate-input (0-row) behavior — the r12 empty-input sweep class.
+
+At 100 TB, empty slices are routine (a date filter matching nothing, an
+empty partition of a new source, a fresh tenant): a query that throws on
+zero rows is an operational hazard, not a corner case. The r12 sweep ran
+every oracle-bearing registry entry against a schema-identical 0-row
+dataset and found 17 divergences; 11 were fixed (ANSI divide-by-zero,
+element_at on empty aggregates, MLlib fits on zero rows, placeholder
+rows) and are pinned here as oracle-equal; the rest are ADJUDICATED
+engine/API differences, pinned in their divergent shape so a future
+change is a deliberate decision:
+
+- GROUP BY CUBE/ROLLUP/GROUPING SETS on a 0-row input: the SQL standard
+  (and DuckDB) emit ONE row for the grand-total () grouping set; Spark
+  emits none. Re-shaping Spark's single-Expand aggregate to inject the
+  row would trade the scale-right plan for a degenerate-input nicety —
+  declined. Affects output ONLY when the entire input is empty.
+- Dynamic pivot derives its columns FROM the data: zero rows → zero
+  pivot columns, while the oracle must hardcode a static column list.
+  Inherent to "dynamic"; schema-divergent on empty by definition.
+- svc_forecast_request raises RequestError for an unknown branch — on
+  empty data every branch is unknown. That is the reference API's own
+  404 contract (reference main.py raises HTTPException), faithfully
+  mirrored; empty-in -> error is CORRECT for the service layer.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from move_forecast_ind_spark.queries import REGISTRY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# fixed in r12: empty-in -> oracle-equal-out (plus well-typed schema)
+FIXED = [
+    "a_bootstrap_ci",
+    "dedup_lsh_candidate_eval",
+    "dq_schema_drift",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "w_funnel_conversion",
+    "ts_kalman_level",
+    "ml_pca_power_iteration",
+    "emb_mmr_select",
+    "events_absorbing_markov",
+]
+# a representative always-was-clean core, one per family, kept green
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "j1_broadcast_dim_join",
+    "w_running_sum",
+    "set_union_all",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_bigram_lm_score",
+    "events_pagerank",
+    "text_stats",
+    "pct_etl",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        sch = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(sch.empty_table(), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FIXED + REPRESENTATIVE)
+def test_empty_input_matches_oracle(name, spark, empty_dir, empty_duck):
+    from check_oracle import _norm_value, run_spark_query
+
+    spec = REGISTRY[name]
+    cols, types, rows = run_spark_query(spark, spec, empty_dir)
+    rel = empty_duck.sql(spec.oracle)
+    ocols, orows = rel.columns, rel.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    assert [cols[i] for i in order] == [ocols[i] for i in oorder]
+    s_set = sorted(tuple(_norm_value(r[i]) for i in order) for r in rows)
+    o_set = sorted(tuple(_norm_value(r[i]) for i in oorder) for r in orows)
+    assert s_set == o_set, f"{name}: {s_set[:3]} vs {o_set[:3]}"
+
+
+def test_empty_input_adjudicated_divergences(spark, empty_dir, empty_duck):
+    """Pin the ADJUDICATED shapes (module docstring): if any of these
+    moves, it must be a deliberate decision, not drift."""
+    from check_oracle import run_spark_query
+
+    # grand-total grouping set: Spark 0 rows, standard/DuckDB 1 row
+    for name in ("a_cube", "a_rollup", "a_grouping_sets",
+                 "sql_ratio_to_parent"):
+        spec = REGISTRY[name]
+        _, _, rows = run_spark_query(spark, spec, empty_dir)
+        orows = empty_duck.sql(spec.oracle).fetchall()
+        assert len(rows) == 0, f"{name}: spark grew rows on empty"
+        assert len(orows) == 1, f"{name}: oracle lost its () row"
+
+    # dynamic pivot: zero data-derived columns vs the oracle's static 6
+    spec = REGISTRY["a_pivot_dynamic"]
+    cols, _, rows = run_spark_query(spark, spec, empty_dir)
+    assert cols == ["o_orderstatus"] and rows == []
+    assert len(empty_duck.sql(spec.oracle).columns) == 6
+
+    # service layer: unknown branch on empty registry raises, like the
+    # reference's HTTPException for an unknown branch
+    from move_forecast_ind_spark.plans.service import RequestError
+
+    with pytest.raises(RequestError):
+        REGISTRY["svc_forecast_request"].fn(spark, empty_dir).collect()
+
+
+def test_mllib_rows_only_empty_schema_stable(spark, empty_dir):
+    """The rows-only entry has no oracle; pin schema equality between
+    the empty guard and the fitted path instead."""
+    fitted = REGISTRY["ml_mllib_global_forecast"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    empty = REGISTRY["ml_mllib_global_forecast"].fn(spark, empty_dir)
+    # names + types, not nullability: range-derived columns are
+    # non-nullable on the fitted path and the driver compares by
+    # name/type only
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in fitted.schema.fields
+    ]
+    assert empty.count() == 0
