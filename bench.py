@@ -126,8 +126,9 @@ def main() -> None:
     # window is never at risk. SPARK_GRAFT_BENCH_RUNS=4 reproduces it.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    # snapshot the recursion guard BEFORE any query can raise it
+    # snapshot the recursion guards BEFORE any query can raise them
     _cte_default = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    _lvl_default = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
 
     # Live DuckDB anchor: same parquet, same host, same minute — timed
     # interleaved with each query's Spark runs so host-speed drift (the
@@ -166,14 +167,18 @@ def main() -> None:
         # restore the recursion guard if the query raised it (ADVICE r9:
         # sql_recursive_session_roots sets an input-sized
         # cteRecursionRowLimit that must not leak to later queries)
-        _cte = "spark.sql.cteRecursionRowLimit"
-        if spark.conf.get(_cte, None) != _cte_default:
-            # conf.set(None) throws; when the session never set the conf
-            # the restore is an unset (ADVICE r10, mirrors check_oracle.py)
-            if _cte_default is None:
-                spark.conf.unset(_cte)
-            else:
-                spark.conf.set(_cte, _cte_default)
+        for _cte, _dflt in (
+            ("spark.sql.cteRecursionRowLimit", _cte_default),
+            ("spark.sql.cteRecursionLevelLimit", _lvl_default),  # r12
+        ):
+            if spark.conf.get(_cte, None) != _dflt:
+                # conf.set(None) throws; when the session never set the
+                # conf the restore is an unset (ADVICE r10, mirrors
+                # check_oracle.py)
+                if _dflt is None:
+                    spark.conf.unset(_cte)
+                else:
+                    spark.conf.set(_cte, _dflt)
         return n, best, duck_best
 
     def anomalous(name: str) -> bool:

@@ -480,8 +480,26 @@ def minhash_dedup_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """The full MinHash cascade: LSH candidates → exact-Jaccard verify.
+
+    ``max_df`` (r12): the SAME stop-shingle fence :func:`jaccard_pairs`
+    carries, applied to BOTH stages — window hashes appearing in more
+    than ``max_df`` docs are dropped from the signature postings (so
+    template boilerplate neither drags the minima nor floods band
+    buckets) and excepted from the verify sets (so the reported jaccard
+    is the capped set similarity, exactly what the shared exact-tier
+    oracle computes). The r12 adversarial-skew sweep found the gap: on
+    a corpus where half the docs share a 12-token preamble the UNcapped
+    cascade disagreed with the capped oracle both ways — verify values
+    shifted by the hot shingles, and recall fell to 0.91 because
+    signature similarity estimated UNcapped jaccard while the oracle
+    thresholds capped jaccard (misses at capped-j 0.96 that 8×4 banding
+    could never produce, p≈3e-7). Benign corpora have no window past
+    the fence and are unaffected; the hot-set scan is one
+    tokenize+count pass whose aggregate output is tiny by construction
+    (≤ total_windows/max_df rows).
 
     Round-4 topology — signatures AS AGGREGATES, verify on candidates only,
     ZERO full-corpus materialization:
@@ -538,6 +556,31 @@ def minhash_dedup_pairs(
         .select(F.expr(f"explode({win_hashes})").alias("p"))
         .select("p.h", "p.d")
     )
+    hot = None
+    if max_df is not None:
+        # df per DISTINCT raw 64-bit window hash (sql_hashed_windows
+        # arrays are per-doc distinct, so a plain map-side-combinable
+        # count IS the document frequency — no countDistinct shuffle).
+        # Materialized: tiny by construction and consumed by both the
+        # postings anti-join (pmod key space) and the verify except
+        # (raw key space).
+        hot = materialize(
+            fanout(docs.select(F.col(text_col).alias("t")))
+            .selectExpr(f"{TOKENS_SQL.format(col='t')} AS toks")
+            .selectExpr(f"explode({sql_hashed_windows('toks', k)}) AS hraw")
+            .groupBy("hraw")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("hraw"),
+            "minhash-hot",
+        )
+        # postings key = pmod(raw, M31): a non-hot window colliding with
+        # a hot one under the 2^31 pmod is a ~|hot|·|windows|/2^31 event
+        # that can only shave one window from a signature (the 64-bit
+        # verify below is untouched) — the standard collision-doctrine
+        # class, and far below the banding miss floor.
+        hot_p = hot.selectExpr(f"pmod(hraw, {MERSENNE31}L) AS h")
+        postings = postings.join(F.broadcast(hot_p), on="h", how="left_anti")
     mins = [
         F.expr(
             f"min(pmod(h * {PERM_A[i]}L + {PERM_B[i]}L, {MERSENNE31}L)) AS m{i}"
@@ -579,15 +622,24 @@ def minhash_dedup_pairs(
     # collision doctrine), and skipping the concat_ws string build +
     # string-array dedup/intersect was the dominant map-side cost of the
     # tier at the 100x probe (corpus_source_overlap finding).
-    vsets = materialize(
+    vs = (
         docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .selectExpr(
             f"`{id_col}` AS doc_id",
             f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
         )
-        .selectExpr("doc_id", f"{sql_hashed_windows('toks', k)} AS shs"),
-        "minhash-vsets",
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', k)} AS shs")
     )
+    if hot is not None:
+        # verify on CAPPED sets (raw 64-bit key space) — the exact-tier
+        # oracle's semantics; empty hot set -> array_except is identity
+        hot_arr = hot.agg(
+            F.expr("coalesce(collect_list(hraw), array())").alias("hot")
+        )
+        vs = vs.crossJoin(F.broadcast(hot_arr)).selectExpr(
+            "doc_id", "array_except(shs, hot) AS shs"
+        )
+    vsets = materialize(vs, "minhash-vsets")
     # ^ materialized because BOTH verify sides consume it and the cand
     # side of each join broadcasts — without lineage cut the scan +
     # semi-join + re-shingle chain runs twice (r10 A/B at sf0.1 min-of-3:

@@ -344,22 +344,69 @@ def a_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_stats_moments",
     tags=("aggregate", "stats"),
     oracle=f"""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS HUGEINT)) AS s1,
+             SUM(CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS HUGEINT)) AS s2
+      FROM orders GROUP BY 1
+    ),
+    v AS (
+      SELECT o_orderstatus, n, s1,
+             CASE WHEN n > 1 THEN
+               CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 1e4
+             END AS var_price
+      FROM m
+    )
     SELECT o_orderstatus,
-           {sql_r4('stddev_samp(o_totalprice)')} AS sd_price,
-           {sql_r4('var_samp(o_totalprice)')}    AS var_price,
-           {sql_r4('AVG(o_totalprice)')}         AS avg_price
-    FROM orders
-    GROUP BY 1
+           {sql_r4('sqrt(var_price)')} AS sd_price,
+           {sql_r4('var_price')}       AS var_price,
+           {sql_r4('CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e2')}
+                                       AS avg_price
+    FROM v
     """,
 )
 def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample stddev/variance — single-pass, mergeable (Welford partials)."""
+    """Sample stddev/variance/mean per order status — EXACT integer-cents
+    raw moments (r12): the float Welford/var_samp surface floored at 1e-4
+    on a ~2e10 variance asks for 15 stable significant digits, which
+    engine partial-sum order cannot guarantee (the adversarial-skew
+    sweep landed one group a half-ulp across a grid boundary — a latent
+    flake at ANY distribution, fixtures included). House doctrine
+    instead (the a_tost_equivalence r8 pattern): accumulate n, Σc, Σc²
+    over half-up integer CENTS exactly (decimal(38,0) here, HUGEINT in
+    the oracle — Σc²·n and (Σc)² stay ≤ ~1e27, far inside both), then
+    one identical IEEE sequence on both engines:
+    var = (n·Σc² − (Σc)²)/n/(n−1)/1e4. The numerator is exact integer
+    arithmetic, so the only rounding events are the final divides —
+    bit-identical cross-engine at ANY data distribution. n=1 groups
+    yield NULL variance (both sides), the var_samp convention.
+    Map-side combinable single pass, same shuffle shape as before."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        r4(F.stddev_samp("o_totalprice")).alias("sd_price"),
-        r4(F.var_samp("o_totalprice")).alias("var_price"),
-        r4(F.avg("o_totalprice")).alias("avg_price"),
+    c = F.expr(
+        "CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS DECIMAL(38,0))"
+    )
+    m = orders.groupBy("o_orderstatus").agg(
+        F.count("o_totalprice").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    var = F.expr(
+        "CASE WHEN n > 1 THEN "
+        "CAST(n * s2 - s1 * s1 AS DOUBLE) "
+        "/ CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 1e4 END"
+    )
+    v = m.select("o_orderstatus", "n", "s1", var.alias("var_price"))
+    return v.select(
+        "o_orderstatus",
+        r4(F.sqrt(F.col("var_price"))).alias("sd_price"),
+        r4(F.col("var_price")).alias("var_price"),
+        r4(
+            F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e2")
+        ).alias("avg_price"),
     )
 
 

@@ -1918,37 +1918,45 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_ols_two_feature",
     tags=("ml", "regression", "aggregate"),
     oracle=f"""
-    WITH m AS (
+    WITH q AS (
       SELECT l_returnflag,
-             count(*) AS n,
-             sum(l_quantity) AS sx, sum(l_discount) AS sz,
-             sum(l_extendedprice) AS sy,
-             sum(l_quantity * l_quantity) AS sxx,
-             sum(l_discount * l_discount) AS szz,
-             sum(l_quantity * l_discount) AS sxz,
-             sum(l_quantity * l_extendedprice) AS sxy,
-             sum(l_discount * l_extendedprice) AS szy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(FLOOR(l_quantity + 0.5) AS HUGEINT)             AS xi,
+             CAST(FLOOR(l_discount * 1e2 + 0.5) AS HUGEINT)       AS zc,
+             CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS HUGEINT)  AS yc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(xi) AS sx, sum(zc) AS sz, sum(yc) AS sy,
+             sum(xi * xi) AS sxx, sum(zc * zc) AS szz,
+             sum(xi * zc) AS sxz, sum(xi * yc) AS sxy,
+             sum(zc * yc) AS szy
+      FROM q GROUP BY l_returnflag
     ),
     c AS (
       SELECT l_returnflag, n,
-             sxx - sx * sx / n AS cxx,
-             szz - sz * sz / n AS czz,
-             sxz - sx * sz / n AS cxz,
-             sxy - sx * sy / n AS cxy,
-             szy - sz * sy / n AS czy,
-             sx / n AS mx, sz / n AS mz, sy / n AS my
+             CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+             CAST(n * szz - sz * sz AS DOUBLE) AS czz,
+             CAST(n * sxz - sx * sz AS DOUBLE) AS cxz,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+             CAST(n * szy - sz * sy AS DOUBLE) AS czy,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mz,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS my
       FROM m
+    ),
+    b AS (
+      SELECT l_returnflag, n, mx, mz, my,
+             (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) / 1e2
+               AS bq,
+             (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS bd
+      FROM c
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           {sql_r6('(cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz)')}
-             AS beta_quantity,
-           {sql_r6('(czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz)')}
-             AS beta_discount,
-           {sql_r6('my - (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) * mx'
-                   ' - (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) * mz')}
-             AS intercept
-    FROM c
+           {sql_r6('bq')} AS beta_quantity,
+           {sql_r6('bd')} AS beta_discount,
+           {sql_r6('my - bq * mx - bd * mz')} AS intercept
+    FROM b
     """,
 )
 def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,37 +1967,63 @@ def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     step up from the single-feature ``ml_linreg_forecast``, still with no
     solver library, no iteration, and no second data pass.
 
-    Both engines evaluate the identical rational expressions over the
-    same sums, with r6 rounding absorbing sum-order ulps. 100 TB: one
-    map-side-partial shuffle per group key; the solve is per-group scalar
-    arithmetic. The d-feature generalization keeps the pattern (d²
-    sums/group) until d is large enough for MLlib's distributed solver."""
+    Exactness (r12, the a_stats_moments finding generalized): the nine
+    sufficient statistics accumulate as EXACT integers over the
+    quantized inputs — quantity is integral, discount/extendedprice are
+    2-decimal, so half-up cents recover the data exactly — in
+    decimal(38,0) (HUGEINT in the oracle). Centering is n-scaled and
+    stays in the integer domain (C•• = n·s•• − s•·s•, exact — the
+    catastrophic cancellation float moments suffer happens here with
+    zero error), and only THEN do both engines cast the identical
+    integers to double and run the identical Cramer sequence: every
+    rounding event operates on bit-identical inputs, so the output is
+    bit-exact at ANY data distribution (the adversarial-skew sweep
+    caught the float version half-an-ulp across the r6 grid). The
+    n-scaled determinant ratio equals the per-n one (both scale by n²).
+    100 TB: one map-side-partial shuffle per group key; C-products stay
+    ≤ ~1e31 at the 100× probe — 7 orders inside decimal(38)/HUGEINT.
+    The d-feature generalization keeps the pattern (d² sums/group)
+    until d is large enough for MLlib's distributed solver."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    x, z, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"), F.sum(z).alias("sz"), F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"), F.sum(z * z).alias("szz"),
-        F.sum(x * z).alias("sxz"), F.sum(x * y).alias("sxy"),
-        F.sum(z * y).alias("szy"),
-    )
-    n = F.col("n")
-    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
-    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
-    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
-    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
-    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
-    det = cxx * czz - cxz * cxz
-    bq = (cxy * czz - czy * cxz) / det
-    bd = (czy * cxx - cxy * cxz) / det
-    mx, mz, my = F.col("sx") / n, F.col("sz") / n, F.col("sy") / n
-    return m.select(
+    q = li.selectExpr(
         "l_returnflag",
-        n.alias("n"),
-        r6(bq).alias("beta_quantity"),
-        r6(bd).alias("beta_discount"),
-        r6(my - bq * mx - bd * mz).alias("intercept"),
+        "CAST(FLOOR(l_quantity + 0.5) AS DECIMAL(38,0))            AS xi",
+        "CAST(FLOOR(l_discount * 1e2 + 0.5) AS DECIMAL(38,0))      AS zc",
+        "CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS DECIMAL(38,0)) AS yc",
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"), F.sum("zc").alias("sz"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.expr("xi * xi")).alias("sxx"),
+        F.sum(F.expr("zc * zc")).alias("szz"),
+        F.sum(F.expr("xi * zc")).alias("sxz"),
+        F.sum(F.expr("xi * yc")).alias("sxy"),
+        F.sum(F.expr("zc * yc")).alias("szy"),
+    )
+    c = m.selectExpr(
+        "l_returnflag", "n",
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS cxx",
+        "CAST(n * szz - sz * sz AS DOUBLE) AS czz",
+        "CAST(n * sxz - sx * sz AS DOUBLE) AS cxz",
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS cxy",
+        "CAST(n * szy - sz * sy AS DOUBLE) AS czy",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx",
+        "CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mz",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS my",
+    )
+    b = c.selectExpr(
+        "l_returnflag", "n", "mx", "mz", "my",
+        "(cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) / 1e2 AS bq",
+        "(czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS bd",
+    )
+    return b.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        r6(F.col("bq")).alias("beta_quantity"),
+        r6(F.col("bd")).alias("beta_discount"),
+        r6(F.expr("my - bq * mx - bd * mz")).alias("intercept"),
     )
 
 

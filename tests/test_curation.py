@@ -491,3 +491,46 @@ def test_bigram_lm_derived_unigram_margin_identity(spark):
     }
     assert derived == direct
     assert sum(derived.values()) == bg.count()
+
+
+def test_session_root_window_twin_matches_recursion(spark):
+    """r12 depth routing: past _RECURSION_DEPTH_SWITCH the sessionization
+    runs as a one-pass window instead of WITH RECURSIVE. The two shapes
+    must be value-identical — pinned on a fixture with multi-step
+    chains, gap boundaries (exactly 10 min = chained; 10 min 1 s =
+    new session), same-timestamp ties, and interleaved users."""
+    import datetime as dt
+
+    from move_forecast_ind_spark.queries.curation import (
+        _RECURSIVE_SESSION_SQL,
+        _WINDOW_SESSION_SQL,
+    )
+
+    t0 = dt.datetime(1999, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        ts = t0
+        for step in range(8):  # one long chain per user
+            rows.append((eid, u, ts)); eid += 1
+            ts += dt.timedelta(minutes=9)
+        ts += dt.timedelta(minutes=11)  # break -> new session
+        for step in range(3):
+            rows.append((eid, u, ts)); eid += 1
+            ts += dt.timedelta(minutes=10)  # exactly 10 min: chained
+    rows.append((eid, 3, t0)); eid += 1
+    rows.append((eid, 3, t0), )  # same-ts tie, event_id breaks it
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    df.createOrReplaceTempView("events")
+    try:
+        prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "50")
+        rec = {tuple(r) for r in spark.sql(_RECURSIVE_SESSION_SQL).collect()}
+        win = {tuple(r) for r in spark.sql(_WINDOW_SESSION_SQL).collect()}
+        assert rec == win and len(rec) == len(rows)
+    finally:
+        spark.catalog.dropTempView("events")
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)

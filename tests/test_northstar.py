@@ -530,3 +530,44 @@ def test_text_sql_twins_match_columns(spark):
         for k in d:
             if k.startswith("a_"):
                 assert d[k] == d["b_" + k[2:]], (k, d[k], d["b_" + k[2:]])
+
+
+def test_minhash_fence_matches_exact_tier_on_hot_template_corpus(spark):
+    """r12 adversarial-skew finding: the minhash cascade must apply the
+    SAME max_df stop-shingle fence as the exact tier in BOTH stages —
+    uncapped signatures estimate uncapped jaccard while the oracle
+    thresholds capped jaccard (misses at capped-j ~0.96 that banding
+    could never produce), and uncapped verify sets shift every reported
+    value on template-heavy corpora. Pin: on a corpus where EVERY doc
+    shares a hot preamble (df = n_docs >> max_df) and true near-dup
+    pairs are far from the threshold (banding recall 1.0 regime), the
+    cascade's output must equal jaccard_pairs' exact output row for
+    row."""
+    from move_forecast_ind_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+
+    preamble = " ".join(f"hot{i}" for i in range(6))
+    rows = []
+    for p in range(12):
+        base = [f"w{p}_{j}" for j in range(30)]
+        near = base[:27] + [f"x{p}_{j}" for j in range(3)]
+        rows.append((2 * p, preamble + " " + " ".join(base)))
+        rows.append((2 * p + 1, preamble + " " + " ".join(near)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        tuple(r)
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5, max_df=10
+        ).collect()
+    }
+    cascade = {
+        tuple(r)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5, max_df=10
+        ).collect()
+    }
+    assert len(exact) == 12  # every constructed near-dup pair survives
+    assert cascade == exact
