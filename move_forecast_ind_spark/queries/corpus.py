@@ -1742,26 +1742,37 @@ def corpus_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = docs.join(F.broadcast(emb), "doc_id").select(
         "doc_id", "label", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     )
+    # size guard: Spark's sequence() counts DOWN for a negative span
+    # (the shingles_from_tokens trap), so a single-token/empty doc (r12
+    # degenerate-document sweep) must short-circuit to an empty bigram
+    # set — the oracle's ascending generate_series does this for free
     bg = lab.select(
         "doc_id",
         "label",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> concat_ws(' ', slice(w, i, 2)))"
-            )
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN array_distinct("
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', slice(w, i, 2)))) "
+            "ELSE CAST(array() AS array<string>) END"
         ).alias("hs"),
     )
+    # a pair of two empty bigram sets is 0/0: NULL like the oracle, not
+    # an ANSI divide-by-zero; SUM skips the NULL on both engines while
+    # COUNT keeps the pair — identical semantics
+    denom = (
+        F.size("hs")
+        + F.size("phs")
+        - F.size(F.array_intersect("hs", "phs"))
+    )
     jacq = (
-        F.floor(
-            F.size(F.array_intersect("hs", "phs")).cast("double")
-            / (
-                F.size("hs")
-                + F.size("phs")
-                - F.size(F.array_intersect("hs", "phs"))
-            )
-            * 1e9
-            + F.lit(0.5)
+        F.when(
+            denom > 0,
+            F.floor(
+                F.size(F.array_intersect("hs", "phs")).cast("double")
+                / denom
+                * 1e9
+                + F.lit(0.5)
+            ),
         )
         .cast("long")
         .alias("jq")

@@ -98,7 +98,13 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    w = lambda k, d: F.coalesce(F.element_at(toks, k), F.lit(d))  # noqa: E731
+    # try_element_at: a document with fewer tokens than the slot (empty/
+    # single-token docs — r12 degenerate-document sweep) must fall to
+    # the coalesce default like the oracle's NULL-on-out-of-bounds list
+    # access, not throw under ANSI
+    w = lambda k, d: F.coalesce(  # noqa: E731
+        F.try_element_at(toks, F.lit(k)), F.lit(d)
+    )
     pii = F.concat(
         F.lit(" contact "), w(1, "x"), F.lit("."), w(2, "y"),
         F.lit("@mail.example.com ip 10."),

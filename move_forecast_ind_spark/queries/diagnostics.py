@@ -364,7 +364,15 @@ def corpus_blocklist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hits") * 20 > F.col("ntok"), 1).otherwise(0))
             .cast("long")
             .alias("flagged_docs"),
-            r6(F.sum("hits") / F.sum("ntok").cast("double")).alias("corpus_ratio"),
+            # a source whose every doc is empty/whitespace has zero
+            # tokens: NULL ratio like the oracle's x/0, not an ANSI
+            # divide-by-zero (r12 degenerate-document sweep)
+            r6(
+                F.when(
+                    F.sum("ntok") > 0,
+                    F.sum("hits") / F.sum("ntok").cast("double"),
+                )
+            ).alias("corpus_ratio"),
         )
         .orderBy("source")
     )

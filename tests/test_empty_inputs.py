@@ -150,3 +150,78 @@ def test_mllib_rows_only_empty_schema_stable(spark, empty_dir):
         (f.name, f.dataType) for f in fitted.schema.fields
     ]
     assert empty.count() == 0
+
+
+# --- degenerate DOCUMENTS (empty / whitespace-only / single-token text) ----
+# Real corpora contain empty documents; the r12 degenerate-document sweep
+# found three ANSI crashes on them (blocklist 0-token ratio, modal
+# agreement's descending-sequence bigrams + 0/0 jaccard, pii-redact's
+# element_at past a 1-token array), all invisible on the fixture corpus.
+
+DEGEN_FIXED = [
+    "corpus_blocklist_ratio",
+    "corpus_modal_agreement",
+    "text_pii_redact",
+]
+DEGEN_REPRESENTATIVE = [
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "dedup_exact",
+    "corpus_decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory):
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_degen")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.sql(f"""
+                COPY (SELECT * REPLACE (
+                  CASE WHEN doc_id % 10 = 0 THEN ''
+                       WHEN doc_id % 11 = 0 THEN '   '
+                       WHEN doc_id % 13 = 0 THEN 'x'
+                       ELSE text END AS text)
+                 FROM read_parquet('{src}/{t}.parquet'))
+                TO '{dst}/{t}.parquet' (FORMAT PARQUET)
+            """)
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degen_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", DEGEN_FIXED + DEGEN_REPRESENTATIVE)
+def test_degenerate_documents_match_oracle(name, spark, degen_dir, degen_duck):
+    from check_oracle import _norm_value, run_spark_query
+
+    spec = REGISTRY[name]
+    cols, types, rows = run_spark_query(spark, spec, degen_dir)
+    rel = degen_duck.sql(spec.oracle)
+    ocols, orows = rel.columns, rel.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    assert [cols[i] for i in order] == [ocols[i] for i in oorder]
+    s_set = sorted(tuple(_norm_value(r[i]) for i in order) for r in rows)
+    o_set = sorted(tuple(_norm_value(r[i]) for i in oorder) for r in orows)
+    assert s_set == o_set, f"{name}: {s_set[:3]} vs {o_set[:3]}"
