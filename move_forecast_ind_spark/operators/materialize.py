@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -48,7 +49,27 @@ def materialize(
     - ``none`` — no materialization (every consumer recomputes the
       subtree; only sane when the subtree is a pruned scan).
     """
-    mode = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE") or _default_mode(df)
+    explicit = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE")
+    mode = explicit or _default_mode(df)
+    if mode == "parquet" and not explicit and _parquet_ckpt_unsafe(df):
+        # Topology picked parquet but the checkpoint base would be
+        # node-local /tmp on a genuinely multi-node cluster whose default
+        # filesystem is file:// — executor task outputs would land on each
+        # node's OWN /tmp and the driver read-back would see partial/no
+        # files, i.e. silently wrong results. Fall back to localCheckpoint
+        # (correct, merely not fault-tolerant) and tell the operator how
+        # to get durability back: set SPARK_GRAFT_CKPT_DIR to shared
+        # storage (HDFS/S3/NFS). Explicit mode/env requests are honored
+        # as given — the guard only overrides the silent default.
+        warnings.warn(
+            "materialize(): multi-node master with a file:// default "
+            "filesystem and no SPARK_GRAFT_CKPT_DIR — a node-local "
+            "parquet checkpoint would be unreadable from the driver; "
+            "falling back to localCheckpoint (NOT fault-tolerant). Set "
+            "SPARK_GRAFT_CKPT_DIR to shared storage for the durable path.",
+            stacklevel=2,
+        )
+        mode = "local"
     if mode == "none":
         return df
     if mode == "local":
@@ -71,7 +92,37 @@ def _default_mode(df: DataFrame) -> str:
         master = df.sparkSession.sparkContext.master
     except Exception:  # pragma: no cover - Connect sessions lack a SC
         return "parquet"
-    return "local" if master.startswith("local[") else "parquet"
+    # bare "local" (one thread, no brackets) is as single-JVM as local[N]
+    return (
+        "local"
+        if master == "local" or master.startswith("local[")
+        else "parquet"
+    )
+
+
+def _parquet_ckpt_unsafe(df: DataFrame) -> bool:
+    """True when the DEFAULT parquet checkpoint base (node-local /tmp)
+    cannot round-trip: no ``SPARK_GRAFT_CKPT_DIR``, a default filesystem
+    of ``file://``, and a master that can place executors on OTHER hosts
+    (standalone/YARN/k8s/mesos). ``local-cluster[...]`` is multi-executor
+    but single-host, so its node-local /tmp IS shared — safe."""
+    if os.environ.get("SPARK_GRAFT_CKPT_DIR"):
+        return False
+    try:
+        sc = df.sparkSession.sparkContext
+        master = sc.master
+        if (
+            master == "local"
+            or master.startswith("local[")
+            or master.startswith("local-cluster[")
+        ):
+            return False
+        default_fs = sc._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+    except Exception:  # pragma: no cover - Connect sessions lack a SC
+        return False
+    return default_fs.startswith("file:")
 
 
 def checkpoint_parquet(

@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 # --- HITS over the user × event-type bipartite graph -------------------------
 
@@ -887,7 +887,7 @@ def emb_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_pq_adc_recall.__doc__ = emb_pq_adc_recall.__doc__.format(k=_ADC_K)
+fmt_doc(emb_pq_adc_recall, k=_ADC_K)
 
 
 # --- embedding centroid drift ---------------------------------------------------

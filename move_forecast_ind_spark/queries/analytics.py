@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import r2, r4, r6, sql_double, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 from ..operators.dedup import fanout
 from ..operators.materialize import materialize
 
@@ -5612,7 +5612,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dq_k_anonymity.__doc__ = dq_k_anonymity.__doc__.format(k=_KANON_K)
+fmt_doc(dq_k_anonymity, k=_KANON_K)
 
 
 # --- experimentation: CUPED variance-reduced lift readout --------------------
@@ -6185,7 +6185,7 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ts_periodogram.__doc__ = ts_periodogram.__doc__.format(
+fmt_doc(ts_periodogram, 
     lo=_PGRAM_MIN_P, hi=_PGRAM_MAX_P
 )
 

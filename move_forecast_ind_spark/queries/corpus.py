@@ -25,7 +25,7 @@ from ..functions.text import sql_hashed_windows, tokens
 from ..functions.vectors import as_double
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 from ..operators.dedup import fanout
 
 # C4-style chunk width (words per span). 10 ≈ the C4 paper's three-sentence
@@ -1533,7 +1533,7 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c
 
 
-corpus_chunk_windows.__doc__ = corpus_chunk_windows.__doc__.format(
+fmt_doc(corpus_chunk_windows, 
     w=_CHUNK_TOKENS, s=_CHUNK_STRIDE, o=_CHUNK_TOKENS - _CHUNK_STRIDE
 )
 
@@ -1650,7 +1650,7 @@ def corpus_cluster_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-corpus_cluster_term_profile.__doc__ = corpus_cluster_term_profile.__doc__.format(
+fmt_doc(corpus_cluster_term_profile, 
     k=_CTP_TOPK, mc=_CTP_MIN_C
 )
 

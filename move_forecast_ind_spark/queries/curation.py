@@ -1003,9 +1003,10 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_WINDOW_SESSION_SQL)
 
 
-sql_recursive_session_roots.__doc__ = sql_recursive_session_roots.__doc__.format(
-    lim=_RECURSION_DEPTH_SWITCH
-)
+if sql_recursive_session_roots.__doc__:  # stripped to None under python -OO
+    sql_recursive_session_roots.__doc__ = (
+        sql_recursive_session_roots.__doc__.format(lim=_RECURSION_DEPTH_SWITCH)
+    )
 
 
 # --- Forward-fill imputation ------------------------------------------------

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import r4, r6, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 # --- Hampel rolling-median/MAD outliers --------------------------------------
 
@@ -1155,7 +1155,7 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dq_schema_drift.__doc__ = dq_schema_drift.__doc__.format(split=_DRIFT_SPLIT)
+fmt_doc(dq_schema_drift, split=_DRIFT_SPLIT)
 
 
 # --- IQR (boxplot) outlier fences ----------------------------------------------
@@ -1549,7 +1549,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ts_ljung_box.__doc__ = ts_ljung_box.__doc__.format(lags=_LB_LAGS)
+fmt_doc(ts_ljung_box, lags=_LB_LAGS)
 
 
 # --- overdispersion check -------------------------------------------------------
@@ -1733,7 +1733,7 @@ def dq_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= _PC_TOPK)
 
 
-dq_pattern_census.__doc__ = dq_pattern_census.__doc__.format(k=_PC_TOPK)
+fmt_doc(dq_pattern_census, k=_PC_TOPK)
 
 
 # --- event-id / event-time order audit --------------------------------------------

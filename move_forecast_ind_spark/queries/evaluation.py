@@ -45,7 +45,7 @@ from ..functions.text import TOKENS_SQL
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 # --- Spearman rank correlation ----------------------------------------------
 
@@ -471,7 +471,7 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ml_ndcg_eval.__doc__ = ml_ndcg_eval.__doc__.format(k=_NDCG_K, nq=_NDCG_QUERIES)
+fmt_doc(ml_ndcg_eval, k=_NDCG_K, nq=_NDCG_QUERIES)
 
 
 # --- forecast evaluation: pinball (quantile) loss ----------------------------
@@ -596,7 +596,7 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ml_pinball_loss.__doc__ = ml_pinball_loss.__doc__.format(
+fmt_doc(ml_pinball_loss, 
     h=_PINBALL_HOLDOUT_DAYS, qs=_PINBALL_QS
 )
 
@@ -772,7 +772,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_rake_keywords.__doc__ = text_rake_keywords.__doc__.format(k=_RAKE_TOPK)
+fmt_doc(text_rake_keywords, k=_RAKE_TOPK)
 
 
 # --- embedding cluster quality: Davies-Bouldin index -------------------------
@@ -1359,7 +1359,7 @@ def s_manifest_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-s_manifest_prune_stats.__doc__ = s_manifest_prune_stats.__doc__.format(
+fmt_doc(s_manifest_prune_stats, 
     nf=_PRUNE_FILES
 )
 
@@ -1480,7 +1480,7 @@ def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ts_kalman_level.__doc__ = ts_kalman_level.__doc__.format(q=_KAL_Q, r=_KAL_R)
+fmt_doc(ts_kalman_level, q=_KAL_Q, r=_KAL_R)
 
 
 # --- time series: Mann-Kendall trend test ------------------------------------
@@ -1779,7 +1779,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_random_projection.__doc__ = emb_random_projection.__doc__.format(
+fmt_doc(emb_random_projection, 
     d=_JL_DIM, s=_JL_SAMPLE
 )
 
@@ -2154,7 +2154,7 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-w_rolling_median.__doc__ = w_rolling_median.__doc__.format(d=_ROLLMED_DAYS)
+fmt_doc(w_rolling_median, d=_ROLLMED_DAYS)
 
 
 # --- embeddings: sign-bit Hamming top-k --------------------------------------
@@ -2273,7 +2273,7 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_hamming_topk.__doc__ = emb_hamming_topk.__doc__.format(nq=_HAM_QUERIES)
+fmt_doc(emb_hamming_topk, nq=_HAM_QUERIES)
 
 
 # --- funnel timing: click -> purchase conversion lag -------------------------
@@ -2530,7 +2530,7 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-a_permutation_test.__doc__ = a_permutation_test.__doc__.format(b=_PERM_B)
+fmt_doc(a_permutation_test, b=_PERM_B)
 
 
 @register(
@@ -2770,7 +2770,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
+fmt_doc(text_textrank_keywords, 
     v=_TR_VOCAB, k=_TR_TOPK
 )
 

@@ -53,7 +53,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import sql_r6
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 _TRAIN_MAX_T = 22  # days 0..22 train; 23..29 calibration / holdout
 _HORIZON = 7
@@ -802,7 +802,7 @@ def ml_kfold_cv_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ml_kfold_cv_score.__doc__ = ml_kfold_cv_score.__doc__.format(
+fmt_doc(ml_kfold_cv_score, 
     k=_CV_FOLDS, km1=_CV_FOLDS - 1
 )
 

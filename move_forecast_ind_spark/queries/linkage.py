@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import r2, r4, r6, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 # --- entity resolution: blocking + edit-distance matching -------------------
 
@@ -942,6 +942,6 @@ def j_interval_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-j_interval_allocation.__doc__ = j_interval_allocation.__doc__.format(
+fmt_doc(j_interval_allocation, 
     d=_ALLOC_DAYS
 )

@@ -32,7 +32,7 @@ from ..plans.training import (
 )
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 CUTOFF = "1998-12-31"  # train ≤ cutoff (analog of reference pretrain_models.py:20)
 
@@ -1866,7 +1866,7 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ml_target_encoding.__doc__ = ml_target_encoding.__doc__.format(
+fmt_doc(ml_target_encoding, 
     k=_TE_FOLDS, m=_TE_SMOOTH
 )
 

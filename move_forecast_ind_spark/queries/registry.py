@@ -35,6 +35,15 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def fmt_doc(fn: Callable, **kw) -> None:
+    """Interpolate constants into ``fn``'s docstring, safely no-op when
+    docstrings are stripped (``python -O``/``PYTHONOPTIMIZE`` sets
+    ``__doc__`` to None — the bare ``.format`` call crashed the whole
+    package import there, r12 ADVICE)."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**kw)
+
+
 def register(
     name: str,
     oracle: str | None = None,

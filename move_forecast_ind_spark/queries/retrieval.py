@@ -42,7 +42,7 @@ from ..functions.text import sql_hashed_windows, tokens
 from ..functions.vectors import as_double, cosine
 from ..session import tune
 from ..sources import load_table
-from .registry import register
+from .registry import fmt_doc, register
 from ..operators.dedup import fanout
 
 # --- readability: Flesch reading ease ----------------------------------------
@@ -413,7 +413,7 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_rrf_hybrid_topk.__doc__ = text_rrf_hybrid_topk.__doc__.format(
+fmt_doc(text_rrf_hybrid_topk, 
     q=_RRF_QUERIES, n=_RRF_TOPN
 )
 
@@ -610,6 +610,6 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_mmr_select.__doc__ = emb_mmr_select.__doc__.format(
+fmt_doc(emb_mmr_select, 
     k=_MMR_SELECT, p=_MMR_POOL, s=_MMR_SEED, l=_MMR_LAMBDA
 )

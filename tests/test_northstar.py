@@ -571,3 +571,37 @@ def test_minhash_fence_matches_exact_tier_on_hot_template_corpus(spark):
     }
     assert len(exact) == 12  # every constructed near-dup pair survives
     assert cascade == exact
+
+
+def test_minhash_verify_cap_explode_branch_matches_broadcast(spark, monkeypatch):
+    """r13 (from the r12 advice): past HOT_VERIFY_BROADCAST_CAP hot
+    windows the verify cap switches from the single-row broadcast
+    array_except to explode → left_anti → re-collect. Pin bit-identical
+    output across the two branches on a fenced corpus (cap forced to 0
+    so ANY hot set takes the explode path), including a doc whose
+    windows are ALL hot (empty capped set — the left-join-back case)."""
+    from move_forecast_ind_spark.operators import dedup as D
+
+    preamble = " ".join(f"hot{i}" for i in range(6))
+    rows = []
+    for p in range(8):
+        base = [f"w{p}_{j}" for j in range(30)]
+        near = base[:27] + [f"x{p}_{j}" for j in range(3)]
+        rows.append((2 * p, preamble + " " + " ".join(base)))
+        rows.append((2 * p + 1, preamble + " " + " ".join(near)))
+    # two docs that are ONLY the hot preamble: every window hot, capped
+    # set empty — must behave identically in both branches
+    rows.append((100, preamble))
+    rows.append((101, preamble))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kw = dict(k=3, threshold=0.5, max_df=10)
+    broadcast_out = {
+        tuple(r) for r in D.minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    monkeypatch.setattr(D, "HOT_VERIFY_BROADCAST_CAP", 0)
+    explode_out = {
+        tuple(r) for r in D.minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert explode_out == broadcast_out
+    assert len(broadcast_out) >= 8
