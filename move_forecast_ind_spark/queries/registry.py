@@ -65,65 +65,63 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-12 front: the never-sampled backlog
-# closed in r11 (every oracle-bearing name driver-checked at least once),
-# so this is pure evidence-freshness rotation — suggest_next_front()'s
-# longest-unsampled 50 under the numeric latest-round key (r2/r3-era
-# text/similarity/multimodal/TPC-H tier plus the r4-era winnow/streaming
-# names, all unsampled for 8+ rounds). Everything here passes the identical
-# local oracle gate (tests/test_oracle.py); this is evidence routing, not a
-# semantics change.
+# 50 entries of ``queries()``. Round-13 front: pure evidence-freshness
+# rotation from suggest_next_front() after baking the r12 sample — the
+# longest-unsampled tier is now the r4/r5-era streaming/subquery/
+# functions/corpus-curation/ml-forecast names (unsampled for 8-9 rounds).
+# Everything here passes the identical local oracle gate
+# (tests/test_oracle.py); this is evidence routing, not a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "a_approx_top_k",
-    "a_hll_sketch_distinct",
-    "a_pivot_dynamic",
-    "pct_month_grain",
-    "forecast_summary",
-    "trends_onepass",
-    "trends_by_move_type",
-    "trends_nested_by_year",
-    "trends_cross_year_window",
-    "forecast_tail_demoted_move_type",
-    "dedup_exact",
-    "text_fingerprint",
-    "dedup_simhash",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_token_topk",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "emb_norm_stats",
-    "mm_binary_metadata",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "dedup_embedding_cosine",
-    "sim_ann_ivf",
-    "text_bpe_ish_token_count",
-    "pipeline_training_data_prep",
-    "ml_linreg_forecast",
-    "svc_trends_request",
-    "q3_shipping_priority",
-    "q6_forecast_revenue_change",
-    "s_deterministic_sample",
-    "q13_customer_distribution",
-    "f_python_udtf_expand",
-    "q2_correlated_scalar_max",
-    "q4_order_priority_exists",
-    "q14_promo_revenue",
-    "q21_exists_chain",
-    "q22_anti_with_scalar",
-    "j_asof_join",
-    "pct_etl",
-    "forecast_tail_daily",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_clusters",
-    "mm_decode_real",
-    "st_tumbling_counts",
-    "st_sliding_counts",
+    "st_session_stats",
+    "st_dedup_counts",
+    "st_interval_join",
+    "st_stateful_user_gaps",
+    "sub_scalar_subquery",
+    "sub_correlated_exists",
+    "sub_in_subquery",
+    "a_min_by_max_by",
+    "f_map_functions",
+    "f_posexplode_lateral",
+    "f_array_functions",
+    "w_percent_rank_cume",
+    "j_null_safe_join",
+    "f_date_trunc",
+    "f_bitwise_ops",
+    "f_unpivot_stack",
+    "q16_not_in_subquery",
+    "q18_having_in",
+    "q19_or_of_ands",
+    "corpus_chunk_dedup",
+    "corpus_repetition_quality",
+    "corpus_length_histogram",
+    "corpus_mix_weighted",
+    "emb_centroid_by_label",
+    "corpus_stratified_sample",
+    "corpus_split_assign",
+    "corpus_unigram_lm_score",
+    "dedup_containment_pairs",
+    "corpus_dup_rate_by_source",
+    "corpus_ngram_novelty",
+    "q10_returned_items",
+    "s_table_stats",
+    "s_zorder_key",
+    "q5_local_supplier_volume",
+    "j_asof_join_forward",
+    "text_burstiness",
+    "ml_train_fourier",
+    "ml_forecast_fourier",
+    "svc_forecast_request",
+    "svc_forecast_batch",
+    "ml_naive_bayes_langid",
+    "ml_seasonal_naive_forecast",
+    "ml_ar1_forecast",
+    "ml_forecast_backtest",
+    "text_pii_redact",
+    "corpus_decontaminate",
+    "dedup_bloom_prefilter",
+    "text_hashed_classifier",
+    "emb_scalar_quantize",
+    "w_scd2_intervals",
 )
 
 
