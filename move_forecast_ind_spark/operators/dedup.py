@@ -548,77 +548,85 @@ def minhash_dedup_pairs(
     # signatures_from_sets): the parsed trees are identical to the old
     # Column-lambda builds, but each string is ONE gateway roundtrip where
     # the 32-permutation/8-band comprehensions cost hundreds.
-    # ONE tokenize scan for the whole cascade (r13; the sharing pattern
-    # corpus_bigram_lm_score proved in r12): materialize per-doc DISTINCT
-    # window-hash ARRAYS once — fanout-pinned, one row per doc, 8-byte
-    # elements — and derive all three consumers (the max_df
-    # document-frequency fence, the signature postings, the verify sets)
-    # from cheap array re-scans of that frame. r12 ran the
-    # tokenize→window chain twice (postings + fence) plus a
-    # candidates-only third pass for verify; the fence's extra pass
-    # alone moved the bench member 1.39→1.84× static. Distinct-per-doc
-    # arrays are signature-safe because a MIN over the distinct window
-    # set equals the min over the window multiset (duplicates cannot
-    # change a MIN), and the distinct set is EXACTLY what the df-count
-    # and the verify consume. fanout BEFORE tokenize as before: the
-    # fixture parquet is one row group, so without the pinned exchange
-    # the whole chain runs in that single scan task (round-8 profile);
-    # the materialize inherits the pinned partitioning for every
-    # downstream re-scan.
-    # NO size(shs)>0 filter here: short docs carry an empty array that
-    # explodes to zero postings (so they still get no signature), while
-    # an explicit filter on the derived column is pushed below the
-    # fanout exchange and re-evaluates the whole tokenize→window chain
-    # inside the single scan task — measured 0.40 s → 6.0 s at sf0.1
-    # (the round-8 serialization trap in predicate-pushdown clothing).
-    wins = materialize(
+    # Topology (r12, RE-AFFIRMED r13 by measurement): two direct
+    # tokenize passes — the fence's df-count and the signature postings
+    # — plus a candidates-only third for verify; ZERO full-corpus
+    # materialization. The obvious-looking alternative (share ONE scan
+    # by checkpointing per-doc window-hash arrays, bigram-LM style) was
+    # built and A/B'd this round: 1.60 s vs 1.71 s at sf0.1 — and
+    # 74.8 s vs 7.8 s at the 100× probe, a 10× scale REGRESSION,
+    # because the store is corpus-sized (~11 GB of long arrays at 100×;
+    # at 100 TB it is the corpus). Re-tokenizing is two cheap streaming
+    # passes; storing the tokenize output costs a write+read of the
+    # same volume plus block-manager pressure. Rejected.
+    win_slots = ", ".join(
+        f"element_at(toks, CAST(i AS INT) + {j})" for j in range(k)
+    )
+    # raw 64-bit window hashes (multiset — min over the multiset equals
+    # min over the distinct set); the pmod fold to signature space
+    # happens AFTER the fence anti-join below.
+    win_hashes = (
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> struct(xxhash64({win_slots}) AS hraw, d AS d))"
+    )
+    # fanout BEFORE tokenize: the scan's task count is the file's
+    # row-group count (1 at the fixture SFs), and tokenize→window-hash→
+    # explode→partial-min is the cascade's dominant compute — without
+    # the pinned exchange it all runs inside that one scan task
+    # (round-8 profile).
+    postings = (
         fanout(
             docs.select(
                 F.col(id_col).cast("long").alias("d"),
                 F.col(text_col).alias("t"),
             )
         )
-        .selectExpr("d", f"{TOKENS_SQL.format(col='t')} AS toks")
-        .selectExpr("d", f"{sql_hashed_windows('toks', k)} AS shs"),
-        "minhash-wins",
+        .select("d", tokens(F.col("t")).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(F.expr(f"explode({win_hashes})").alias("p"))
+        .select("p.hraw", "p.d")
     )
-    posts = wins.select("d", F.explode("shs").alias("hraw"))
     hot = None
     n_hot = 0
     if max_df is not None:
-        # df per raw 64-bit window hash: wins is per-doc distinct, so a
-        # plain map-side-combinable count IS the document frequency — no
-        # countDistinct shuffle and (r13) no second tokenize pass.
-        hot = materialize(
-            posts.groupBy("hraw")
+        # df per DISTINCT raw 64-bit window hash (sql_hashed_windows
+        # arrays are per-doc distinct, so a plain map-side-combinable
+        # count IS the document frequency — no countDistinct shuffle).
+        hot = (
+            fanout(docs.select(F.col(text_col).alias("t")))
+            .selectExpr(f"{TOKENS_SQL.format(col='t')} AS toks")
+            .selectExpr(f"explode({sql_hashed_windows('toks', k)}) AS hraw")
+            .groupBy("hraw")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
-            .select("hraw"),
-            "minhash-hot",
+            .select("hraw")
         )
-        # Bounded ≤ total_windows/max_df by construction and already
-        # materialized, so this count is a trivial job; it picks the
-        # verify-cap strategy below and lets benign corpora (n_hot == 0,
-        # the common case) skip the cap machinery entirely.
+        # Count BEFORE materializing (r13): on benign corpora (n_hot ==
+        # 0, the common case) this count is the fence's ONLY evaluation
+        # — no store/re-read job for an empty frame, no postings
+        # anti-join, no verify-cap machinery. Only corpora that actually
+        # have hot windows pay the materialize (hot then has two more
+        # consumers). Bounded ≤ total_windows/max_df by construction.
         n_hot = hot.count()
         if n_hot:
-            # Fence the postings in the RAW 64-bit key space (r13): hot
-            # windows leave BEFORE the pmod fold, so the r12 caveat (a
-            # non-hot window pmod-colliding with a hot one loses its
-            # signature slot) is structurally gone rather than merely
-            # rare. Recall can only improve; verify semantics unchanged.
-            posts = posts.join(F.broadcast(hot), on="hraw", how="left_anti")
+            hot = materialize(hot, "minhash-hot")
+            # Fence in the RAW 64-bit key space (r13): hot windows leave
+            # BEFORE the pmod fold, so the r12 caveat (a non-hot window
+            # pmod-colliding with a hot one loses its signature slot) is
+            # structurally gone rather than merely rare. Recall can only
+            # improve; verify semantics unchanged.
+            postings = postings.join(F.broadcast(hot), on="hraw", how="left_anti")
     mins = [
         F.expr(
             f"min(pmod(h * {PERM_A[i]}L + {PERM_B[i]}L, {MERSENNE31}L)) AS m{i}"
         )
         for i in range(N_PERM)
     ]
-    # pmod fold AFTER the raw-space fence; h values per window are
-    # identical to the pre-r13 build (pmod(xxhash64, M31)), so signatures
-    # and band hashes are unchanged on fence-free corpora.
+    # pmod fold after the fence; per-window h values are identical to
+    # the r12 build (pmod(xxhash64, M31)), so signatures and band hashes
+    # are unchanged on fence-free corpora.
     sig = (
-        posts.select("d", F.expr(f"pmod(hraw, {MERSENNE31}L)").alias("h"))
+        postings.select("d", F.expr(f"pmod(hraw, {MERSENNE31}L)").alias("h"))
         .groupBy("d")
         .agg(*mins)
     )
@@ -647,15 +655,23 @@ def minhash_dedup_pairs(
     # No .distinct() on the id set: left_semi against a broadcast with
     # duplicate keys is identical (existence test), and the dedup shuffle
     # was one more job on the checkpointed tiny frame (r10 profile_jobs).
-    cand_ids = cand.select(F.col("doc_a").alias("d")).union(
-        cand.select(F.col("doc_b").alias("d"))
+    cand_ids = cand.select(F.col("doc_a").alias(id_col)).union(
+        cand.select(F.col("doc_b").alias(id_col))
     )
-    # Verify sets come straight from the SAME materialized window frame
-    # (r13) — no re-tokenize of candidate docs. The r11 hash-identity
-    # doctrine is unchanged: intersection/size counts over
-    # k-arg-xxhash64 identities equal the string-set counts (whitespace
-    # tokens -> bijective windows; 2^-64 collision doctrine).
-    vs = wins.join(F.broadcast(cand_ids), on="d", how="left_semi")
+    # Verify on distinct window-HASH arrays, not shingle strings (r11):
+    # intersection/size counts over k-arg-xxhash64 identities equal the
+    # string-set counts (whitespace tokens -> bijective windows; 2^-64
+    # collision doctrine). Re-shingles ONLY candidate docs (broadcast
+    # semi-join) — candidates are ∝ true near-dups, a vanishing fraction
+    # of the corpus at every scale.
+    vs = (
+        docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .selectExpr(
+            f"`{id_col}` AS doc_id",
+            f"{TOKENS_SQL.format(col=f'`{text_col}`')} AS toks",
+        )
+        .selectExpr("doc_id", f"{sql_hashed_windows('toks', k)} AS shs")
+    )
     if n_hot:
         if n_hot <= HOT_VERIFY_BROADCAST_CAP:
             # Cap via a single-row broadcast array_except — zero extra
@@ -664,7 +680,7 @@ def minhash_dedup_pairs(
                 F.expr("coalesce(collect_list(hraw), array())").alias("hot")
             )
             vs = vs.crossJoin(F.broadcast(hot_arr)).selectExpr(
-                "d", "array_except(shs, hot) AS shs"
+                "doc_id", "array_except(shs, hot) AS shs"
             )
         else:
             # r12-ADVICE path: past the broadcast cap (template-heavy
@@ -677,24 +693,24 @@ def minhash_dedup_pairs(
             # of |hot|. The left join back onto the id list keeps
             # all-hot docs as empty sets, bit-identical to array_except.
             capped = (
-                vs.select("d", F.explode("shs").alias("hraw"))
+                vs.select("doc_id", F.explode("shs").alias("hraw"))
                 .join(hot, on="hraw", how="left_anti")
-                .groupBy("d")
+                .groupBy("doc_id")
                 .agg(F.collect_list("hraw").alias("capped_shs"))
             )
             vs = (
-                vs.select("d")
-                .join(capped, on="d", how="left")
+                vs.select("doc_id")
+                .join(capped, on="doc_id", how="left")
                 .selectExpr(
-                    "d",
+                    "doc_id",
                     "coalesce(capped_shs, CAST(array() AS array<bigint>)) AS shs",
                 )
             )
-    vsets = materialize(vs.selectExpr("d AS doc_id", "shs"), "minhash-vsets")
+    vsets = materialize(vs, "minhash-vsets")
     # ^ materialized because BOTH verify sides consume it and the cand
     # side of each join broadcasts — without lineage cut the semi-join +
-    # cap chain runs twice (r10 A/B at sf0.1 min-of-3: 1.56 s -> 1.16 s).
-    # Bounded: only docs appearing in a candidate pair.
+    # re-shingle + cap chain runs twice (r10 A/B at sf0.1 min-of-3:
+    # 1.56 s -> 1.16 s). Bounded: only docs appearing in a candidate pair.
     a = vsets.selectExpr("doc_id AS doc_a", "shs AS shs_a")
     b = vsets.selectExpr("doc_id AS doc_b", "shs AS shs_b")
     joined = cand.join(a, on="doc_a").join(b, on="doc_b")
