@@ -457,3 +457,32 @@ def test_user_streaks_replica(spark):
         assert r.n_active_days == len(ds)
         assert r.longest_streak == longest
         assert r.current_streak == current
+
+
+def test_package_imports_under_python_optimize():
+    """r13 (ADVICE r12): ``python -O``/``PYTHONOPTIMIZE=2`` strips
+    docstrings to None; every ``__doc__.format`` interpolation routes
+    through registry.fmt_doc so the whole 384-query package must still
+    import. Run in a subprocess because the optimize flag is
+    interpreter-global."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONOPTIMIZE="2")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '/root/repo'); "
+            "import move_forecast_ind_spark.queries as q; "
+            "from move_forecast_ind_spark.queries.registry import REGISTRY; "
+            "print(len(REGISTRY))",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == "384"
