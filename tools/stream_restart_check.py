@@ -128,7 +128,23 @@ def _run_phase(args) -> None:
     from move_forecast_ind_spark.session import get_spark
     from move_forecast_ind_spark.streaming.events import apply_count_delta
 
-    spark = get_spark("stream-restart-run")
+    if args.cluster:
+        # multi-executor posture: separate executor JVMs + network
+        # shuffle + a state store written through the checkpoint file
+        # manager from executor processes (single host, so /tmp IS the
+        # shared filesystem — tools/cluster_check.py doctrine)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local-cluster[2,8,12288]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.driver.memory", "6g")
+            .config("spark.executor.memory", "8g")
+            .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("stream-restart-run")
     spark.sparkContext.setLogLevel("ERROR")
     stream = _read_staged_stream(spark, args.staged)
     table = os.path.join(args.work, "table")
@@ -212,6 +228,12 @@ def main() -> int:
     ap.add_argument("--nfiles", type=int, default=8)
     ap.add_argument("--kill-batch", type=int, default=3)
     ap.add_argument("--kill-points", default="pre,post")
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="run each phase on a local-cluster[2,8,12288] master "
+        "(separate executor JVMs + state store written from executors)",
+    )
     # internal phase plumbing
     ap.add_argument("--phase-internal", action="store_true")
     ap.add_argument("--phase", default="")
@@ -236,7 +258,10 @@ def main() -> int:
     ok = True
     for scenario in args.scenarios.split(","):
         for kp in args.kill_points.split(","):
-            work = f"/tmp/stream_restart_{scenario}_{kp}"
+            posture = ["--cluster"] if args.cluster else []
+            work = f"/tmp/stream_restart_{scenario}_{kp}" + (
+                "_cluster" if args.cluster else ""
+            )
             if os.path.isdir(work):
                 shutil.rmtree(work)
             os.makedirs(work)
@@ -247,6 +272,7 @@ def main() -> int:
                     "--staged", staged, "--work", work,
                     "--kill-batch", str(args.kill_batch), "--kill-point", kp,
                 ]
+                + posture
             )
             killed = rc1 != 0  # SIGKILL → negative returncode
             rc2 = _spawn(
@@ -255,6 +281,7 @@ def main() -> int:
                     "--staged", staged, "--work", work,
                     "--kill-batch", "-1",
                 ]
+                + posture
             )
             wall = round(time.time() - t0, 1)
             log = os.path.join(work, "batches.log")
