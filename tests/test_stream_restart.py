@@ -66,36 +66,43 @@ def test_restart_from_checkpoint_resumes_and_matches_batch(
     table = os.path.join(work, "table")
     seen: list[int] = []
 
-    def sink(batch_df, bid):
-        batch_df.write.mode("overwrite").parquet(table)
-        seen.append(bid)
+    def make_sink(die_at: int | None):
+        def sink(batch_df, bid):
+            # die BEFORE the sink write and BEFORE the engine commit —
+            # a deterministic mid-stream crash (a stop()-based version
+            # raced the tiny fixture batches: all 4 could commit before
+            # the stop landed, leaving nothing to resume)
+            if die_at is not None and bid >= die_at:
+                raise RuntimeError("injected mid-stream failure")
+            batch_df.write.mode("overwrite").parquet(table)
+            seen.append(bid)
 
-    def start():
+        return sink
+
+    def start(die_at=None):
         return (
             tumbling_counts(_stream(spark, staged_src))
             .writeStream.outputMode("complete")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .foreachBatch(sink)
+            .foreachBatch(make_sink(die_at))
             .start()
         )
 
-    # run 1: stop mid-stream after 2 of 4 micro-batches
-    q = start()
-    deadline = time.time() + 120
-    while len(seen) < 2 and time.time() < deadline:
-        time.sleep(0.1)
+    # run 1: crash at micro-batch 2 of 4 (batches 0-1 committed)
+    q = start(die_at=2)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+        q.awaitTermination(120)
     q.stop()
-    assert len(seen) >= 2
-    n_before = len(seen)
+    assert seen == [0, 1]
 
-    # run 2: restart from the checkpoint; it must resume, not rewind to 0
+    # run 2: restart from the checkpoint; it must resume at the failed
+    # batch (re-delivered — its offsets are logged, its commit is not),
+    # not rewind to 0, and drain the remaining files
     q2 = start()
     q2.processAllAvailable()
     q2.stop()
-    resumed = seen[n_before:]
-    assert resumed, "restart processed nothing"
-    assert min(resumed) >= n_before - 1  # at most the uncommitted batch replays
-    assert max(resumed) == 3  # drained all 4 files
+    assert seen == [0, 1, 2, 3]
 
     out = spark.read.parquet(table)
     batch = st_tumbling_counts(spark, SF_SMALL)
