@@ -82,3 +82,54 @@ def jdbc_table(spark: SparkSession, url: str, table: str) -> DataFrame:
     source-evaluated predicates), which is the property that matters at
     scale: the database does the selection, Spark moves only survivors."""
     return spark.read.jdbc(url, table, properties={"driver": DERBY_DRIVER})
+
+
+# --- schema evolution (r13) -------------------------------------------------
+
+
+def conform_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``target``: missing columns become typed NULLs,
+    extra columns are dropped, and present columns are cast to the target
+    type (safe widenings — int→long, float→double — are what evolving
+    producers actually ship; an unsafe narrowing still casts, which under
+    ANSI fails loudly at run time rather than silently truncating).
+
+    This is the consumer-side half of schema evolution at fleet scale: a
+    100 TB table is written by producers deployed over months, so files
+    legitimately disagree on optional columns. Conforming in the SELECT
+    (one projection, whole-stage codegen) keeps every downstream plan
+    schema-stable regardless of which files a partition prune touches.
+    """
+    from pyspark.sql import functions as F
+
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name] != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def read_evolving(
+    spark: SparkSession, path: str, target: T.StructType | None = None
+) -> DataFrame:
+    """Read a parquet DIRECTORY whose files may disagree on columns.
+
+    - ``target=None``: ``mergeSchema=true`` — the union schema, with
+      NULLs where a file lacks a column. Spark merges added/removed
+      columns but refuses conflicting TYPES for the same name (by
+      design: a silent lossy pick would corrupt data).
+    - with ``target``: read with the EXPLICIT schema (no merge pass —
+      at 100 TB the mergeSchema footer sweep over every file is itself
+      a job; an explicit schema costs nothing) and conform. The parquet
+      vectorized reader upcasts int32→int64 / float→double per file, so
+      a widening type evolution reads cleanly under one declared type.
+    """
+    if target is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return conform_schema(spark.read.schema(target).parquet(path), target)

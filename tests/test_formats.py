@@ -68,3 +68,68 @@ def test_jdbc_roundtrip_and_pushdown(spark):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [*IsNotNull(n_regionkey), *EqualTo(n_regionkey,1)]" in plan
     assert flt.count() == nation.filter("n_regionkey = 1").count()
+
+
+def test_read_evolving_merges_added_column(spark, tmp_path):
+    """r13 schema evolution: a table directory whose newer files carry an
+    added column reads as the union schema (old files NULL-filled), and a
+    target-schema read conforms both generations to one stable schema."""
+    from pyspark.sql import types as T
+
+    from move_forecast_ind_spark.sources.formats import (
+        conform_schema,
+        read_evolving,
+    )
+
+    d = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    old.write.parquet(d + "/gen=0")
+    new = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)], ["id", "name", "score"]
+    )
+    new.write.parquet(d + "/gen=1")
+
+    # union read: added column present, NULL for the old generation
+    merged = read_evolving(spark, d)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[3] == 0.5
+
+    # target-schema read: stable projection regardless of generation,
+    # including a column NO file has yet (forward-compat consumer)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    conformed = read_evolving(spark, d, target)
+    assert [f.name for f in conformed.schema.fields] == ["id", "score", "lang"]
+    assert conformed.filter("lang IS NOT NULL").count() == 0
+    assert conformed.filter("score IS NOT NULL").count() == 2
+
+    # conform_schema drops extras and casts in place
+    slim = conform_schema(new, T.StructType([T.StructField("id", T.StringType())]))
+    assert slim.columns == ["id"] and slim.schema["id"].dataType.simpleString() == "string"
+
+
+def test_read_evolving_widening_types(spark, tmp_path):
+    """Widening evolution (int→long, float→double) reads cleanly under one
+    declared target schema — the parquet vectorized reader upcasts per
+    file, so producers can widen without a table rewrite."""
+    from pyspark.sql import types as T
+
+    from move_forecast_ind_spark.sources.formats import read_evolving
+
+    d = str(tmp_path / "tblw")
+    spark.createDataFrame([(1,)], ["v"]).selectExpr("CAST(v AS INT) AS v").write.parquet(
+        d + "/gen=0"
+    )
+    spark.createDataFrame([(2,)], ["v"]).selectExpr("CAST(v AS BIGINT) AS v").write.parquet(
+        d + "/gen=1"
+    )
+    target = T.StructType([T.StructField("v", T.LongType())])
+    out = read_evolving(spark, d, target)
+    assert out.schema["v"].dataType.simpleString() == "bigint"
+    assert sorted(r["v"] for r in out.collect()) == [1, 2]
