@@ -133,3 +133,27 @@ def read_evolving(
     if target is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
     return conform_schema(spark.read.schema(target).parquet(path), target)
+
+
+def read_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ignore_corrupt: bool = False,
+) -> DataFrame:
+    """Read a parquet directory with an explicit posture on corrupt files.
+
+    Default (``ignore_corrupt=False``) is Spark's default and the right
+    one: a corrupt file FAILS the job loudly — at 100 TB a bad file is a
+    producer bug or storage fault you want paged about, not silently
+    subtracted from an aggregate. ``ignore_corrupt=True`` opts into
+    ``ignoreCorruptFiles`` per-read (never session-wide — a session-wide
+    flag silently blesses every future read): the valid files' rows are
+    returned and the loss is the CALLER's recorded decision, e.g. a
+    best-effort backfill over a partially-damaged archive tier.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true" if ignore_corrupt else "false")
+        .parquet(path)
+    )

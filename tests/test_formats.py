@@ -133,3 +133,26 @@ def test_read_evolving_widening_types(spark, tmp_path):
     out = read_evolving(spark, d, target)
     assert out.schema["v"].dataType.simpleString() == "bigint"
     assert sorted(r["v"] for r in out.collect()) == [1, 2]
+
+
+def test_read_tolerant_corrupt_file_posture(spark, tmp_path):
+    """r13: a garbage file in a table directory fails the default read
+    loudly; the per-read ignoreCorruptFiles opt-in returns the valid
+    files' rows — both postures pinned so neither silently flips."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from move_forecast_ind_spark.sources.formats import read_tolerant
+
+    d = str(tmp_path / "tblc")
+    spark.createDataFrame([(1,), (2,)], ["v"]).write.parquet(d)
+    with open(d + "/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+    schema = T.StructType([T.StructField("v", T.LongType())])
+
+    with _pytest.raises(Exception):
+        read_tolerant(spark, d, schema).collect()  # loud by default
+
+    ok = read_tolerant(spark, d, schema, ignore_corrupt=True)
+    assert sorted(r["v"] for r in ok.collect()) == [1, 2]
