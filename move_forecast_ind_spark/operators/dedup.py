@@ -691,7 +691,18 @@ def minhash_dedup_pairs(
             # raw key space, and re-collect per doc — cost is one shuffle
             # over the CANDIDATE docs' postings (long keys), independent
             # of |hot|. The left join back onto the id list keeps
-            # all-hot docs as empty sets, bit-identical to array_except.
+            # all-hot docs as empty sets, SET-equivalent to array_except
+            # (collect_list after a shuffle yields nondeterministic
+            # element order; array_except preserves input order — safe
+            # here because shs is array_distinct and every downstream
+            # consumer is order-insensitive size/array_intersect; r13
+            # ADVICE reword).
+            # Materialize BEFORE building `capped`: both the explode
+            # subtree and the `vs.select("doc_id")` join-back below
+            # consume vs, and without a lineage cut the broadcast
+            # semi-join + re-shingle chain computes twice (same r10
+            # rationale as the post-cap materialize; r13 ADVICE).
+            vs = materialize(vs, "minhash-vsets-precap")
             capped = (
                 vs.select("doc_id", F.explode("shs").alias("hraw"))
                 .join(hot, on="hraw", how="left_anti")

