@@ -35,6 +35,17 @@ nothing but the checkpoint directory.
 Prints one verdict row per (scenario, kill_point) and a JSON summary
 line. Exit code 0 iff every scenario is hash-exact and the negative
 control shows inflation.
+
+``--two-kill`` (r14, VERDICT item 4) switches to the re-entrancy
+protocol: kill at ``--kill-batch`` (post), restart and kill AGAIN
+mid-drain at ``--kill-batch2`` (post), restart once more and drain —
+three driver processes, two checkpoint recoveries, hash-exact against
+the batch twin. Pair with ``--sf <sf0.1> --nfiles 32`` for a
+32-micro-batch horizon::
+
+    python tools/stream_restart_check.py --two-kill \
+        --sf /root/testdata/sf0.1 --nfiles 32 \
+        --scenarios tumbling,incremental --kill-batch 8 --kill-batch2 20
 """
 
 from __future__ import annotations
@@ -229,6 +240,16 @@ def main() -> int:
     ap.add_argument("--kill-batch", type=int, default=3)
     ap.add_argument("--kill-points", default="pre,post")
     ap.add_argument(
+        "--two-kill",
+        action="store_true",
+        help="re-entrancy mode (r14, VERDICT item 4): per scenario, "
+        "SIGKILL at --kill-batch (post), restart and SIGKILL AGAIN "
+        "mid-drain at --kill-batch2 (post), restart once more and drain "
+        "— proves recovery is re-entrant, not one-shot. Pair with "
+        "--sf sf0.1 --nfiles 32 for a >=30-micro-batch horizon.",
+    )
+    ap.add_argument("--kill-batch2", type=int, default=20)
+    ap.add_argument(
         "--cluster",
         action="store_true",
         help="run each phase on a local-cluster[2,8,12288] master "
@@ -253,6 +274,74 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     staged = "/tmp/stream_restart_src"
     _stage(spark, args.sf, args.nfiles, staged)
+
+    if args.two_kill:
+        # Re-entrancy evidence (r14): recovery must survive a SECOND
+        # SIGKILL landing mid-drain of the first recovery. Both kills at
+        # the `post` point (sink written, commit log not — the
+        # double-delivery case), so the run exercises redelivery twice
+        # with different checkpoint states. Batch ids are global across
+        # restarts (they come from the checkpoint offset log), so the
+        # second kill targets a batch id the first drain never reached.
+        results = []
+        ok = True
+        for scenario in args.scenarios.split(","):
+            work = f"/tmp/stream_restart_{scenario}_twokill"
+            if os.path.isdir(work):
+                shutil.rmtree(work)
+            os.makedirs(work)
+            t0 = time.time()
+            rcs = []
+            for phase, kb in (
+                ("kill1", args.kill_batch),
+                ("kill2", args.kill_batch2),
+                ("final", -1),
+            ):
+                rcs.append(
+                    _spawn(
+                        [
+                            "--phase", phase, "--scenario", scenario,
+                            "--staged", staged, "--work", work,
+                            "--kill-batch", str(kb), "--kill-point", "post",
+                        ]
+                    )
+                )
+            wall = round(time.time() - t0, 1)
+            lines = open(os.path.join(work, "batches.log")).read().split()
+            sh, sn = _canon_hash(
+                spark.read.parquet(os.path.join(work, "table")), _COLS[scenario]
+            )
+            bh, bn = _canon_hash(_batch_twin(spark, scenario, args.sf), _COLS[scenario])
+            match = sh == bh
+            cell = {
+                "scenario": scenario,
+                "kill_batches": [args.kill_batch, args.kill_batch2],
+                "killed_rcs": rcs[:2],
+                "final_rc": rcs[2],
+                "batches_kill1": len([l for l in lines if l.startswith("kill1:")]),
+                "batches_kill2": len([l for l in lines if l.startswith("kill2:")]),
+                "batches_final": len([l for l in lines if l.startswith("final:")]),
+                "victim1_redelivered": f"kill2:{args.kill_batch}" in lines,
+                "victim2_redelivered": f"final:{args.kill_batch2}" in lines,
+                "rows": sn,
+                "rows_batch": bn,
+                "hash_stream": sh,
+                "hash_batch": bh,
+                "hash_exact": match,
+                "wall_s": wall,
+            }
+            ok = ok and match and rcs[0] != 0 and rcs[1] != 0 and rcs[2] == 0
+            results.append(cell)
+            print(
+                f"{'PASS' if match else 'FAIL'}  {scenario:<12s} two-kill "
+                f"rcs={rcs} batches={cell['batches_kill1']}/"
+                f"{cell['batches_kill2']}/{cell['batches_final']} "
+                f"redelivered={cell['victim1_redelivered']}/"
+                f"{cell['victim2_redelivered']} rows={sn}/{bn} "
+                f"hash={'=' if match else sh + '!=' + bh} wall={wall}s"
+            )
+        print(json.dumps({"two_kill": results, "ok": ok}))
+        return 0 if ok else 1
 
     results = []
     ok = True

@@ -11,12 +11,28 @@ PROVE that is to sweep under the driver's own session shape. The round-10
 front was rehearsed this way (50/50 green) before rotation; this tool
 generalizes the rehearsal to the whole registry.
 
+Isolation (r14, VERDICT item 3): a SINGLE vanilla JVM sweeping the full
+registry at sf0.1 skew scale died cumulatively after ~17 queries — the
+default 1g driver heap fills with localCheckpoint blocks from
+``materialize()`` (local mode) plus broadcast/cached relations that only
+free on GC, the same accumulation the r13 scaleup_probe hit. The fix is
+NOT a bigger ``--driver-memory`` (that changes the vanilla posture under
+test and merely moves the cliff); it is per-chunk process isolation:
+``--chunk N`` (default 24) spawns a fresh subprocess — a fresh vanilla
+JVM, same builder line the driver uses — every N queries, which bounds
+per-JVM accumulation at N queries' worth regardless of registry size or
+scale factor. This matches the grading driver's own posture more closely
+anyway (its sample is 50, not 383). ``--chunk 0`` restores the legacy
+single-process sweep.
+
     python tools/vanilla_sweep.py [--sf /root/testdata/sf0.01] [names...]
+    python tools/vanilla_sweep.py --sf /tmp/sf_skew1          # skew sf0.1
 """
 
 from __future__ import annotations
 
 import argparse
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -28,16 +44,13 @@ TABLES = (
 ).split()
 
 
-def main() -> None:
+def _sweep_inprocess(sf: str, names: list[str]) -> list[str]:
+    """Run `names` on ONE vanilla session; print a row per query; return
+    the failing names."""
     import duckdb
     from pyspark.sql import SparkSession
 
     from check_oracle import normalize, run_oracle, run_spark_query
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
 
     # vanilla: exactly what the grading driver builds
     spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -49,15 +62,14 @@ def main() -> None:
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf}/{t}.parquet')"
+            f"read_parquet('{sf}/{t}.parquet')"
         )
 
-    names = args.names or [n for n in REGISTRY if REGISTRY[n].oracle is not None]
     fails: list[str] = []
     for n in names:
         spec = REGISTRY[n]
         try:
-            cols, types, rows = run_spark_query(spark, spec, args.sf)
+            cols, types, rows = run_spark_query(spark, spec, sf)
             s_schema, s_rows = normalize(cols, types, rows)
             o_schema, o_rows = normalize(*run_oracle(con, spec.oracle))
             ok = (
@@ -71,8 +83,68 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — report and continue
             print("ERR  ", n, repr(ex)[:200], flush=True)
             fails.append(n)
+    return fails
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--chunk",
+        type=int,
+        default=24,
+        help="queries per fresh vanilla JVM (0 = one JVM for the whole "
+        "sweep — the pre-r14 behavior, known to hit the default-heap "
+        "cliff at sf0.1 skew scale)",
+    )
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    # Registry import needs no Spark; resolving names in the parent keeps
+    # child invocations to explicit name lists.
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    names = args.names or [n for n in REGISTRY if REGISTRY[n].oracle is not None]
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown names: {unknown}")
+
+    if args.chunk <= 0 or len(names) <= args.chunk:
+        fails = _sweep_inprocess(args.sf, names)
+    else:
+        fails = []
+        for i in range(0, len(names), args.chunk):
+            chunk = names[i : i + args.chunk]
+            p = subprocess.run(
+                [sys.executable, __file__, "--sf", args.sf, "--chunk", "0"]
+                + chunk,
+                capture_output=True,
+                text=True,
+            )
+            reported: set[str] = set()
+            for line in p.stdout.splitlines():
+                parts = line.split()
+                if parts and parts[0] in ("PASS", "FAIL", "ERR") and len(parts) > 1:
+                    print(line, flush=True)
+                    reported.add(parts[1])
+                    if parts[0] in ("FAIL", "ERR"):
+                        fails.append(parts[1])
+            missing = [n for n in chunk if n not in reported]
+            if missing:
+                # the chunk JVM died (OOM/SIGKILL) before reaching these —
+                # unverified is a failure, not a skip
+                print(
+                    f"CHUNK-DIED rc={p.returncode} unreported: {missing}\n"
+                    f"{p.stderr[-500:]}",
+                    flush=True,
+                )
+                fails.extend(missing)
+    raise SystemExit(_finish(names, fails))
+
+
+def _finish(names: list[str], fails: list[str]) -> int:
     print(f"\n{len(names) - len(fails)}/{len(names)} green; fails: {fails}")
-    raise SystemExit(1 if fails else 0)
+    return 1 if fails else 0
 
 
 if __name__ == "__main__":
