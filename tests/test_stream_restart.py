@@ -140,3 +140,68 @@ def test_batch_id_marker_guard_dedupes_replayed_batch(spark, staged_src, tmp_pat
     apply_count_delta(victim, 1, table)
     inflated = spark.read.parquet(table).agg(F.sum("n")).first()[0]
     assert inflated == total + victim.count()
+
+
+def test_two_sequential_crashes_recover_reentrantly(spark, staged_src, tmp_path):
+    """r14 (VERDICT item 4, unit-scale pin of the --two-kill protocol):
+    recovery must be RE-ENTRANT — a second crash landing mid-drain of the
+    first recovery still resumes exactly where it left off, never rewinds
+    to batch 0 and never skips the twice-interrupted region. The
+    process-level version (real SIGKILLs, sf0.1, 32 micro-batches) lives
+    in ``tools/stream_restart_check.py --two-kill``; this pin keeps the
+    in-process core honest in the suite."""
+    from move_forecast_ind_spark.queries.streaming_q import st_tumbling_counts
+    from move_forecast_ind_spark.streaming.events import tumbling_counts
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    table = os.path.join(work, "table")
+    seen: list[int] = []
+
+    def make_sink(die_at: int | None):
+        def sink(batch_df, bid):
+            if die_at is not None and bid >= die_at:
+                raise RuntimeError("injected mid-stream failure")
+            batch_df.write.mode("overwrite").parquet(table)
+            seen.append(bid)
+
+        return sink
+
+    def start(die_at=None):
+        return (
+            tumbling_counts(_stream(spark, staged_src))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(make_sink(die_at))
+            .start()
+        )
+
+    # crash 1: batch 1 of 4 (only batch 0 committed)
+    q = start(die_at=1)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+        q.awaitTermination(120)
+    q.stop()
+    assert seen == [0]
+
+    # recovery 1 is itself killed mid-drain: crash 2 at batch 3 — the
+    # first recovery must have resumed at 1 (not 0) before dying
+    q2 = start(die_at=3)
+    with pytest.raises(Exception):
+        q2.processAllAvailable()
+        q2.awaitTermination(120)
+    q2.stop()
+    assert seen == [0, 1, 2]
+
+    # recovery 2: drains the remainder; full delivery, no rewind, no gap
+    q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert seen == [0, 1, 2, 3]
+
+    out = spark.read.parquet(table)
+    batch = st_tumbling_counts(spark, SF_SMALL)
+    cols = ["bucket_s", "event_type", "n"]
+    srows = sorted(tuple(r[c] for c in cols) for r in out.select(cols).collect())
+    brows = sorted(tuple(r[c] for c in cols) for r in batch.select(cols).collect())
+    assert srows == brows
