@@ -83,6 +83,15 @@ def _sweep_inprocess(sf: str, names: list[str]) -> list[str]:
         except Exception as ex:  # noqa: BLE001 — report and continue
             print("ERR  ", n, repr(ex)[:200], flush=True)
             fails.append(n)
+            try:
+                # liveness probe: a dead gateway JVM (cumulative-heap OOM
+                # kill) turns every later query into a ConnectionRefused
+                # artifact — abort so the parent retries the remainder in
+                # a fresh JVM instead of recording ghost failures
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print(f"GATEWAY-DEAD after {n}", flush=True)
+                break
     return fails
 
 
@@ -92,10 +101,14 @@ def main() -> None:
     ap.add_argument(
         "--chunk",
         type=int,
-        default=24,
+        default=12,
         help="queries per fresh vanilla JVM (0 = one JVM for the whole "
         "sweep — the pre-r14 behavior, known to hit the default-heap "
-        "cliff at sf0.1 skew scale)",
+        "cliff at sf0.1 skew scale). 12 keeps ~2x margin under the "
+        "measured ~17-query accumulation cliff; names a dead chunk "
+        "leaves unreported are retried one-per-JVM before being "
+        "declared failures, so the instrument has no cliff at any "
+        "scale — worst case degrades to per-query isolation.",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -115,31 +128,55 @@ def main() -> None:
         fails = []
         for i in range(0, len(names), args.chunk):
             chunk = names[i : i + args.chunk]
-            p = subprocess.run(
-                [sys.executable, __file__, "--sf", args.sf, "--chunk", "0"]
-                + chunk,
-                capture_output=True,
-                text=True,
-            )
-            reported: set[str] = set()
-            for line in p.stdout.splitlines():
-                parts = line.split()
-                if parts and parts[0] in ("PASS", "FAIL", "ERR") and len(parts) > 1:
-                    print(line, flush=True)
-                    reported.add(parts[1])
-                    if parts[0] in ("FAIL", "ERR"):
-                        fails.append(parts[1])
+            reported, chunk_fails, died = _run_chunk(args.sf, chunk)
             missing = [n for n in chunk if n not in reported]
-            if missing:
-                # the chunk JVM died (OOM/SIGKILL) before reaching these —
-                # unverified is a failure, not a skip
-                print(
-                    f"CHUNK-DIED rc={p.returncode} unreported: {missing}\n"
-                    f"{p.stderr[-500:]}",
-                    flush=True,
-                )
-                fails.extend(missing)
+            if died or missing:
+                # The chunk JVM died (cumulative heap, OOM kill). The
+                # query it died IN is an ERR artifact of accumulation,
+                # not necessarily a real failure — retry it solo along
+                # with everything the chunk never reached. One fresh JVM
+                # per name separates "cumulative accumulation killed the
+                # chunk" (passes solo) from "this query cannot run at
+                # this scale on a default heap" (fails solo → a real
+                # finding, kept as FAIL).
+                victim = chunk_fails[-1:] if died and chunk_fails else []
+                retry = victim + missing
+                fails.extend(n for n in chunk_fails if n not in victim)
+                print(f"CHUNK-DIED; retrying {retry} one-per-JVM", flush=True)
+                for n in retry:
+                    s_rep, s_fails, s_died = _run_chunk(args.sf, [n])
+                    if s_died or n not in s_rep:
+                        print(f"SOLO-DIED {n}", flush=True)
+                        fails.append(n)
+                    else:
+                        fails.extend(s_fails)
+            else:
+                fails.extend(chunk_fails)
     raise SystemExit(_finish(names, fails))
+
+
+def _run_chunk(sf: str, chunk: list[str]) -> tuple[set[str], list[str], bool]:
+    """One fresh vanilla JVM over `chunk`; relay its per-query rows and
+    return (names that produced a row, names that failed, gateway died)."""
+    p = subprocess.run(
+        [sys.executable, __file__, "--sf", sf, "--chunk", "0"] + chunk,
+        capture_output=True,
+        text=True,
+    )
+    reported: set[str] = set()
+    fails: list[str] = []
+    died = False
+    for line in p.stdout.splitlines():
+        parts = line.split()
+        if parts and parts[0] in ("PASS", "FAIL", "ERR") and len(parts) > 1:
+            print(line, flush=True)
+            reported.add(parts[1])
+            if parts[0] in ("FAIL", "ERR"):
+                fails.append(parts[1])
+        elif line.startswith("GATEWAY-DEAD"):
+            print(line, flush=True)
+            died = True
+    return reported, fails, died
 
 
 def _finish(names: list[str], fails: list[str]) -> int:
