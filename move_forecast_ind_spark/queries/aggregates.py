@@ -169,7 +169,19 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate: fixed-size sketch per partition, so
     at 100 TB the shuffle is O(tasks), unlike exact distinct which shuffles
     every key once. rsd=0.01 keeps the estimate within ~1%; the oracle gate
-    asserts ≤5% relative error against the exact count."""
+    asserts ≤5% relative error against the exact count.
+
+    The sketch and exact aggregates are SEPARATE aggregations joined on the
+    group key — never mixed in one .agg(). Mixing them is a measured OOM
+    pathology (r14): countDistinct plans an Expand that makes every
+    distinct VALUE an aggregation key, and a co-resident
+    approx_count_distinct then allocates its ~12 KB HLL register buffer
+    per expanded key — ~170 k keys x 2 sketches ≈ 4 GB of aggregation
+    buffers on a 600 k-row table, OOMing any bounded heap and scaling
+    with distinct-key count (at 100 TB it would be apocalyptic). Split,
+    the sketch aggregate holds |groups| buffers (6 here) and the exact
+    aggregate's expanded keys carry only counters; the join back is a
+    |groups|-row broadcast."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -178,12 +190,15 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx - exact) / exact <= F.lit(0.05)
         )
 
-    agg = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",
@@ -295,10 +310,18 @@ def a_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific)."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    # Separate aggregations joined back, NOT one mixed .agg(): countDistinct
+    # Expands every distinct value into an aggregation key, and a
+    # co-resident sketch aggregate would allocate its register buffer per
+    # expanded key — the r14 OOM pathology documented on
+    # a_approx_count_distinct above. Split keeps |groups| sketch buffers.
+    exact = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    sk = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
     )
+    agg = exact.join(F.broadcast(sk), "o_orderpriority")
     return agg.select(
         "o_orderpriority",
         "exact_customers",
