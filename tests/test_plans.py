@@ -329,3 +329,39 @@ def test_materialize_guards_node_local_ckpt_on_multinode_file_fs(spark, monkeypa
         out2 = M.materialize(df, "guardcheck", mode="parquet")
     assert not any("SPARK_GRAFT_CKPT_DIR" in str(w.message) for w in caught)
     assert out2.count() == 5
+
+
+def test_sketch_aggregates_never_ride_the_distinct_expand(spark):
+    """r14 (BASELINE addendum 3): countDistinct plans an Expand that turns
+    every distinct VALUE into an aggregation key; a sketch aggregate
+    (HLL++/DataSketches) co-resident in the same .agg() then allocates its
+    register buffer per expanded key — a measured ~4 GB OOM for a 3-row
+    answer, scaling with distinct-key count. Pin the split shape: the
+    sketch aggregate must live in its own Aggregate subtree (no Expand in
+    the same grouping), joined back to the exact-distinct aggregate."""
+    from move_forecast_ind_spark.queries import REGISTRY
+
+    for name, sketch_fn, expands, distinct_cols in [
+        # two distinct columns -> Expand; a single distinct column plans
+        # as a two-level aggregate without one (same hazard class: its
+        # first-level keys are still every distinct value)
+        ("a_approx_count_distinct", "approx_count_distinct", True,
+         ("l_partkey", "l_orderkey")),
+        ("a_hll_sketch_distinct", "hll_sketch_agg", False, ("o_custkey",)),
+    ]:
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert ("Expand" in plan) == expands, f"{name}: distinct plan shape moved"
+        assert sketch_fn in plan, f"{name}: sketch aggregate missing"
+        # the split plan joins the two aggregations back on the group key
+        assert "Join" in plan, f"{name}: expected an aggregate-join split plan"
+        # and no aggregate node computes the sketch with a distinct column
+        # (or the Expand gid) among its KEYS — the mixed-plan signature
+        # that buys one sketch buffer per distinct value
+        for node in plan.split("\n"):
+            if sketch_fn in node and "Aggregate" in node:
+                keys = node.split("functions=")[0]
+                bad = [c for c in distinct_cols + ("gid",) if c in keys]
+                assert not bad, (
+                    f"{name}: sketch aggregate keyed by {bad} — the r14 "
+                    f"per-distinct-value buffer pathology:\n{node}"
+                )
