@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import r6
 from ..functions.vectors import as_double, cosine
+from .dedup import fanout
 
 N_PLANES = 32
 PLANE_SEED = 42
@@ -39,7 +40,14 @@ def brute_force_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     )
-    c = corpus.select(
+    # fanout: the corpus parquet is a single row group at the fixture SFs,
+    # so the scan — and with it the O(|corpus|·|queries|·dim) cosine fold,
+    # which higher-order functions evaluate OUTSIDE whole-stage codegen —
+    # runs one task on one core (profiled r14: 5.5 s serialized). Pinning
+    # the exchange to core count parallelizes the fold; per-row cosine and
+    # the tie-broken rank below are partitioning-invariant, so the result
+    # is bit-identical.
+    c = fanout(corpus).select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
     )
     scored = (
@@ -67,27 +75,54 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((N_PLANES, dim))
 
 
+# One-row (array<array<double>>) hyperplane frame per (session, dim) — the
+# planes as DATA, not plan literals. A 32×64 literal matrix inlined into the
+# expression tree is ~2 000 Catalyst nodes that classic PySpark RE-ANALYZES
+# at every downstream Dataset construction (join/distinct/window/agg):
+# measured r14 at ~0.6 s per step, ~6 s per ANN query end-to-end. As a
+# broadcast one-row crossJoin (the repo's bounded-crossJoin doctrine) the
+# tree stays a few dozen nodes and the values are bit-identical
+# (createDataFrame carries Python floats into DoubleType exactly).
+_PLANES_DF: dict = {}
+
+
+def _planes_df(spark, dim: int):
+    key = (spark, dim)
+    got = _PLANES_DF.get(key)
+    if got is None:
+        got = spark.createDataFrame(
+            [([[float(x) for x in row] for row in _planes(dim)],)],
+            "__P array<array<double>>",
+        )
+        _PLANES_DF[key] = got
+    return got
+
+
 def srp_signature(df: DataFrame, dim: int) -> DataFrame:
     """Sign-random-projection signature: bit i = sign(plane_i · v).
 
     The signature lives in a LONG: with 32 planes, ``1 << 31`` exceeds INT
     range and ANSI mode (Spark 4 default) makes that an overflow error, not
-    a silent wrap."""
-    planes = _planes(dim)
-    v = as_double(F.col("embedding"))
-    bits = []
-    for i in range(N_PLANES):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        d = F.aggregate(
-            F.zip_with(plane, v, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return df.select("vec_id", "embedding", sig.alias("srp"))
+    a silent wrap.
+
+    Built as ONE ``F.expr`` string (the functions.vectors round-9 doctrine)
+    over the broadcast one-row plane frame (see ``_planes_df``): the
+    Column-by-Column form issued ~4 000 Py4J gateway roundtrips per call and
+    inlined ~2 000 literal nodes that every downstream Dataset construction
+    re-analyzed — together ~6 s of pure DRIVER time per ANN query (measured
+    r14). The per-plane fold is the same ``aggregate(zip_with(...))``
+    left-to-right IEEE sum over the same doubles, so signatures — and every
+    downstream result — are bit-identical."""
+    dot = "aggregate(zip_with(__P[{i}], __v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    sig = " + ".join(
+        f"(CASE WHEN {dot.format(i=i)} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(N_PLANES)
+    )
+    return (
+        df.select("vec_id", "embedding", as_double(F.col("embedding")).alias("__v"))
+        .crossJoin(F.broadcast(_planes_df(df.sparkSession, dim)))
+        .select("vec_id", "embedding", F.expr(sig).alias("srp"))
+    )
 
 
 def ann_lsh_topk(
@@ -133,7 +168,11 @@ def ann_lsh_topk(
         )
 
     q = banded(queries, "query_id")
-    c = banded(corpus, "neighbor_id")
+    # fanout the corpus leg only (queries are a handful of rows): the
+    # 32-plane SRP fold is the expensive per-row map and must not
+    # serialize on the fixture's single-row-group scan task. Signature
+    # bits are per-row deterministic — partitioning cannot change them.
+    c = banded(fanout(corpus), "neighbor_id")
     cand = (
         q.join(c, on=["band", "bv"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -250,7 +289,11 @@ def ivf_topk(
             .select(id_alias, id_alias + "_v", "cent_id")
         )
 
-    corpus_cells = assign(corpus, "neighbor_id", 1)
+    # fanout the corpus assign only — the k-means FIT input stays untouched
+    # (treeAggregate order would perturb centroid floats); assignment
+    # against the broadcast centroids is a per-row argmin, invariant to
+    # partitioning given identical centroids.
+    corpus_cells = assign(fanout(corpus), "neighbor_id", 1)
     query_cells = assign(queries, "query_id", nprobe)
     cand = (
         query_cells.join(corpus_cells, on="cent_id")
