@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.percentiles import group_percentiles
 from ..functions.rounding import r2, r4, r6, sql_double, sql_r2, sql_r4, sql_r6
 from ..session import tune
 from ..sources import load_table
@@ -3162,12 +3163,14 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentile fences, inclusive) — the robust location
     estimate that survives fat tails and sensor spikes, next to
     a_mad_robust's dispersion. Two passes: a per-group fence frame
-    (tiny, broadcast) then one filtered aggregate."""
+    (tiny, broadcast) then one filtered aggregate. Fences via the
+    sort-based exact percentile (functions.percentiles — bit-identical
+    to the buffering `percentile` aggregate, ~2× faster at sf0.1 and
+    spill-safe at scale; r14)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    fences = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    fences = group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95], ["lo", "hi"]
     )
     r4_ = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     return (

@@ -828,3 +828,36 @@ def test_shared_coactivity_preserves_results_and_cleans_up(spark):
             got = sorted(map(str, REGISTRY[n].fn(spark, SF_SMALL).collect()))
             assert got == base[n], f"{n} diverged under shared adjacency"
     assert not _ADJ_CACHE  # cache cleared and frames unpersisted on exit
+
+
+def test_group_percentiles_bit_identical(spark):
+    """The sort-based exact percentile (functions.percentiles, r14) must be
+    bit-identical to Spark's buffering `percentile` aggregate — ties,
+    odd/even group sizes, negatives, and interpolation positions included.
+    a_trimmed_mean's fences (and the frozen DuckDB oracle hashes) depend on
+    this equivalence."""
+    from move_forecast_ind_spark.functions.percentiles import group_percentiles
+
+    rows = (
+        [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 9]]
+        + [("b", float(v)) for v in [5, 5, 5, 5]]
+        + [("c", -1.5), ("c", 2.25), ("c", 7.125)]
+        + [("d", float(v) * 0.1) for v in range(101)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    for p in [0.0, 0.05, 0.25, 0.5, 0.77, 0.95, 1.0]:
+        old = df.groupBy("k").agg(F.expr(f"percentile(v, {p})").alias("q"))
+        new = group_percentiles(df, ["k"], "v", [p], ["q"])
+        diff = (
+            old.alias("o")
+            .join(new.alias("n"), "k")
+            .filter("o.q <> n.q")
+            .count()
+        )
+        assert diff == 0, f"p={p}: sort-based percentile diverged"
+    # nulls excluded like the aggregate; multi-p call shape
+    dfn = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "k string, v double"
+    )
+    got = group_percentiles(dfn, ["k"], "v", [0.5], ["q"]).collect()
+    assert got[0]["q"] == 2.0
