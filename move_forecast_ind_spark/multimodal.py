@@ -466,7 +466,15 @@ def synthesize_png_media(
                 }
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    # fanout BEFORE the Python stage: the fixture parquet is one row group,
+    # so without the pinned exchange the payload synthesis — and every
+    # chained mapInPandas decode downstream (same partitioning, no shuffle
+    # between them) — serializes on a single Arrow task (profiled r14:
+    # the whole mm_ahash tier single-task). Per-row synthesis/decode is a
+    # pure function of doc_id, so partitioning cannot change any value.
+    from .operators.dedup import fanout
+
+    return fanout(docs.select(F.col(id_col))).mapInPandas(
         batches, schema="doc_id long, payload binary, media_type string"
     )
 
@@ -577,7 +585,15 @@ def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "payload": payloads, "media_type": "audio/wav"}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    # fanout BEFORE the Python stage: the fixture parquet is one row group,
+    # so without the pinned exchange the payload synthesis — and every
+    # chained mapInPandas decode downstream (same partitioning, no shuffle
+    # between them) — serializes on a single Arrow task (profiled r14:
+    # the whole mm_ahash tier single-task). Per-row synthesis/decode is a
+    # pure function of doc_id, so partitioning cannot change any value.
+    from .operators.dedup import fanout
+
+    return fanout(docs.select(F.col(id_col))).mapInPandas(
         batches, schema="doc_id long, payload binary, media_type string"
     )
 

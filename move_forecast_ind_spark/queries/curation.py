@@ -1828,6 +1828,8 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of scope here (numpy on 4 KB is not a distributed concern); the
     distributed part — this aggregate — is the whole cost at 100 TB."""
     tune(spark)
+    from ..operators.dedup import fanout
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     n = F.size("v")
@@ -1844,8 +1846,14 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # fanout: the single-row-group scan otherwise runs the 2 080-struct
+    # per-row upper-triangle expansion (interpreted HOFs) on one task
+    # (measured r14: 2.6 s serialized → ~0.4 s). Partial sums then merge
+    # across 32 partitions instead of 1 — ulp-level double-sum reorder,
+    # absorbed by the r4 rounding exactly as the cross-engine oracle
+    # equality already requires (DuckDB's sum order differs more).
     return (
-        emb.select(v.alias("v"))
+        fanout(emb.select(v.alias("v")))
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.dim_i").alias("dim_i"), F.col("p.dim_j").alias("dim_j"))
         .agg(r4(F.sum("p.prod")).alias("gram"))
@@ -2291,7 +2299,7 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same max-width fence as the simhash/jaccard buckets."""
     tune(spark)
     from ..multimodal import ahash_real, synthesize_png_media
-    from ..operators.dedup import _pairs_in_row
+    from ..operators.dedup import _pairs_in_row, fanout
     from ..operators.materialize import materialize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2345,6 +2353,11 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the Observation above makes any truncation OBSERVABLE
         # (ADVICE r8 / no-silent-caps doctrine).
         .filter((F.size("ds") > 1) & (F.size("ds") <= _AHASH_MAX_DF))
+        # fanout the ~53-row bucket frame before the in-row pair expansion:
+        # AQE coalesces the byte-tiny bucket shuffle to ONE task, which then
+        # explodes ~2.3 M pairs serially (profiled r14: 2.6 s single-task).
+        # Round-robin spread bounds the tail at the widest single bucket.
+        .transform(fanout)
         .select(F.explode(_pairs_in_row("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()

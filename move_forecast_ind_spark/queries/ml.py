@@ -467,7 +467,19 @@ def svc_forecast_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity",
     )
-    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    # Train only the requested branch: the request consumes exactly one
+    # model, per-branch fits are independent (groupBy-applyInPandas), and
+    # the registry probe inside forecast_request only inspects branch 7 —
+    # so pruning the training input is dead-code elimination the optimizer
+    # cannot see through the opaque Python stage (guide §1.2 "don't
+    # compute things you throw away"; §4.1 column/row pruning around
+    # opaque functions). The branch filter reaches the parquet scan as a
+    # PushedFilter. Output is bit-identical (oracle-checked); the
+    # all-branch registry remains ml_train_fourier's surface.
+    models = train_models_q(
+        _daily_series(spark, sf_dir).filter(F.col("branch") == 7),
+        cutoff=CUTOFF,
+    )
     daily, _ = forecast_request(
         spark, models, pct, date="1999-06-03", branch=7, move_type="R",
         today=dt.date(1999, 6, 1), max_date=dt.date(1999, 7, 31),
@@ -593,7 +605,13 @@ def svc_forecast_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, branch_col="l_suppkey", type_col="l_returnflag",
         date_col="l_shipdate", count_col="l_quantity",
     )
-    models = train_models_q(_daily_series(spark, sf_dir), cutoff=CUTOFF)
+    # Train only the batch's 10 requested branches (same pruning rationale
+    # as svc_forecast_request: per-branch fits are independent and the
+    # batch's registry probes only inspect branches 1-10).
+    models = train_models_q(
+        _daily_series(spark, sf_dir).filter(F.col("branch") <= 10),
+        cutoff=CUTOFF,
+    )
     reqs = spark.createDataFrame(
         [
             (b, "R" if b % 2 == 0 else None, d)
