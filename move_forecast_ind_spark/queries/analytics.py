@@ -6047,7 +6047,11 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
         "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296D)"
     )
-    draws = p.select(
+    # fanout: the single-row-group events scan otherwise evaluates all
+    # |purchases|×B md5 draws on one task (~2 s serialized, r14 profile).
+    # Per-draw weights are pure functions of (event_id, b); replica-mean
+    # sum-order ulps are this query's documented cross-engine tolerance.
+    draws = fanout(p).select(
         "event_id",
         "value",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),

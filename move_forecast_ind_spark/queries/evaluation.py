@@ -1292,31 +1292,79 @@ def s_manifest_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _PRUNE_FILES
     )
-    f_srt = (
-        F.ntile(_PRUNE_FILES).over(
-            Window.orderBy("d", "l_orderkey", "l_linenumber")
+    # Distributed NTILE (r14): the direct ntile() window demands a
+    # SinglePartition exchange — a one-task global sort of the whole
+    # table at ANY scale, exactly the straggler §2 warns about. The
+    # total order (d, l_orderkey, l_linenumber) is unique, so the global
+    # rank decomposes into a PER-DATE row_number (hash-partitioned by d,
+    # parallel) plus a broadcast cumulative per-date offset, and the
+    # tile follows from NTILE's bucket-assignment arithmetic (first
+    # n % nf tiles get one extra row) — pinned bit-equal to ntile() by
+    # tests/test_evaluation.py::test_distributed_ntile_matches_builtin.
+    w_d = Window.partitionBy("d").orderBy("l_orderkey", "l_linenumber")
+    loc = li.select(
+        "d",
+        f_rnd.alias("f_rnd"),
+        F.row_number().over(w_d).alias("__lrn"),
+    )
+    dcnt = li.groupBy("d").agg(F.count(F.lit(1)).alias("__c"))
+    offs = dcnt.select(
+        "d",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    tot = dcnt.agg(F.sum("__c").alias("__n"))
+    nf = F.lit(_PRUNE_FILES).cast("long")
+    rn = (F.col("__off") + F.col("__lrn")).alias("__rn")
+    assigned = (
+        loc.join(F.broadcast(offs), "d")
+        .crossJoin(F.broadcast(tot))
+        .select("d", "f_rnd", rn, "__n")
+        .select(
+            "d",
+            "f_rnd",
+            F.expr(
+                f"CASE WHEN __n % {_PRUNE_FILES} > 0 "
+                f"      AND __rn <= (__n % {_PRUNE_FILES}) * (__n div {_PRUNE_FILES} + 1) "
+                f"     THEN (__rn - 1) div (__n div {_PRUNE_FILES} + 1) + 1 "
+                f"     ELSE __n % {_PRUNE_FILES} "
+                f"          + (__rn - (__n % {_PRUNE_FILES}) * (__n div {_PRUNE_FILES} + 1) - 1) "
+                f"            div (__n div {_PRUNE_FILES}) + 1 END - 1"
+            ).alias("f_srt"),
         )
-        - 1
     )
-    assigned = li.select(
-        "d", f_rnd.alias("f_rnd"), f_srt.alias("f_srt")
-    )
+    # melt BOTH layouts out of one pass before aggregating: the two
+    # per-layout groupBys were union BRANCHES, and Spark does no CSE
+    # across branches — the md5 bucketing and the global NTILE sort (the
+    # expensive subtree) executed twice (r14 profile). One explode emits
+    # (layout, f) pairs and one groupBy builds both manifests; min/max/
+    # count are exact, so the result is unchanged.
     files = (
-        assigned.groupBy(F.col("f_rnd").alias("f"))
+        assigned.select(
+            "d",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("random").alias("layout"),
+                        F.col("f_rnd").alias("f"),
+                    ),
+                    F.struct(
+                        F.lit("sorted").alias("layout"),
+                        F.col("f_srt").alias("f"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .select(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f"), "d")
+        .groupBy("layout", "f")
         .agg(
             F.min("d").alias("lo"),
             F.max("d").alias("hi"),
             F.count(F.lit(1)).cast("long").alias("nrows"),
-        )
-        .select(F.lit("random").alias("layout"), "f", "lo", "hi", "nrows")
-        .unionByName(
-            assigned.groupBy(F.col("f_srt").alias("f"))
-            .agg(
-                F.min("d").alias("lo"),
-                F.max("d").alias("hi"),
-                F.count(F.lit(1)).cast("long").alias("nrows"),
-            )
-            .select(F.lit("sorted").alias("layout"), "f", "lo", "hi", "nrows")
         )
     )
     qs = spark.createDataFrame(

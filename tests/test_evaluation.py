@@ -422,3 +422,34 @@ def test_textrank_replica_and_ranks(spark):
         assert r.rank > 0
         assert r.n_count == cnt[r.word]
         assert abs(r.rank - math.floor(rq[r.word] / 1e9 * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    """s_manifest_prune_stats (r14) replaces the single-partition global
+    ntile() window with per-group row_number + cumulative offsets + NTILE's
+    bucket-assignment arithmetic. Pin that the arithmetic matches the
+    builtin bit-for-bit, remainder buckets included, on sizes around the
+    bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n, nf in [(10, 4), (23, 24), (24, 24), (25, 24), (600, 24), (7, 3)]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        real = df.withColumn("t", F.ntile(nf).over(Window.orderBy("rn")) - 1)
+        formula = df.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+        ).select(
+            "rn",
+            F.expr(
+                f"CASE WHEN __n % {nf} > 0 "
+                f"      AND rn <= (__n % {nf}) * (__n div {nf} + 1) "
+                f"     THEN (rn - 1) div (__n div {nf} + 1) + 1 "
+                f"     ELSE __n % {nf} "
+                f"          + (rn - (__n % {nf}) * (__n div {nf} + 1) - 1) "
+                f"            div (__n div {nf}) + 1 END - 1"
+            ).alias("t2"),
+        )
+        bad = (
+            real.join(formula, "rn").filter("t <> t2").count()
+        )
+        assert bad == 0, f"n={n} nf={nf}: distributed ntile diverged"
