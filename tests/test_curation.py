@@ -179,13 +179,23 @@ def test_wav_round_trip_and_junk_tolerance(spark):
 
 
 def test_audio_features_no_shuffle(spark):
-    """Two chained mapInPandas stages over the binary column — the plan
-    must not contain any Exchange (pure map pipeline)."""
+    """Two chained mapInPandas stages over the binary column. Since the
+    r14 fanout the synthesis stage sits above ONE deliberate round-robin
+    Exchange (parallelizes the single-row-group scan); the property that
+    matters stays pinned: no shuffle BETWEEN the two Python stages (the
+    decode rides the synthesis partitioning) and no hash exchange at all."""
     from move_forecast_ind_spark.queries import REGISTRY
 
     plan = _plan(REGISTRY["mm_audio_features"].fn(spark, SF_SMALL))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()
+    assert "hashpartitioning" not in plan
     assert plan.count("MapInPandas") == 2
+    # the fanout exchange is BELOW the first Python stage: nothing between
+    # the two MapInPandas nodes
+    first = plan.find("MapInPandas")
+    second = plan.find("MapInPandas", first + 1)
+    assert "Exchange" not in plan[first:second]
 
 
 def test_cms_never_undercounts(spark):
@@ -255,11 +265,20 @@ def test_dsir_separates_target_domain(spark):
 
 def test_pixel_stats_no_shuffle(spark):
     """The rasterize path is two chained mapInPandas stages — synthesize
-    then decode — with no exchange between them."""
+    then decode — with no exchange between them. Since the r14 fanout the
+    synthesis sits above ONE deliberate round-robin Exchange (parallelizes
+    the single-row-group scan); the pinned property is unchanged: no
+    exchange BETWEEN the chained Python stages, no hash exchange at all."""
     from move_forecast_ind_spark.queries.curation import mm_pixel_stats
 
     plan = mm_pixel_stats(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()
+    assert "hashpartitioning" not in plan
+    first = plan.find("MapInPandas")
+    second = plan.find("MapInPandas", first + 1)
+    assert first != -1 and second != -1
+    assert "Exchange" not in plan[first:second]
 
 
 def test_kmv_merge_is_lossless(spark):
