@@ -2299,7 +2299,7 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same max-width fence as the simhash/jaccard buckets."""
     tune(spark)
     from ..multimodal import ahash_real, synthesize_png_media
-    from ..operators.dedup import _pairs_in_row, fanout
+    from ..operators.dedup import expand_pairs, fanout
     from ..operators.materialize import materialize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2358,8 +2358,9 @@ def mm_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explodes ~2.3 M pairs serially (profiled r14: 2.6 s single-task).
         # Round-robin spread bounds the tail at the widest single bucket.
         .transform(fanout)
-        .select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        # two-generator expansion (operators.dedup.expand_pairs r14 A/B):
+        # same pair set, codegen Generates instead of interpreted HOF arrays
+        .transform(expand_pairs)
         .distinct()
     )
     ha = ah.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("h_a"))

@@ -1967,7 +1967,7 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-compute of the two tiny pair frames)."""
     tune(spark)
     from ..functions.text import sql_shingles_from_tokens, tokens
-    from ..operators.dedup import _pairs_in_row, fanout, jaccard_pairs
+    from ..operators.dedup import expand_pairs, fanout, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     sh = (
@@ -2004,14 +2004,15 @@ def dedup_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.v1", "bb.v2")
-    cand = (
+    # two-generator expansion (operators.dedup.expand_pairs r14 A/B):
+    # same pair set, codegen Generates instead of interpreted HOF arrays
+    cand = expand_pairs(
         bands.groupBy("band", "v1", "v2")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select(F.col("p.doc_a").alias("da"), F.col("p.doc_b").alias("db"))
-        .distinct()
-    )
+        .filter(F.size("ds") > 1),
+        a="da",
+        b="db",
+    ).distinct()
     truth = jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5, max_df=1000
     ).selectExpr("doc_a AS da", "doc_b AS db")

@@ -918,7 +918,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-plagiarism variant of near-dup detection, complementary to
     the bag-of-shingles MinHash tier."""
     tune(spark)
-    from ..operators.dedup import _pairs_in_row
+    from ..operators.dedup import expand_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     fps = _winnow_fps(docs)
@@ -936,11 +936,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winnow-buckets",
         npartitions=32,
     )
-    cand = (
-        buckets.select(F.explode(_pairs_in_row("ds")).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    # two-generator expansion (operators.dedup.expand_pairs r14 A/B):
+    # same pair set, codegen Generates instead of interpreted HOF arrays
+    cand = expand_pairs(buckets).distinct()
     # Member-id set straight off the buckets (sum|bucket| rows) instead of
     # jaccard_pairs' union+distinct over 2x the candidate PAIR rows
     # (39.6M at the 100x probe).
