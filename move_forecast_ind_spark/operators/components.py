@@ -105,11 +105,17 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
+        # eager=False (r14): the changed-count probe right below is the
+        # round's first action, so it materializes the checkpoint as a
+        # side effect — one job per round instead of two (checkpoint job
+        # + probe job). On the parquet path materialize stays eager and
+        # the probe is a cheap re-scan, exactly as before.
         stepped = materialize(
             stepped.withColumn(
                 "changed", F.col("cluster_id") < F.col("old_label")
             ).select("doc_id", "cluster_id", "changed"),
             "cc-step",
+            eager=False,
         )
         n_changed = stepped.filter(F.col("changed")).count()
         labels = stepped.select("doc_id", "cluster_id")

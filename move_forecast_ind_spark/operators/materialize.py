@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame
 
 
 def materialize(
-    df: DataFrame, label: str = "ckpt", mode: str | None = None
+    df: DataFrame,
+    label: str = "ckpt",
+    mode: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Cut ``df``'s lineage so multi-consumer plans compute it once.
 
@@ -48,6 +51,13 @@ def materialize(
       (fault_check: hash-exact through a mid-query executor SIGKILL).
     - ``none`` — no materialization (every consumer recomputes the
       subtree; only sane when the subtree is a pruned scan).
+
+    ``eager=False`` (r14, local mode only): mark for localCheckpoint but
+    let the CALLER's next action materialize it — for loops that follow
+    every checkpoint with a scalar probe (connected_components' changed
+    count), this folds the checkpoint job and the probe job into one.
+    The parquet path is inherently eager (the write IS the
+    materialization); ``eager`` is ignored there.
     """
     explicit = mode or os.environ.get("SPARK_GRAFT_MATERIALIZE")
     mode = explicit or _default_mode(df)
@@ -73,7 +83,7 @@ def materialize(
     if mode == "none":
         return df
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     if mode == "parquet":
         # a handful of files keeps re-scan task counts sane for small frames
         return checkpoint_parquet(df, label, npartitions=8)

@@ -110,18 +110,33 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the pair lambda was measured flat (0.98 vs 1.00 s) and
     # rejected — block members have near-uniform name lengths.
     blocks = blocks.repartition(32)
-    pairs = blocks.select(
-        "blk",
-        "p_size",
-        F.explode(
-            F.expr(
-                "flatten(transform(arr, a -> "
-                "transform(filter(arr, b -> b.p_partkey > a.p_partkey), "
-                "b -> struct(a.p_partkey AS pka, b.p_partkey AS pkb, "
-                "a.p_name AS name_a, b.p_name AS name_b))))"
-            )
-        ).alias("pr"),
-    ).select("blk", "p_size", "pr.*")
+    # two-generator expansion (operators.dedup.expand_pairs rationale, r14
+    # A/B): arr is sort_array'd on (p_partkey, ...) with unique partkeys,
+    # so "later elements of the slice" IS the b.p_partkey > a.p_partkey
+    # filter — the same ordered pair set, streamed through codegen
+    # Generates instead of an interpreted flatten(transform(filter(...)))
+    # that builds each block's full pair-struct array in memory.
+    pairs = (
+        blocks.select(
+            "blk", "p_size", F.posexplode("arr").alias("__i", "a"), "arr"
+        )
+        .select(
+            "blk",
+            "p_size",
+            "a",
+            F.explode(
+                F.expr("slice(arr, __i + 2, greatest(size(arr) - __i - 1, 0))")
+            ).alias("b"),
+        )
+        .select(
+            "blk",
+            "p_size",
+            F.col("a.p_partkey").alias("pka"),
+            F.col("b.p_partkey").alias("pkb"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+    )
     dist = F.levenshtein("name_a", "name_b")
     return pairs.withColumn("dist", dist.cast("long")).filter(
         F.col("dist") <= 4
