@@ -5886,10 +5886,22 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run on a handful of tasks (r9 10x probe: 73 s serialized
     # before the pin). fanout repartitions either way.
     sl = fanout(sl0, F.col("i")).select("i", "deg", "sn")
-    contrib = sl.filter(F.col("deg") >= 2).select(
-        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
-        F.explode(F.expr(_UNORDERED_PAIRS)).alias("p"),
-    ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"), "w")
+    # two-generator expansion (operators.dedup.expand_pairs rationale,
+    # r14 A/B): same unordered (ia < ib) pair stream in the same order —
+    # per src row, i ascending then b ascending — through codegen
+    # Generates instead of the interpreted _UNORDERED_PAIRS HOF that
+    # built each row's full cap²/2 struct array; identical rows in
+    # identical order means the per-group float w-sums keep their exact
+    # addend order (bit-stable score).
+    contrib = (
+        sl.filter(F.col("deg") >= 2)
+        .select("deg", F.posexplode("sn").alias("__i", "ia"), "sn")
+        .select(
+            "ia",
+            F.explode(F.expr("slice(sn, __i + 2, size(sn))")).alias("ib"),
+            (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+        )
+    )
     # checkpointed: consumed by BOTH the membership pass (broadcast
     # build) and the anti join's left side - lazy it would re-run the
     # cap^2 expansion twice (measured +40 s at the 100x probe).
@@ -6289,9 +6301,17 @@ def events_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl0 = _coactivity_sliced(spark, sf_dir, _TRI_BUCKET_S, _LINKPRED_MAX_NBRS)
     # fanout before the expansion - same rationale as events_link_prediction
     sl = fanout(sl0, F.col("i")).select("i", "deg", "sn")
-    contrib = sl.filter(F.col("deg") >= 2).select(
-        F.explode(F.expr(_UNORDERED_PAIRS)).alias("p")
-    ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+    # two-generator expansion — same rationale and same pair order as
+    # events_link_prediction above (cn is an exact integer count here,
+    # so only the pair SET matters)
+    contrib = (
+        sl.filter(F.col("deg") >= 2)
+        .select(F.posexplode("sn").alias("__i", "ia"), "sn")
+        .select(
+            "ia",
+            F.explode(F.expr("slice(sn, __i + 2, size(sn))")).alias("ib"),
+        )
+    )
     cand_u = materialize(
         contrib.groupBy("ia", "ib").agg(
             F.count(F.lit(1)).cast("long").alias("cn")
