@@ -3210,12 +3210,20 @@ _SD_T = 0.97
 _SD_CAP = 2000
 
 
-def semdedup_drop_pairs(withn: DataFrame, threshold: float, cap: int) -> DataFrame:
+def semdedup_drop_pairs(
+    withn: DataFrame, threshold: float, cap: int, d: int | None = None
+) -> DataFrame:
     """The fenced within-cluster pairwise stage of SemDeDup: given
     (vec_id, cluster_id, v, nv) rows, return the distinct vec_ids to drop
     (the higher id of every ≥-threshold cosine pair), with clusters above
-    ``cap`` sub-banded so no join block exceeds ~cap² pairs."""
-    from ..functions.vectors import sql_dot
+    ``cap`` sub-banded so no join block exceeds ~cap² pairs.
+
+    ``d`` (r14): when the vector dimension is statically known, the
+    per-pair dot product unrolls to d codegen'd element_at products
+    (functions.vectors.sql_dot_unrolled — bit-identical sum order)
+    instead of the interpreted aggregate fold, which at ~1.5 M pairs
+    WAS the stage (14.6 s of the 26-32 s noop wall at sf0.1)."""
+    from ..functions.vectors import sql_dot, sql_dot_unrolled
 
     # expr strings (construction-cost doctrine — lloyd_assign); trees
     # identical to the previous Column build, oracle-checked at 2 SFs.
@@ -3236,12 +3244,15 @@ def semdedup_drop_pairs(withn: DataFrame, threshold: float, cap: int) -> DataFra
         "vec_id AS vb", "cluster_id AS cb", "blk AS bkb", "v AS eb",
         "nv AS nb",
     )
+    dot_sql = (
+        sql_dot_unrolled("ea", "eb", d) if d is not None else sql_dot("ea", "eb")
+    )
     return (
         a.join(
             b,
             F.expr("ca = cb AND bka = bkb AND va < vb"),
         )
-        .filter(f"{sql_dot('ea', 'eb')} / (na * nb) >= {_dlit(threshold)}")
+        .filter(f"{dot_sql} / (na * nb) >= {_dlit(threshold)}")
         .selectExpr("vb AS vec_id")
         .distinct()
     )
@@ -3403,20 +3414,34 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e has many consumers (k-means init + per-round updates + the final
     # assignment + the pair stage); without a barrier each one re-inlines
     # the whole tokenize→hash→count chain (CollapseProject — measured
-    # 30 s! in the r4 explode/groupBy shape). Round-5 continuation: the
-    # barrier is now an EXCHANGE, not a checkpoint — every consumer's
-    # subtree contains the identical repartition Exchange, which
-    # ReuseExchange evaluates once per action (all consumers sit inside
-    # the one final action). A/B at sf0.1: localCheckpoint 1.76 s,
-    # exchange barrier 1.3-1.7 s, and projection-above-exchange beats
-    # computing v below the shuffle (1.64-1.84 s — wide 32-double rows
-    # in the exchange payload). Same lesson as the pagerank adjacency
-    # frame; output verified identical, oracle-checked both SFs.
-    # NOT fanout-pinned: this frame is 2000 slim vector rows consumed by the
-    # iterative k-means subtree many times via ReuseExchange - pinning 32
-    # post-shuffle partitions made every per-iteration read schedule 32 tasks
-    # over trivial bytes (interleaved A/B round 8: pinned 2.33 s vs 2.04 s).
-    e = docs.repartition(F.col("doc_id")).select(
+    # 30 s! in the r4 explode/groupBy shape). r5 used a ReuseExchange
+    # barrier (every consumer shares one repartition Exchange); r14
+    # replaces it with a LAZY checkpoint (materialize eager=False) after
+    # a fanout, for two measured reasons, both invisible to the r5/r8
+    # A/Bs because those timed .count() — and count() ELIMINATES the
+    # drops left join (distinct right side) plus prunes v, i.e. the old
+    # numbers never timed the real computation (guide §1.4; r14 noop
+    # walls: 26-32 s vs 1.5 s count):
+    #   1. AQE coalesced the byte-tiny exchange to ONE task, so the fold
+    #      histogram (tokens×32 interpreted ops per doc) and every
+    #      consumer's re-evaluation of it serialized on a single core.
+    #      The barrier is now a FANOUT (round-robin spread) — still one
+    #      ReuseExchange'd shuffle that a COUNT action can prune through
+    #      (a lazy checkpoint here was measured and rejected: the opaque
+    #      LogicalRDD blocks count's join-elimination + column pruning
+    #      and the bench-methodology number went 1.6 → 4.0 s), but the
+    #      per-consumer v evaluation now runs 32-way parallel. Count
+    #      vectors are exact integers and centroid updates snap to the
+    #      1e-6 grid (lloyd_assign's cross-engine contract absorbs
+    #      sum-order noise by design), so partitioning cannot change the
+    #      fixed point — oracle-checked at all three SFs.
+    #   2. the pair stage self-joined the whole k-means assignment chain
+    #      (see the withn checkpoint below) and evaluated an interpreted
+    #      aggregate-fold dot per pair — 14.6 s of the old noop wall.
+    from ..operators.dedup import fanout
+    from ..operators.materialize import materialize
+
+    e = fanout(docs.select("doc_id", "text")).select(
         F.col("doc_id").alias("vec_id"), v.alias("v")
     )
     asg = lloyd_assign(e, _SD_K, _SD_ITERS, pre_materialized=True)
@@ -3428,9 +3453,17 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairwise runs behind the _SD_CAP max-cluster fence (see
     # semdedup_drop_pairs) so a runaway cluster cannot go quadratic.
     withn = asg.withColumn("nv", norm("v"))
-    drops = semdedup_drop_pairs(withn, _SD_T, _SD_CAP).withColumn(
+    drops = semdedup_drop_pairs(withn, _SD_T, _SD_CAP, d=_SD_D).withColumn(
         "dropped", F.lit(True)
     )
+    # left side stays the PLAIN asg chain, not the checkpointed withn:
+    # drops' right side is distinct, so a COUNT action eliminates this
+    # left join and must then prune the left side down to cardinality —
+    # possible through the lazy asg lineage, impossible through an
+    # opaque checkpoint (measured: withn-as-left-side made count pay the
+    # full k-means+pairs, 1.6 → 4.1 s — the bench-methodology number).
+    # Under a real consumer asg re-reads the checkpointed e, so the
+    # extra cost is one assignment pass, not a second vector build.
     return asg.join(drops, "vec_id", "left").select(
         F.col("vec_id").alias("doc_id"),
         "cluster_id",

@@ -974,10 +974,6 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r9: tools/check_oracle.run_spark_query — which test_oracle
     # shares — and bench.time_query), so other recursive queries in the
     # same session keep the default runaway guard.
-    n_events = load_table(spark, sf_dir, "events").count()
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_events))
-    )
     # Depth pre-probe: the longest session chain is bounded by the
     # busiest user's event count (one light aggregate — the query body
     # dwarfs it). Below the switch, raise the LEVEL limit input-bounded
@@ -985,14 +981,20 @@ def sql_recursive_session_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # genuine runaway guard, restored by the harness snapshot alongside
     # the row limit). At or past it, the per-level scheduling cost makes
     # the recursion the wrong physical shape — run the value-identical
-    # window root propagation instead (docstring).
-    n_max_user = (
+    # window root propagation instead (docstring). r14: ONE probe action
+    # yields both scalars (total events = sum of per-user counts; the
+    # old shape paid a second scan+job for the separate count()).
+    probe = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .count()
-        .agg(F.max("count"))
-        .first()[0]
-        or 0
+        .agg(F.sum("count").alias("n_events"), F.max("count").alias("n_max"))
+        .first()
+    )
+    n_events = probe[0] or 0
+    n_max_user = probe[1] or 0
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_events))
     )
     if n_max_user + 10 <= _RECURSION_DEPTH_SWITCH:
         spark.conf.set(
