@@ -1800,8 +1800,21 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans + tiny-key shuffles, no all-pairs anything."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    # fanout (r14): the embeddings fixture parquet is one row group, so
+    # every per-round assignment pass (interpreted distance transforms
+    # over the whole frame) serialized on ONE task — noop wall 6.1 s vs
+    # the 0.95 s count() that prunes the distance math (guide §1.4).
+    # Distances are pure row functions of (v, snapped centroids) and
+    # centroid updates snap to the 1e-6 grid, so partitioning cannot
+    # move the fixed point (lloyd_assign contract; hash-exact oracle).
+    from ..operators.dedup import fanout
+
+    e = fanout(
+        emb.select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
     )
     # pre_materialized: e is a pruned columnar scan (vec_id + embedding
     # only) — re-scanning it per assignment round beats a checkpoint
@@ -3751,7 +3764,16 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join-on-src formulation and checkpoint each round (the
     generic iterate pattern this replaced)."""
     tune(spark)
-    full = _coactivity_adjacency(spark, sf_dir)
+    # fanout (r14): same single-partition serialization as
+    # events_label_propagation — the per-round in-row contribution pass
+    # ran on ONE task (noop 5.2-5.9 s; count() prunes the rank values,
+    # so count-based A/Bs never saw it). Per-node updates are pure
+    # row functions, carr/dm/n are order-insensitive aggregates, and
+    # ranks snap to the 1e-9 grid per round — partitioning cannot
+    # change any value (hash-exact oracle PASS confirms).
+    from ..operators.dedup import fanout
+
+    full = fanout(_coactivity_adjacency(spark, sf_dir))
     n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = full.crossJoin(F.broadcast(n0)).selectExpr("i", "deg", "1e0 / n AS r")
     # WHOLE iteration body as expr strings (construction-cost doctrine —
@@ -5156,7 +5178,17 @@ def events_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on billion-node graphs); the mode fold is O(deg²) per
     node, bounded by the same hot-bucket fence as the adjacency build."""
     tune(spark)
-    full = _coactivity_adjacency(spark, sf_dir)
+    # fanout (r14): the adjacency frame arrives single-partition (AQE
+    # coalesces its byte-tiny build shuffle), so the per-round in-row
+    # mode pass — the whole query's compute — serialized on ONE task
+    # (noop profile: one 35 s single-task stage; the bench's count()
+    # action prunes the label computation entirely, so no earlier
+    # count-based A/B ever saw it, guide §1.4). The mode is a pure
+    # per-row function and lvec is an order-insensitive sorted
+    # collect, so partitioning cannot change any value.
+    from ..operators.dedup import fanout
+
+    full = fanout(_coactivity_adjacency(spark, sf_dir))
     lab = full.select("i", F.col("user_id").cast("long").alias("lab"))
     # Round exprs parsed ONCE and reused across rounds (hoisted-Column
     # pattern from events_pagerank, round-9 construction-cost pass —
@@ -5168,18 +5200,31 @@ def events_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nlabs = F.expr("transform(nbrs, nb -> element_at(larr, nb + 1))").alias(
         "nlabs"
     )
-    # mode of neighbor labels: fold over ascending distinct labels,
-    # strict > keeps the smallest label among equally-frequent ones.
+    # mode of neighbor labels (r14 rewrite): ONE O(deg) run-length fold
+    # over the SORTED label array — runs arrive in ascending label
+    # order and the strict > keeps the first (smallest) label among
+    # equally-frequent ones, exactly the semantics of the previous
+    # distinct+filter fold, which re-scanned nlabs per distinct label
+    # (O(deg²) interpreted ops per node per round — with the filter
+    # evaluated TWICE per CASE arm). Counts are exact integers; the
+    # mode is bit-identical (pinned by test + hash-exact oracle).
     # The node's own previous label is element_at(larr, i+1) — the
     # broadcast vector carries it, so (like pagerank's rank rebuild)
     # no round ever joins back to the previous label frame.
     c_mode = F.expr(
         "CASE WHEN size(nbrs) = 0 THEN element_at(larr, i + 1) ELSE "
-        "aggregate(array_distinct(array_sort(nlabs)), "
-        "struct(CAST(-1 AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
-        "(acc, v) -> CASE WHEN size(filter(nlabs, x -> x = v)) > acc.mc "
-        "THEN struct(v AS ml, CAST(size(filter(nlabs, x -> x = v)) "
-        "AS BIGINT) AS mc) ELSE acc END, acc -> acc.ml) END"
+        "aggregate(array_sort(nlabs), "
+        "struct(CAST(NULL AS BIGINT) AS cur, CAST(0 AS BIGINT) AS curc, "
+        "CAST(NULL AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
+        "(acc, v) -> CASE WHEN v <=> acc.cur THEN struct("
+        "acc.cur AS cur, acc.curc + CAST(1 AS BIGINT) AS curc, "
+        "acc.ml AS ml, acc.mc AS mc) "
+        "ELSE struct(v AS cur, CAST(1 AS BIGINT) AS curc, "
+        "CASE WHEN acc.curc > acc.mc THEN acc.cur ELSE acc.ml END AS ml, "
+        "CASE WHEN acc.curc > acc.mc THEN acc.curc ELSE acc.mc END AS mc) "
+        "END, "
+        "acc -> CASE WHEN acc.curc > acc.mc THEN acc.cur ELSE acc.ml END) "
+        "END"
     ).alias("lab")
     c_i = F.col("i")
     for _t in range(_LP_ROUNDS):

@@ -861,3 +861,47 @@ def test_group_percentiles_bit_identical(spark):
     )
     got = group_percentiles(dfn, ["k"], "v", [0.5], ["q"]).collect()
     assert got[0]["q"] == 2.0
+
+
+def test_lpa_runlength_mode_matches_distinct_filter_fold(spark):
+    """r14: the O(deg) run-length mode fold must reproduce the previous
+    O(deg²) distinct+filter fold exactly — most-frequent label, ties to
+    the SMALLEST label — on adversarial arrays (all-ties, single label,
+    max at the end, interleaved duplicates)."""
+    cases = [
+        [5],
+        [3, 3, 3],
+        [1, 2, 3],                   # all tie → smallest (1)
+        [9, 1, 9, 1, 2],             # tie 9/1 at 2 → smallest (1)
+        [7, 7, 2, 2, 2],             # clear max at larger label later
+        [10, 10, 10, 1, 1, 1, 0],    # tie 10/1 → 1... and 0 single
+        [4, 4, 5, 5, 5, 4],          # interleaved, 4 wins 3 vs 3? tie → 4
+        list(range(50)) + [42] * 3,  # heavy mode at 42
+    ]
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(cases)],
+        "id int, nlabs array<bigint>",
+    )
+    old = F.expr(
+        "aggregate(array_distinct(array_sort(nlabs)), "
+        "struct(CAST(-1 AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
+        "(acc, v) -> CASE WHEN size(filter(nlabs, x -> x = v)) > acc.mc "
+        "THEN struct(v AS ml, CAST(size(filter(nlabs, x -> x = v)) "
+        "AS BIGINT) AS mc) ELSE acc END, acc -> acc.ml)"
+    )
+    new = F.expr(
+        "aggregate(array_sort(nlabs), "
+        "struct(CAST(NULL AS BIGINT) AS cur, CAST(0 AS BIGINT) AS curc, "
+        "CAST(NULL AS BIGINT) AS ml, CAST(0 AS BIGINT) AS mc), "
+        "(acc, v) -> CASE WHEN v <=> acc.cur THEN struct("
+        "acc.cur AS cur, acc.curc + CAST(1 AS BIGINT) AS curc, "
+        "acc.ml AS ml, acc.mc AS mc) "
+        "ELSE struct(v AS cur, CAST(1 AS BIGINT) AS curc, "
+        "CASE WHEN acc.curc > acc.mc THEN acc.cur ELSE acc.ml END AS ml, "
+        "CASE WHEN acc.curc > acc.mc THEN acc.curc ELSE acc.mc END AS mc) "
+        "END, "
+        "acc -> CASE WHEN acc.curc > acc.mc THEN acc.cur ELSE acc.ml END)"
+    )
+    rows = df.select("id", old.alias("o"), new.alias("n")).collect()
+    for r in rows:
+        assert r.o == r.n, f"case {r.id}: old={r.o} new={r.n}"
