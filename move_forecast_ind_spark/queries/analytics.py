@@ -3604,7 +3604,22 @@ def _coactivity_adjacency(
     if cached is not None:
         return cached
     idx, pairs = _coactivity_pairs(spark, sf_dir, bucket_seconds)
-    adj = pairs.groupBy("si").agg(F.expr("array_sort(collect_set(di)) AS nbrs"))
+    # fanout on the NARROW pair rows, keyed by si (r14): AQE coalesced
+    # the byte-tiny aggregate shuffle to ONE partition at fixture SFs,
+    # serializing every consumer's per-round in-row pass on one core
+    # (noop profile: LPA's 3 rounds were one 35 s single-task stage —
+    # invisible to count-based A/Bs, which prune the label/rank math,
+    # guide §1.4). The explicit si-keyed repartition is AQE-exempt, the
+    # groupBy below REUSES its partitioning (no second exchange), and —
+    # unlike fanning out the aggregated frame — the wide nbrs arrays
+    # never cross an extra exchange (the r11 100× caveat above: moving
+    # them costs 40-80 s at that scale; the pair rows moved here are the
+    # same narrow rows the aggregate was about to shuffle anyway).
+    from ..operators.dedup import fanout
+
+    adj = fanout(pairs, F.col("si")).groupBy("si").agg(
+        F.expr("array_sort(collect_set(di)) AS nbrs")
+    )
     return (
         idx.join(adj, idx["i"] == adj["si"], "left")
         .selectExpr(
@@ -3764,16 +3779,14 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join-on-src formulation and checkpoint each round (the
     generic iterate pattern this replaced)."""
     tune(spark)
-    # fanout (r14): same single-partition serialization as
-    # events_label_propagation — the per-round in-row contribution pass
-    # ran on ONE task (noop 5.2-5.9 s; count() prunes the rank values,
-    # so count-based A/Bs never saw it). Per-node updates are pure
-    # row functions, carr/dm/n are order-insensitive aggregates, and
-    # ranks snap to the 1e-9 grid per round — partitioning cannot
-    # change any value (hash-exact oracle PASS confirms).
-    from ..operators.dedup import fanout
-
-    full = fanout(_coactivity_adjacency(spark, sf_dir))
+    # multi-partition adjacency (r14, via _coactivity_adjacency's
+    # si-keyed pair fanout): the per-round in-row contribution pass ran
+    # on ONE task (noop 5.2-5.9 s; count() prunes the rank values, so
+    # count-based A/Bs never saw it). Per-node updates are pure row
+    # functions, carr/dm/n are order-insensitive aggregates, and ranks
+    # snap to the 1e-9 grid per round — partitioning cannot change any
+    # value (hash-exact oracle PASS confirms).
+    full = _coactivity_adjacency(spark, sf_dir)
     n0 = full.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = full.crossJoin(F.broadcast(n0)).selectExpr("i", "deg", "1e0 / n AS r")
     # WHOLE iteration body as expr strings (construction-cost doctrine —
@@ -5178,17 +5191,15 @@ def events_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on billion-node graphs); the mode fold is O(deg²) per
     node, bounded by the same hot-bucket fence as the adjacency build."""
     tune(spark)
-    # fanout (r14): the adjacency frame arrives single-partition (AQE
-    # coalesces its byte-tiny build shuffle), so the per-round in-row
-    # mode pass — the whole query's compute — serialized on ONE task
-    # (noop profile: one 35 s single-task stage; the bench's count()
-    # action prunes the label computation entirely, so no earlier
-    # count-based A/B ever saw it, guide §1.4). The mode is a pure
-    # per-row function and lvec is an order-insensitive sorted
-    # collect, so partitioning cannot change any value.
-    from ..operators.dedup import fanout
-
-    full = fanout(_coactivity_adjacency(spark, sf_dir))
+    # multi-partition adjacency (r14): the per-round in-row mode pass —
+    # the whole query's compute — serialized on ONE task before
+    # _coactivity_adjacency's si-keyed pair fanout (noop profile: one
+    # 35 s single-task stage; the bench's count() action prunes the
+    # label computation entirely, so no earlier count-based A/B ever
+    # saw it, guide §1.4). The mode is a pure per-row function and lvec
+    # is an order-insensitive sorted collect, so partitioning cannot
+    # change any value.
+    full = _coactivity_adjacency(spark, sf_dir)
     lab = full.select("i", F.col("user_id").cast("long").alias("lab"))
     # Round exprs parsed ONCE and reused across rounds (hoisted-Column
     # pattern from events_pagerank, round-9 construction-cost pass —
